@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2), one named entry
+  * per operator; `oracleSql` carries the DuckDB-equivalent ANSI SQL for every
+  * SQL-expressible one (same column names, deterministic ORDER BY).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (sf0.001; driver smoke-checks rows>0): the reference's
+    * entire per-message data plane in one pipeline — decode-guard, POISON
+    * filter, format dispatch, enrichment — over the events log
+    * (reference/app/app.py:393-526).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val tsMs = unix_millis(col("ts"))
+    e.filter(Envelope.forwardable(col("props")))
+      .select(
+        col("event_id").as("ess_ordinal"),
+        tsMs.as("ess_timestamp"),
+        col("event_type").as("message_type"),
+        when(Envelope.isJson(col("props")),
+             Envelope.enrichJson(col("props"), col("event_id"), tsMs))
+          .otherwise(Envelope.enrichProtoText(col("props"), col("event_id"), tsMs))
+          .as("wire"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EventQueries.defs ++ RelationalQueries.defs
+
+  /** DuckDB-runnable ANSI SQL twin for each SQL-expressible query. */
+  def oracleSql: Map[String, String] =
+    EventQueries.oracles ++ RelationalQueries.oracles
 }

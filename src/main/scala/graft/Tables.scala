@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * All queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read one
+  * parquet file per table. Reads are plain `spark.read.parquet` so Catalyst
+  * handles column pruning + predicate pushdown into the scan — at 100 TB the
+  * same loaders point at a partitioned table root and partition pruning /
+  * pushed filters do the heavy lifting; nothing here assumes single-file
+  * inputs.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in the parquet footer, which
+    * Spark's vectorized reader rejects outright. Read it as raw nanos
+    * (legacy flag) and convert to Spark's native microsecond TimestampType
+    * with integer division (a double division would lose precision above
+    * 2^53 ns). DuckDB reads the same file as TIMESTAMP_NS; both engines
+    * therefore agree on epoch-millis values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Registered queries over the `events` log — the batch twin of the
+  * reference's message stream (SURVEY.md §2.1-2.2; FIXTURES.md §B).
+  * `event_id` plays the broker ordinal, `unix_millis(ts)` the broker
+  * timestamp, `props` the message body.
+  *
+  * Every query ends in a deterministic ORDER BY on a unique key so the
+  * DuckDB-oracle hash compare is order-stable; Catalyst's EliminateSorts
+  * drops these sorts under Bench's count() so they cost nothing there.
+  */
+object EventQueries {
+  import Replay._
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def tsMs = unix_millis(col("ts"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P2+P3+P4 — format dispatch + JSON parse + enrichment, relational form
+    // (reference/app/app.py:469-489).
+    "p_enrich_json" -> ((s, d) =>
+      ev(s, d)
+        .filter(Envelope.isJson(col("props")))
+        .select(
+          col("event_id").as("ess_ordinal"),
+          tsMs.as("ess_timestamp"),
+          col("event_type").as("message_type"),
+          Envelope.jsonField(col("props"), "$.k").as("k"))
+        .orderBy("ess_ordinal")),
+
+    // P5 — protobuf-text enrichment wire format |ordinal: N|timestamp: M
+    // (reference/app/app.py:490-494, README.md:137-145).
+    "p_enrich_prototext" -> ((s, d) =>
+      ev(s, d)
+        .select(
+          col("event_id"),
+          Envelope.enrichProtoText(
+            concat(col("event_type"), lit("|"), col("props")),
+            col("event_id"), tsMs).as("wire"))
+        .orderBy("event_id")),
+
+    // P6+P7 — POISON/empty guard composed with a type filter
+    // (reference/app/app.py:463-468).
+    "p_forward_filter" -> ((s, d) =>
+      ev(s, d)
+        .filter(Envelope.forwardable(col("props")) && col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")),
+
+    // S3 — seek by ordinal: first message with ordinal >= n (README.md:200-203).
+    "s_seek_ordinal" -> ((s, d) =>
+      seek(ev(s, d), FromOrdinal(100L), col("event_id"), tsMs)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    // S4 — seek by broker timestamp >= epoch-millis (reference/app/app.py:256-266).
+    "s_seek_timestamp" -> ((s, d) =>
+      seek(ev(s, d), FromTimestamp(1705276800000L), col("event_id"), tsMs)
+        .select(col("event_id"), tsMs.as("ts_ms"), col("event_type"))
+        .orderBy("event_id")),
+
+    // S5 — seek by flexible datetime string, naive ⇒ UTC (reference/app/app.py:230-244).
+    "s_seek_datetime" -> ((s, d) =>
+      seek(ev(s, d), FromDatetime("2024-01-20 06:30:00"), col("event_id"), tsMs)
+        .select(col("event_id"), tsMs.as("ts_ms"))
+        .orderBy("event_id")),
+
+    // R6 — latest event per user (as-of semantics, README.md:196-198).
+    "r_latest_per_user" -> ((s, d) =>
+      Replay.latestPerKey(ev(s, d), col("user_id"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")),
+
+    // R11 — gap detection over the purchase sub-stream (README.md:229-233).
+    "r_gap_detect" -> ((s, d) =>
+      Replay.gaps(ev(s, d).filter(col("event_type") === "purchase"), col("event_id"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          coalesce(sum(col("__gap")), lit(0L)).cast(LongType).as("lost"))),
+
+    // R12 — windowed stats every N messages: the reference logs counters every
+    // 800 messages (reference/app/app.py:93,515-518); batch twin = bucket by
+    // floor(ordinal/800).
+    "r_stats_every_800" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(floor(col("event_id") / 800).cast(LongType).as("bucket"))
+        .agg(
+          count(lit(1)).as("received"),
+          count(when(col("event_type") =!= "error", 1)).as("sent"))
+        .orderBy("bucket")),
+
+    // S9+R3+P10 — registry join: a tiny stream registry (id, routing_key,
+    // location) derived from the distinct routing keys, broadcast-joined back
+    // to the traffic (reference/app/app.py:127,282-291,104-108). At 100 TB the
+    // registry stays a broadcast build side — no shuffle of the big table.
+    "s_registry_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val registry = e.select(col("event_type").as("routing_key")).distinct()
+        .withColumn("id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy().orderBy(col("routing_key"))).cast(LongType))
+        .withColumn("location", Envelope.location(col("routing_key")))
+      e.join(broadcast(registry), e("event_type") === registry("routing_key"))
+        .groupBy(col("id"), col("routing_key"), col("location"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p_enrich_json" ->
+      """SELECT event_id AS ess_ordinal, epoch_ms(ts) AS ess_timestamp,
+         event_type AS message_type, json_extract_string(props, '$.k') AS k
+         FROM events WHERE substring(props, 1, 1) = '{' ORDER BY ess_ordinal""",
+    "p_enrich_prototext" ->
+      """SELECT event_id,
+         event_type || '|' || props || '|ordinal: ' || CAST(event_id AS VARCHAR)
+           || '|timestamp: ' || CAST(epoch_ms(ts) AS VARCHAR) AS wire
+         FROM events ORDER BY event_id""",
+    "p_forward_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE props IS NOT NULL AND length(props) > 0 AND props <> 'POISON'
+           AND event_type <> 'error' ORDER BY event_id""",
+    "s_seek_ordinal" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_id >= 100 ORDER BY event_id""",
+    "s_seek_timestamp" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+         WHERE epoch_ms(ts) >= 1705276800000 ORDER BY event_id""",
+    "s_seek_datetime" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+         WHERE epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-20 06:30:00')
+         ORDER BY event_id""",
+    "r_latest_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "r_gap_detect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(coalesce(sum(gap), 0) AS BIGINT) AS lost
+         FROM (SELECT event_id - lag(event_id) OVER (ORDER BY event_id) - 1 AS gap
+               FROM events WHERE event_type = 'purchase')
+         WHERE gap > 0""",
+    "r_stats_every_800" ->
+      """SELECT CAST(floor(event_id / 800) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS received,
+                CAST(count(CASE WHEN event_type <> 'error' THEN 1 END) AS BIGINT) AS sent
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "s_registry_join" ->
+      """WITH registry AS (
+           SELECT routing_key,
+                  CAST(row_number() OVER (ORDER BY routing_key) AS BIGINT) AS id,
+                  'ws://localhost/event-stream/' || routing_key AS location
+           FROM (SELECT DISTINCT event_type AS routing_key FROM events))
+         SELECT id, routing_key, location, CAST(count(*) AS BIGINT) AS n,
+                ROUND(sum(value), 2) AS total_value
+         FROM events e JOIN registry r ON e.event_type = r.routing_key
+         GROUP BY id, routing_key, location ORDER BY id"""
+  )
+}
