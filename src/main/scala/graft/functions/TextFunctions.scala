@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (SURVEY.md §2.3 R18/R20): tokenization, shingling, MinHash, SimHash,
+  * fingerprints. All pure Catalyst expressions (split / higher-order
+  * functions / xxhash64) — distributed, no driver-side loops, no UDFs.
+  *
+  * The higher-order builders take a SQL fragment (usually a column name)
+  * rather than a Column, because they compose inside expr() lambda bodies.
+  *
+  * Where a step is hash-based (MinHash/SimHash/xxhash64 fingerprints) the
+  * results are Spark-specific and the registered queries carry no DuckDB
+  * oracle (rows-only check per the driver contract); the SQL-expressible
+  * slices (token stats, Jaccard, sha256 fingerprints) are oracled.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (documents are single-space word soup). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-ish tokenizer: runs of letters or runs of digits —
+    * the classic pre-tokenization regex shape.
+    */
+  def regexTokens(textSql: String): Column =
+    expr(s"regexp_extract_all($textSql, '[a-z]+|[0-9]+', 0)")
+
+  /** Distinct n-word shingles as a SQL fragment (composable) — empty array
+    * when the doc has fewer than n tokens.
+    */
+  def shinglesSql(textSql: String, n: Int): String =
+    s"""CASE WHEN size(split($textSql, ' ')) >= $n THEN
+          array_distinct(transform(
+            sequence(1, size(split($textSql, ' ')) - ${n - 1}),
+            i -> concat_ws(' ', slice(split($textSql, ' '), i, $n))))
+        ELSE array() END"""
+
+  def shingles(textSql: String, n: Int): Column = expr(shinglesSql(textSql, n))
+
+  /** MinHash signature: k independent permutations approximated by seeded
+    * xxhash64; element s of the signature is min over shingles of
+    * xxhash64(shingle, s). Standard shingle→minhash construction.
+    */
+  def minhash(shingleColSql: String, k: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${k - 1}),
+            s -> array_min(transform($shingleColSql, sh -> xxhash64(sh, s))))""")
+
+  /** LSH band keys: split a k-length signature into `bands` bands of
+    * `rowsPerBand` each and hash each band; docs sharing any (band, hash)
+    * pair become dedup candidates. Returns ARRAY<STRUCT<band INT, h BIGINT>>
+    * for explode + shuffle-on-band-key — the bounded-join scale path.
+    */
+  def minhashBands(sigColSql: String, bands: Int, rowsPerBand: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${bands - 1}),
+            b -> struct(b AS band,
+                        xxhash64(concat_ws(',', slice($sigColSql, b * $rowsPerBand + 1, $rowsPerBand))) AS h))""")
+
+  /** 64-bit SimHash over a token-array SQL fragment: bit i of the result is
+    * the sign of sum over tokens of ±1 according to bit i of xxhash64(token).
+    */
+  def simhash(tokenColSql: String): Column =
+    expr(
+      s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
+            acc + CASE WHEN aggregate($tokenColSql, 0L,
+                    (s, tok) -> s + CASE WHEN (shiftright(xxhash64(tok), i) % 2) != 0
+                                         THEN 1L ELSE -1L END) > 0
+                       THEN shiftleft(1L, i) ELSE 0L END)""")
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(a) + size(b) - size(array_intersect(a, b))
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** Content fingerprint: sha256 hex (oracle-able) — the content-addressed
+    * id for exact dedup and multimodal payloads.
+    */
+  def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
+
+  /** Rolling-hash document fingerprint (winnowing-style): the minimum
+    * xxhash64 over 5-gram shingles — a cheap near-dup prefilter key.
+    */
+  def rollingFingerprint(textSql: String): Column =
+    expr(s"array_min(transform(${shinglesSql(textSql, 5)}, sh -> xxhash64(sh)))")
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.ParityMath.floorRound
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -107,7 +108,7 @@ object EventQueries {
         .withColumn("location", Envelope.location(col("routing_key")))
       e.join(broadcast(registry), e("event_type") === registry("routing_key"))
         .groupBy(col("id"), col("routing_key"), col("location"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), floorRound(sum(col("value")), 2).as("total_value"))
         .orderBy("id")
     })
   )
@@ -158,7 +159,7 @@ object EventQueries {
                   'ws://localhost/event-stream/' || routing_key AS location
            FROM (SELECT DISTINCT event_type AS routing_key FROM events))
          SELECT id, routing_key, location, CAST(count(*) AS BIGINT) AS n,
-                ROUND(sum(value), 2) AS total_value
+                floor((sum(value)) * 100 + 0.5) / 100 AS total_value
          FROM events e JOIN registry r ON e.event_type = r.routing_key
          GROUP BY id, routing_key, location ORDER BY id"""
   )

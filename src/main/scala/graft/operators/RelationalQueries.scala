@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.ParityMath.floorRound
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -26,11 +27,11 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          floorRound(sum(col("l_quantity")), 2).as("sum_qty"),
+          floorRound(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          floorRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          floorRound(avg(col("l_quantity")), 4).as("avg_qty"),
+          floorRound(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -47,7 +48,7 @@ object RelationalQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          floorRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -104,7 +105,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n_customers"), floorRound(sum(col("c_acctbal")), 2).as("total_bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
     // R13 — event-time tumbling window (1 hour), expressed as date_trunc so
@@ -113,7 +114,7 @@ object RelationalQueries {
     "q_hourly_window" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), floorRound(sum(col("value")), 2).as("total_value"))
         .orderBy("hour_ms")),
 
     // R14 — session windows per user (30-minute inactivity gap), the batch
@@ -151,24 +152,24 @@ object RelationalQueries {
     "q_cube_orders" -> ((s, d) =>
       Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), floorRound(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first))
   )
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-                ROUND(sum(l_quantity), 2) AS sum_qty,
-                ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-                ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                ROUND(avg(l_quantity), 4) AS avg_qty,
-                ROUND(avg(l_discount), 4) AS avg_disc,
+                floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+                floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+                floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+                floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
                 CAST(count(*) AS BIGINT) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_star_join" ->
       """SELECT n_name,
-                ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
                 CAST(count(*) AS BIGINT) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -198,14 +199,14 @@ object RelationalQueries {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_rollup_geo" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
-                ROUND(sum(c_acctbal), 2) AS total_bal
+                floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS total_bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
     "q_hourly_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
-                CAST(count(*) AS BIGINT) AS n, ROUND(sum(value), 2) AS total_value
+                CAST(count(*) AS BIGINT) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
     "q_sessionize" ->
       """WITH t AS (
@@ -237,7 +238,7 @@ object RelationalQueries {
          ORDER BY cohort, user_id""",
     "q_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-                ROUND(sum(o_totalprice), 2) AS total
+                floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
   )

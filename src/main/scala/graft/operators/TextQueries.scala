@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import graft.functions.ParityMath.floorRound
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.3 R20):
+  * token stats, quality scoring, language-id heuristic, TF-IDF,
+  * fingerprinting. All scale linearly: per-row expressions plus
+  * explode→groupBy aggregations (shuffle on token / doc keys only).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Marker stopwords for the language-id heuristic — deterministic token
+    * evidence, mirrored verbatim in the oracle SQL.
+    */
+  private val EnMarkers = Seq("the", "a")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R20 — per-document token statistics: whitespace tokens, distinct
+    // tokens, lexical diversity, BPE-ish regex token count.
+    "t_token_stats" -> ((s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+          size(regexTokens("text")).as("n_bpe_tokens"),
+          floorRound(size(array_distinct(split(col("text"), " "))).cast("double") /
+                size(split(col("text"), " ")), 4).as("diversity"))
+        .orderBy("doc_id")),
+
+    // R20 — quality scoring: length/stopword/diversity blend. Pure
+    // arithmetic over deterministic counts, mirrored in the oracle.
+    "t_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(EnMarkers: _*))).cast("double")
+      val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+      val diversity = size(array_distinct(toks)).cast("double") / nTok
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          floorRound(stopHits / nTok, 4).as("stopword_ratio"),
+          floorRound(avgLen, 4).as("avg_token_len"),
+          floorRound(
+            lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
+            lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // R20 — language-id heuristic (marker-token evidence) with accuracy
+    // readout against the labeled lang column. The corpus is synthetic word
+    // soup, so the interesting property is deterministic parity of the
+    // heuristic, which the oracle mirrors token-for-token.
+    "t_lang_id" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val enScore = size(filter(toks, t => t.isin(EnMarkers: _*)))
+      val pred = when(enScore >= 3, "en")
+        .when(enScore >= 1, "latin-ish").otherwise("unk")
+      docs(s, d)
+        .select(col("lang"), pred.as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // R20 — corpus profile per language: docs, chars, source spread.
+    "t_lang_profile" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          floorRound(avg(col("n_chars")), 2).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")),
+
+    // R20 — TF-IDF: top term per document. Two aggregations (term counts,
+    // document frequency) and a broadcast-able df join; ordering on the
+    // rounded score so both engines break ties identically.
+    "t_tfidf_top_term" -> ((s, d) => {
+      // corpus size as a lazy broadcast scalar (no eager driver-side count)
+      val nDf = docs(s, d).agg(count(lit(1)).cast("double").as("corpus_n"))
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df_, "term").crossJoin(broadcast(nDf))
+        .withColumn("tfidf",
+          floorRound(col("tf") * log(col("corpus_n") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // R20 — content fingerprints: sha256 (oracle-able, content address) and
+    // shard key prefix for routing at scale.
+    "t_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          sha256Hex(col("text")).as("sha"),
+          substring(sha256Hex(col("text")), 1, 4).as("shard_key"))
+        .orderBy("doc_id")),
+
+    // R20 — rolling-hash (winnowing-style) fingerprint over 5-gram
+    // shingles: xxhash64-based ⇒ rows-only check; unit-tested.
+    "t_rolling_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), rollingFingerprint("text").as("fp"))
+        .filter(col("fp").isNotNull)
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_bpe_tokens,
+                floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                      len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS diversity
+         FROM documents ORDER BY doc_id""",
+    "t_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a'))) AS DOUBLE) AS stop_hits,
+                  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS avg_len,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS diversity
+           FROM documents)
+         SELECT doc_id, floor((stop_hits / n_tok) * 10000 + 0.5) / 10000 AS stopword_ratio,
+                floor((avg_len) * 10000 + 0.5) / 10000 AS avg_token_len,
+                floor((0.5 * diversity + 0.3 * (1.0 - stop_hits / n_tok) +
+                      0.2 * least(avg_len / 10.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
+         FROM t ORDER BY doc_id""",
+    "t_lang_id" ->
+      """WITH p AS (
+           SELECT lang,
+                  CASE WHEN len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the', 'a'))) >= 3 THEN 'en'
+                       WHEN len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the', 'a'))) >= 1 THEN 'latin-ish'
+                       ELSE 'unk' END AS lang_pred
+           FROM documents)
+         SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+    "t_lang_profile" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                floor((avg(n_chars)) * 100 + 0.5) / 100 AS avg_chars,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "t_tfidf_top_term" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM tf GROUP BY doc_id, term),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, term, floor((tf * ln(n.n / df)) * 1000000 + 0.5) / 1000000 AS tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY floor((tf * ln(n.n / df)) * 1000000 + 0.5) / 1000000 DESC, term) AS rk
+           FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+         SELECT doc_id, term AS top_term, tfidf
+         FROM scored WHERE rk = 1 ORDER BY doc_id""",
+    "t_fingerprint" ->
+      """SELECT doc_id, sha256(text) AS sha, substring(sha256(text), 1, 4) AS shard_key
+         FROM documents ORDER BY doc_id"""
+  )
+}
