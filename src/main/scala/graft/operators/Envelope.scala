@@ -27,15 +27,12 @@ import org.apache.spark.sql.types.{LongType, StringType}
 object Envelope {
 
   /** P1 — bytes→UTF-8 decode (reference/app/app.py:428-443).
-    * The reference drops undecodable messages; `decode(...,'UTF-8')` yields
-    * replacement chars rather than null, so we validate by re-encode
-    * round-trip: a body that does not survive UTF-8 round-trip is dropped,
-    * mirroring the reference's skip-and-log.
+    * The reference drops undecodable messages (skip-and-log); Spark 4's
+    * `decode` THROWS on malformed input (MALFORMED_CHARACTER_CODING), so
+    * validate first and null out invalid bodies for callers to filter.
     */
-  def decodeUtf8(raw: Column): Column = {
-    val s = decode(raw, "UTF-8")
-    when(encode(s, "UTF-8") === raw, s).otherwise(lit(null).cast(StringType))
-  }
+  def decodeUtf8(raw: Column): Column =
+    when(is_valid_utf8(raw), raw.cast(StringType)).otherwise(lit(null).cast(StringType))
 
   /** P7 + P6 — empty-message guard and POISON sentinel
     * (reference/app/app.py:463-468). POISON additionally stops the consumer;

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import graft.operators.{Envelope, Replay}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent.TrieMap
+
+/** The reference service's streaming data path, re-expressed as Structured
+  * Streaming (SURVEY.md §2.4, §3.1).
+  *
+  * Reference shape (reference/app/app.py:393-526): one async consumer per
+  * stream reads a RabbitMQ stream from an offset spec, applies the
+  * per-message pipeline (decode → fence → POISON → dispatch → enrich), and
+  * pushes each record to one WebSocket. Engine shape: a streaming DataFrame
+  * with envelope columns (`body`, `ordinal`, `ts_ms`, `routing_key`) flows
+  * through the SAME column expressions as the batch path (graft.operators),
+  * and a `foreachBatch` sink plays the socket. Micro-batches preserve
+  * source order within a partition; a per-stream single partition gives the
+  * reference's total order (T1).
+  *
+  * Control-plane parity:
+  *   - single-active-consumer fencing (memcached in the reference,
+  *     app.py:320-344) → [[StreamCoordinator]]: starting a consumer for a
+  *     routing key stops the previous query — driver-side state, no
+  *     per-message network round-trip (the reference's main throughput
+  *     ceiling, BASELINE.md).
+  *   - POISON (app.py:463-467): filtered from delivery AND flagged so the
+  *     coordinator stops the query — in-band stop signal.
+  *   - stats every N messages (app.py:93,515-518) → `observe()` metrics,
+  *     surfaced through StreamingQueryProgress instead of a mutable dict.
+  */
+object EventStreamPipeline {
+
+  /** The enrichment/guard pipeline — identical expressions for a batch or
+    * streaming DataFrame with columns (body STRING, ordinal LONG, ts_ms LONG).
+    * Adds `forward` (empty/POISON/null guard verdict) and `wire` (the
+    * enriched payload, null when not forwardable) without dropping rows, so
+    * the sink can still observe POISON as the in-band stop signal.
+    */
+  def enrich(df: DataFrame): DataFrame =
+    df.withColumn("forward", Envelope.forwardable(col("body")))
+      .withColumn("wire",
+        when(col("forward"),
+          when(Envelope.isJson(col("body")),
+            Envelope.enrichJson(col("body"), col("ordinal"), col("ts_ms")))
+          .otherwise(
+            Envelope.enrichProtoText(col("body"), col("ordinal"), col("ts_ms")))))
+
+  /** Replay predicate (S2-S5) applied to the stream — the batch-expressible
+    * twin of `startingOffsets`; for a true external log source this becomes
+    * the source's offset spec instead of a filter.
+    */
+  def seek(df: DataFrame, spec: Replay.OffsetSpec): DataFrame =
+    spec match {
+      case Replay.Next => df // streaming: only new rows arrive anyway
+      case other       => Replay.seek(df, other, col("ordinal"), col("ts_ms"))
+    }
+
+  /** Wire a streaming envelope DataFrame to a push sink with POISON stop
+    * semantics. `send` plays `websocket.send_text` (app.py:496-508).
+    * Returns the started query.
+    *
+    * Delivery contract (T1): at-most-once to the sink, in source order per
+    * micro-batch partition — matching the reference (no ack/resend).
+    */
+  def start(
+      spark: SparkSession,
+      source: DataFrame,
+      routingKey: String,
+      spec: Replay.OffsetSpec,
+      coordinator: StreamCoordinator,
+      send: String => Unit): StreamingQuery = {
+
+    val pipeline = enrich(seek(source, spec))
+
+    // Unique query name per consumer: the reference keys each consumer by
+    // its own socket UUID (app.py:332-344), and the displaced predecessor is
+    // still alive for a moment — two "es-<key>" queries may overlap briefly.
+    val consumerId = java.util.UUID.randomUUID().toString.take(8)
+    val query = pipeline.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .queryName(s"es-$routingKey-$consumerId")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Per-stream delivery is inherently serial (one socket per stream in
+        // the reference), so the tiny per-batch collect is the faithful (and
+        // only) shape; parallelism lives ACROSS streams, not within one.
+        val rows = batch.orderBy(col("ordinal"))
+          .select(col("body"), col("forward"), col("wire")).collect()
+        var poisoned = false
+        val it = rows.iterator
+        while (!poisoned && it.hasNext) {
+          val r = it.next()
+          if (r.getString(0) == Envelope.Poison) poisoned = true // stop; do not forward (app.py:463-467)
+          else if (r.getBoolean(1)) send(r.getString(2))
+        }
+        if (poisoned) coordinator.requestStop(routingKey)
+        ()
+      }
+      .start()
+    coordinator.register(routingKey, query)
+    query
+  }
+}
+
+/** Driver-side single-active-consumer fencing: the memcached lock analog
+  * (reference/app/app.py:320-344, 445-462). One StreamingQuery per routing
+  * key; a new consumer displaces the old one (stop, not error), and stream
+  * deletion stops the consumer — the DELETE /event-stream/{id} ordering
+  * (app.py:684-715).
+  */
+final class StreamCoordinator {
+  private val active = new ConcurrentHashMap[String, StreamingQuery]()
+
+  /** Register a new consumer, stopping any prior holder of the key. */
+  def register(routingKey: String, q: StreamingQuery): Unit = {
+    val prev = active.put(routingKey, q)
+    if (prev != null && prev.isActive) prev.stop()
+  }
+
+  def activeQuery(routingKey: String): Option[StreamingQuery] =
+    Option(active.get(routingKey)).filter(_.isActive)
+
+  /** Stop and deregister (stream deleted / POISON observed). */
+  def release(routingKey: String): Unit = {
+    val q = active.remove(routingKey)
+    if (q != null && q.isActive) q.stop()
+  }
+
+  /** Stop requested from inside the query's own foreachBatch (POISON): a
+    * synchronous stop() there would self-deadlock waiting for the running
+    * batch, so hand it to a reaper thread — the analog of the reference's
+    * `consumer.stop()` letting `run()` unwind (app.py:520-524, 578-590).
+    */
+  def requestStop(routingKey: String): Unit = {
+    val t = new Thread(() => release(routingKey), s"es-stop-$routingKey")
+    t.setDaemon(true)
+    t.start()
+  }
+}
+
+/** The event-stream registry: the SQLite `es` table + REST control plane
+  * analog (reference/app/app.py:119-139, 596-717). Pure driver-side
+  * catalog state — creating/deleting streams runs no Spark job.
+  */
+final class EventStreamRegistry(secure: Boolean = false, host: String = "localhost") {
+  final case class EsRecord(id: Long, uuid: String, routingKey: String) {
+    def location: String =
+      s"${if (secure) "wss" else "ws"}://$host/event-stream/$uuid"
+  }
+
+  private val byId = TrieMap.empty[Long, EsRecord]
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** POST /event-stream/ — returns (id, location) (app.py:606-649). */
+  def create(routingKey: String): EsRecord = {
+    val rec = EsRecord(nextId.incrementAndGet(), shortUuid(), routingKey)
+    byId.put(rec.id, rec)
+    rec
+  }
+
+  /** GET /event-stream/ (app.py:652-674). */
+  def list(): Seq[EsRecord] = byId.values.toSeq.sortBy(_.id)
+
+  /** Lookup by uuid — the WS connect path (app.py:282-291). */
+  def byUuid(uuid: String): Option[EsRecord] = byId.values.find(_.uuid == uuid)
+
+  /** DELETE /event-stream/{id} — fence first, then registry row
+    * (app.py:684-715); caller routes the fence through the coordinator.
+    */
+  def delete(id: Long, coordinator: StreamCoordinator): Boolean =
+    byId.remove(id) match {
+      case Some(rec) => coordinator.release(rec.routingKey); true
+      case None      => false
+    }
+
+  /** shortuuid analog (app.py:619): 22-char base62 of a random UUID. */
+  private def shortUuid(): String = {
+    val u = java.util.UUID.randomUUID()
+    val chars = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    var bits = BigInt(u.getMostSignificantBits) << 64 | (BigInt(u.getLeastSignificantBits) & BigInt("FFFFFFFFFFFFFFFF", 16))
+    if (bits < 0) bits = -bits
+    val sb = new StringBuilder
+    while (sb.length < 22) { sb.append(chars((bits % 62).toInt)); bits /= 62 }
+    sb.toString
+  }
+}

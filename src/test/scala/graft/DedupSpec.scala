@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docANear = "the quick brown fox jumps over the lazy dog again and again tonight" // 1 word differs
+  private val docB = "completely different content about spark catalyst optimizer internals rules"
+
+  test("R18: shingles are distinct n-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val sh = df.select(shingles("text", 3).as("s")).collect()
+    assert(sh(0).getSeq[String](0).toSet === Set("a b c", "b c d"))
+    assert(sh(1).getSeq[String](0).isEmpty)
+  }
+
+  test("R18: jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x", "y")))
+      .toDF("s1", "s2", "s3")
+    val r = df.select(
+      jaccard($"s1", $"s2").as("same"),
+      jaccard($"s1", $"s3").as("disjoint")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("R18: minhash+LSH flags planted near-dup pair but not unrelated docs") {
+    val df = Seq((0L, docA), (1L, docANear), (2L, docB)).toDF("doc_id", "text")
+    val base = df.select(col("doc_id"), shingles("text", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash("sh", 32))
+    val banded = base.select(col("doc_id"), col("sh"),
+        explode(minhashBands("sig", 8, 4)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.h"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .dropDuplicates("da", "db")
+      .filter(col("j") >= 0.5)
+      .collect()
+    assert(cand.length === 1)
+    assert((cand(0).getLong(0), cand(0).getLong(1)) === (0L, 1L))
+  }
+
+  test("R18: simhash of near-identical docs is closer than unrelated docs") {
+    val df = Seq((0L, docA), (1L, docANear), (2L, docB)).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), simhash("split(text, ' ')").as("h"))
+      .orderBy("doc_id").select("h").as[Long].collect()
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0), sh(1)) < hamming(sh(0), sh(2)))
+    assert(hamming(sh(0), sh(1)) <= 16) // near-dups share most bits
+  }
+
+  test("R17: streaming-style exact dedup keeps first occurrence") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val kept = df.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .orderBy("doc_id").select("doc_id").as[Long].collect()
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+}

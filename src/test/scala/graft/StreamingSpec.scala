@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Replay
+import graft.streaming.{EventStreamPipeline, EventStreamRegistry, StreamCoordinator}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit}
+
+/** Streaming semantics (SURVEY.md §2.4): ordered delivery, replay, POISON
+  * stop, single-active-consumer fencing, registry lifecycle.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Msg(body: String, ordinal: Long, ts_ms: Long)
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    q.processAllAvailable()
+
+  test("T1: enriched messages delivered in ordinal order; guards applied") {
+    val coord = new StreamCoordinator
+    val sent = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[Msg](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-order", Replay.FromOrdinal(0), coord, sent.add(_))
+    try {
+      stream.addData(
+        Msg("""{"message_type": "t"}""", 2, 200L),
+        Msg("cls|x: 1", 1, 100L),
+        Msg("", 3, 300L)) // empty: not forwarded
+      drain(q)
+      val out = sent.toArray(new Array[String](0)).toSeq
+      assert(out === Seq(
+        "cls|x: 1|ordinal: 1|timestamp: 100",
+        """{"ess_ordinal": 2, "ess_timestamp": 200, "message_type": "t"}"""))
+    } finally coord.release("rk-order")
+  }
+
+  test("S3 streaming: replay from ordinal skips earlier messages") {
+    val coord = new StreamCoordinator
+    val sent = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[Msg](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-replay", Replay.FromOrdinal(3), coord, sent.add(_))
+    try {
+      stream.addData(Msg("a|1", 1, 10L), Msg("b|2", 2, 20L), Msg("c|3", 3, 30L), Msg("d|4", 4, 40L))
+      drain(q)
+      val out = sent.toArray(new Array[String](0)).toSeq
+      assert(out === Seq("c|3|ordinal: 3|timestamp: 30", "d|4|ordinal: 4|timestamp: 40"))
+    } finally coord.release("rk-replay")
+  }
+
+  test("T5: POISON stops the consumer and is not forwarded (app.py:463-467)") {
+    val coord = new StreamCoordinator
+    val sent = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[Msg](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-poison", Replay.FromOrdinal(0), coord, sent.add(_))
+    stream.addData(Msg("ok|1", 1, 10L), Msg("POISON", 2, 20L), Msg("after|3", 3, 30L))
+    drain(q)
+    // the reaper thread stops the query asynchronously
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+    while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!q.isActive, "query should stop after POISON")
+    val out = sent.toArray(new Array[String](0)).toSeq
+    assert(out === Seq("ok|1|ordinal: 1|timestamp: 10")) // nothing at/after POISON
+    assert(coord.activeQuery("rk-poison").isEmpty)
+  }
+
+  test("P8: second consumer displaces the first (memcached-fencing analog)") {
+    val coord = new StreamCoordinator
+    val s1 = MemoryStream[Msg](spark)
+    val s2 = MemoryStream[Msg](spark)
+    val q1 = EventStreamPipeline.start(
+      spark, s1.toDF(), "rk-fence", Replay.Next, coord, _ => ())
+    val q2 = EventStreamPipeline.start(
+      spark, s2.toDF(), "rk-fence", Replay.Next, coord, _ => ())
+    try {
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+      while (q1.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!q1.isActive, "first consumer should be fenced out")
+      assert(q2.isActive)
+      assert(coord.activeQuery("rk-fence").contains(q2))
+    } finally coord.release("rk-fence")
+  }
+
+  test("registry lifecycle: create/list/lookup/delete with fence-first ordering") {
+    val coord = new StreamCoordinator
+    val reg = new EventStreamRegistry(secure = false, host = "h")
+    val r1 = reg.create("account.events")
+    val r2 = reg.create("dm.events")
+    assert(reg.list().map(_.id) === Seq(r1.id, r2.id))
+    assert(r1.location === s"ws://h/event-stream/${r1.uuid}")
+    assert(reg.byUuid(r2.uuid).contains(r2))
+    assert(r1.uuid.length === 22) // shortuuid analog
+    // delete stops the active consumer for the routing key, then removes
+    val stream = MemoryStream[Msg](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "account.events", Replay.Next, coord, _ => ())
+    assert(reg.delete(r1.id, coord))
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+    while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!q.isActive)
+    assert(!reg.delete(r1.id, coord)) // 404 analog
+    assert(reg.list().map(_.id) === Seq(r2.id))
+  }
+}
