@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    def time(name: String): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d).count()
+      println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    SparkEntry.queries("q1_agg")(spark, d).count() // warmup
+    time("d_minhash_lsh"); time("d_minhash_lsh")
+    time("v_ann_lsh")
+    time("t_rolling_fingerprint")
+    // plan checks
+    println("== star join plan (expect 2x BroadcastHashJoin, PushedFilters) ==")
+    SparkEntry.queries("q_star_join")(spark, d).explain("formatted")
+    println("== seek pushdown ==")
+    SparkEntry.queries("s_seek_ordinal")(spark, d).explain("formatted")
+    spark.stop()
+  }
+}

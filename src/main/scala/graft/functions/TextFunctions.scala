@@ -27,17 +27,13 @@ object TextFunctions {
   def regexTokens(textSql: String): Column =
     expr(s"regexp_extract_all($textSql, '[a-z]+|[0-9]+', 0)")
 
-  /** Distinct n-word shingles as a SQL fragment (composable) — empty array
-    * when the doc has fewer than n tokens.
+  /** Distinct n-word shingles — the native graft.plans.Shingles expression
+    * (single split pass + hash-set dedupe; the pure-SQL CASE/split/transform
+    * formulation re-splits the text per step through interpreted lambdas).
+    * Callers must have run GraftFunctions.register(spark). Empty array when
+    * the doc has fewer than n tokens.
     */
-  def shinglesSql(textSql: String, n: Int): String =
-    s"""CASE WHEN size(split($textSql, ' ')) >= $n THEN
-          array_distinct(transform(
-            sequence(1, size(split($textSql, ' ')) - ${n - 1}),
-            i -> concat_ws(' ', slice(split($textSql, ' '), i, $n))))
-        ELSE array() END"""
-
-  def shingles(textSql: String, n: Int): Column = expr(shinglesSql(textSql, n))
+  def shingles(textSql: String, n: Int): Column = expr(s"graft_shingles($textSql, $n)")
 
   /** MinHash signature: k independent permutations approximated by seeded
     * xxhash64; element s of the signature is min over shingles of
@@ -86,5 +82,5 @@ object TextFunctions {
     * xxhash64 over 5-gram shingles — a cheap near-dup prefilter key.
     */
   def rollingFingerprint(textSql: String): Column =
-    expr(s"array_min(transform(${shinglesSql(textSql, 5)}, sh -> xxhash64(sh)))")
+    expr(s"array_min(transform(graft_shingles($textSql, 5), sh -> xxhash64(sh)))")
 }

@@ -21,9 +21,17 @@ object VectorFunctions {
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (precision contract above). */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Dot product via zip_with + aggregate (sequential left fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — a native expression (graft.plans.DotProduct): one
+    * primitive loop instead of interpreted per-element lambdas, summing in
+    * index order so results are bit-identical to the left-fold HOF form
+    * (and to the oracle's per-index join + sum).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.DotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

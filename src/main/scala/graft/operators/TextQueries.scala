@@ -115,11 +115,13 @@ object TextQueries {
 
     // R20 — rolling-hash (winnowing-style) fingerprint over 5-gram
     // shingles: xxhash64-based ⇒ rows-only check; unit-tested.
-    "t_rolling_fingerprint" -> ((s, d) =>
+    "t_rolling_fingerprint" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       docs(s, d)
         .select(col("doc_id"), rollingFingerprint("text").as("fp"))
         .filter(col("fp").isNotNull)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -28,10 +28,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("R18: minhash+LSH flags planted near-dup pair but not unrelated docs") {
+    graft.plans.GraftFunctions.register(spark)
     val df = Seq((0L, docA), (1L, docANear), (2L, docB)).toDF("doc_id", "text")
     val base = df.select(col("doc_id"), shingles("text", 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhash("sh", 32))
+      .withColumn("sig", expr("graft_minhash(sh)"))
     val banded = base.select(col("doc_id"), col("sh"),
         explode(minhashBands("sig", 8, 4)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band"), col("b.h"))

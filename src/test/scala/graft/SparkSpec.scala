@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(s)
     s
   }
 }
