@@ -34,10 +34,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.defs ++ RelationalQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++
+      ExtendedQueries.defs
 
   /** DuckDB-runnable ANSI SQL twin for each SQL-expressible query. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles ++
+      ExtendedQueries.oracles
 }

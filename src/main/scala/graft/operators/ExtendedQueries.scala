@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParityMath.floorRound
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deeper relational coverage (SURVEY.md §2.3): proper as-of join (R6),
+  * the full ranking/analytic window surface (R10), exact percentiles,
+  * approximate distinct (R9), grouping sets (R16), and the scalar function
+  * surface (R22) the reference touches (string / date / JSON / math).
+  */
+object ExtendedQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R6 — as-of join: each purchase paired with the user's latest
+    // strictly-preceding-or-equal view event. Composed from a single
+    // carry-forward window (last IGNORE NULLS) over the merged per-user
+    // timeline — one shuffle on user_id, no range join, no custom operator
+    // needed; this shape scales to any per-key as-of at 100 TB.
+    "q_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .withColumn("asof_view_id",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_ms"), col("asof_view_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // R10 — analytic window suite: rank / dense_rank / ntile / lag / lead /
+    // running sum / moving average over a deterministic (unique-key) order.
+    "q_window_suite" -> ((s, d) => {
+      val ord = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("rnk", rank().over(ord))
+        .withColumn("drnk", dense_rank().over(ord))
+        .withColumn("tile", ntile(4).over(ord))
+        .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(ord))
+        .withColumn("next_bal", lead(col("c_acctbal"), 1).over(ord))
+        .withColumn("cum_bal", floorRound(
+          sum(col("c_acctbal")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("mov_avg", floorRound(
+          avg(col("c_acctbal")).over(ord.rowsBetween(-2, Window.currentRow)), 4))
+        .orderBy("c_mktsegment", "rnk")
+    }),
+
+    // R7/R9 — exact interpolated percentiles per group (Spark `percentile`
+    // ≡ DuckDB `quantile_cont`).
+    "q_percentiles" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          floorRound(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+          floorRound(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // R9 — approximate distinct (HLL++): implementation-specific counts ⇒
+    // rows-only check; the exact twin q_distinct_users is the oracled one.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
+    // R16 — GROUPING SETS with grouping flags (beyond rollup/cube).
+    "q_grouping_sets" -> ((s, d) => {
+      val geo = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      val view = s"graft_geo_${java.lang.Long.toHexString(System.identityHashCode(geo).toLong)}"
+      geo.createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n
+            FROM $view
+            GROUP BY GROUPING SETS ((r_name), (n_name), ())
+            ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+
+    // R22 — scalar function surface: string / temporal / math built-ins the
+    // reference exercises (concat app.py:107, substring/split README.md:137,
+    // date parts app.py:234-241), mirrored 1:1 in the oracle.
+    "q_scalar_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          expr("replace(o_orderstatus, 'O', 'OPEN')").as("status_word"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+          length(col("o_orderpriority")).as("pri_len"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          floorRound(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+          floorRound(ln(col("o_totalprice")), 4).as("price_ln"),
+          (col("o_orderkey") % 7).as("key_mod7"))
+        .orderBy("o_orderkey")),
+
+    // P5+P9 — protobuf-text wire round-trip: enrich then client-side split
+    // and recover the ordinal (reference/ws_listener.py:61-72), proving the
+    // wire format parses back losslessly.
+    "p_prototext_roundtrip" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Envelope.enrichProtoText(
+            concat(col("event_type"), lit("|"), col("props")),
+            col("event_id"), unix_millis(col("ts"))).as("wire"))
+        .select(col("event_id"),
+          element_at(Envelope.splitProtoText(col("wire")), 1).as("rt_class"),
+          substring(element_at(Envelope.splitProtoText(col("wire")), 3), 10, 32)
+            .cast("long").as("rt_ordinal"))
+        .withColumn("roundtrip_ok", col("rt_ordinal") === col("event_id"))
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH t AS (
+           SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+           FROM events WHERE event_type IN ('view', 'purchase')),
+         carried AS (
+           SELECT *,
+                  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id
+           FROM t)
+         SELECT user_id, event_id AS purchase_id, ts_ms, asof_view_id
+         FROM carried WHERE event_type = 'purchase' ORDER BY purchase_id""",
+    "q_window_suite" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                CAST(ntile(4) OVER w AS INT) AS tile,
+                lag(c_acctbal, 1) OVER w AS prev_bal,
+                lead(c_acctbal, 1) OVER w AS next_bal,
+                floor((sum(c_acctbal) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS cum_bal,
+                floor((avg(c_acctbal) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS mov_avg
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, rnk""",
+    "q_percentiles" ->
+      """SELECT c_mktsegment,
+                floor((quantile_cont(c_acctbal, 0.5)) * 10000 + 0.5) / 10000 AS median_bal,
+                floor((quantile_cont(c_acctbal, 0.9)) * 10000 + 0.5) / 10000 AS p90_bal,
+                CAST(count(*) AS BIGINT) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name), ())
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+                upper(o_orderpriority) AS pri_upper,
+                substring(o_orderpriority, 1, 1) AS pri_code,
+                replace(o_orderstatus, 'O', 'OPEN') AS status_word,
+                lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+                CAST(length(o_orderpriority) AS INT) AS pri_len,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+                CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                floor((sqrt(o_totalprice)) * 10000 + 0.5) / 10000 AS price_sqrt,
+                floor((ln(o_totalprice)) * 10000 + 0.5) / 10000 AS price_ln,
+                o_orderkey % 7 AS key_mod7
+         FROM orders ORDER BY o_orderkey""",
+    "p_prototext_roundtrip" ->
+      """WITH w AS (
+           SELECT event_id,
+                  event_type || '|' || props || '|ordinal: ' || CAST(event_id AS VARCHAR)
+                    || '|timestamp: ' || CAST(epoch_ms(ts) AS VARCHAR) AS wire
+           FROM events)
+         SELECT event_id,
+                string_split(wire, '|')[1] AS rt_class,
+                CAST(substring(string_split(wire, '|')[3], 10, 32) AS BIGINT) AS rt_ordinal,
+                CAST(substring(string_split(wire, '|')[3], 10, 32) AS BIGINT) = event_id AS roundtrip_ok
+         FROM w ORDER BY event_id"""
+  )
+}
