@@ -74,7 +74,13 @@ object EventStreamPipeline {
       coordinator: StreamCoordinator,
       send: String => Unit): StreamingQuery = {
 
+    // received/sent counters (reference stats dict, app.py:425-426,499-501;
+    // emitted every 800 msgs there) — here observe() metrics surfaced per
+    // micro-batch through StreamingQueryProgress.observedMetrics("ess_stats").
     val pipeline = enrich(seek(source, spec))
+      .observe("ess_stats",
+        count(lit(1)).as("received"),
+        sum(when(col("forward"), 1L).otherwise(0L)).as("sent"))
 
     // Unique query name per consumer: the reference keys each consumer by
     // its own socket UUID (app.py:332-344), and the displaced predecessor is
@@ -88,8 +94,12 @@ object EventStreamPipeline {
         // Per-stream delivery is inherently serial (one socket per stream in
         // the reference), so the tiny per-batch collect is the faithful (and
         // only) shape; parallelism lives ACROSS streams, not within one.
-        val rows = batch.orderBy(col("ordinal"))
-          .select(col("body"), col("forward"), col("wire")).collect()
+        // Sort driver-side: a DataFrame orderBy would add a range-partition
+        // sampling pass that executes the batch plan twice (double-firing
+        // the observe() counters).
+        val rows = batch
+          .select(col("body"), col("forward"), col("wire"), col("ordinal"))
+          .collect().sortBy(_.getLong(3))
         var poisoned = false
         val it = rows.iterator
         while (!poisoned && it.hasNext) {

@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (broadcasts, pushdown, pruning, top-k) must survive refactors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q_star_join: dimensions broadcast, no cartesian product") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s_seek_ordinal: seek predicate pushed into the parquet scan") {
+    val p = plan("s_seek_ordinal")
+    assert(p.contains("GreaterThanOrEqual(event_id,100)"), p.take(800))
+  }
+
+  test("p_enrich_json: unused columns pruned from the scan") {
+    val p = plan("p_enrich_json")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value"), readSchema)
+  }
+
+  test("q_topk_orders: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("d_minhash_lsh: native expressions in play, no cartesian product") {
+    val p = plan("d_minhash_lsh")
+    assert(p.contains("graft_minhash"), "native minhash missing")
+    assert(p.contains("graft_shingles"), "native shingles missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("v_cosine_probe: single-row probe broadcast; native dot product") {
+    val p = plan("v_cosine_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("graft_dot"), "native dot product missing")
+  }
+}

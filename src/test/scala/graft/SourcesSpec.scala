@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.{EventStreamPipeline, StreamCoordinator}
+import graft.operators.Replay
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Source coverage (SURVEY.md §2.1 S1/S10): multi-format batch round-trips
+  * and a file-based streaming source feeding the event pipeline.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("S10: csv/json/parquet round-trip the events subset identically") {
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .limit(100)
+    for (fmt <- Seq("parquet", "json", "csv")) {
+      val path = s"$tmp/events_$fmt"
+      val w = src.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
+      val r = spark.read
+      val back = fmt match {
+        case "csv" => r.option("header", "true").schema(src.schema).csv(path)
+        case "json" => r.schema(src.schema).json(path)
+        case _ => r.parquet(path)
+      }
+      assert(back.count() === 100, fmt)
+      val sums = back.agg(
+        sum($"event_id").as[Long], floor(sum($"value") * 100 + 0.5).as[Long]).head()
+      val expect = src.agg(
+        sum($"event_id").as[Long], floor(sum($"value") * 100 + 0.5).as[Long]).head()
+      assert(sums === expect, fmt)
+    }
+  }
+
+  test("S1: file-based streaming source drives the event pipeline") {
+    // stage a file log with envelope columns
+    val logDir = s"$tmp/stream_log"
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"event_id" < 50)
+      .select($"props".as("body"), $"event_id".as("ordinal"),
+        unix_millis($"ts").as("ts_ms"))
+      .coalesce(1).write.mode("overwrite").parquet(logDir)
+
+    val schema = StructType(Seq(
+      StructField("body", StringType), StructField("ordinal", LongType),
+      StructField("ts_ms", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(logDir)
+
+    val sent = new ConcurrentLinkedQueue[String]()
+    val coord = new StreamCoordinator
+    val q = EventStreamPipeline.start(
+      spark, stream, "file-log", Replay.FromOrdinal(40), coord, sent.add(_))
+    try {
+      q.processAllAvailable()
+      val out = sent.toArray(new Array[String](0)).toSeq
+      assert(out.size === 10, s"got ${out.size}: ${out.map(_.take(30)).mkString(" / ")}") // ordinals 40..49
+      assert(out.head.contains("\"ess_ordinal\": 40"))
+      // observe() metrics: received counts pre-filter rows, sent post-filter
+      val stats = q.lastProgress.observedMetrics.get("ess_stats")
+      assert(stats.getAs[Long]("received") === 10L)
+      assert(stats.getAs[Long]("sent") === 10L)
+    } finally coord.release("file-log")
+  }
+}
