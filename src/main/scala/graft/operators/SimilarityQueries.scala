@@ -99,6 +99,42 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // R19 scale path #2 — IVF (inverted-file) ANN: a deterministic coarse
+    // quantizer (every 13th vector is a centroid), each vector assigned to
+    // its nearest centroid cell (nprobe=2 at query time: best two cells),
+    // neighbors searched within probed cells only. Centroids broadcast;
+    // one shuffle on cell id; cost Σ cell² ≪ n². Complements v_ann_lsh —
+    // IVF adapts to the data distribution where LSH is data-oblivious.
+    // Rows-only check; recall spec in SimilaritySpec.
+    "v_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val centroids = e.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("cell"), col("v").as("cv"))
+      // rank cells per vector by cosine; keep best 2 (nprobe)
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cell_cos").desc, col("cell"))
+      val assigned = e.join(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("cell"),
+          cosine(col("v"), col("cv")).as("cell_cos"))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter(col("cell_rank") <= 2)
+      // members live in their best cell; probes search their best 2 cells
+      val members = assigned.filter(col("cell_rank") === 1)
+        .select(col("cell"), col("vec_id").as("m_id"), col("v").as("m_v"))
+      val wBest = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nn"))
+      assigned.as("p")
+        .join(members.as("m"),
+          col("p.cell") === col("m.cell") && col("p.vec_id") =!= col("m.m_id"))
+        .select(col("p.vec_id").as("vec_id"), col("m.m_id").as("nn"),
+          floorRound(cosine(col("p.v"), col("m.m_v")), 4).as("cosine"))
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("nn"), col("cosine"))
+        .orderBy("vec_id")
+    }),
+
     // R19 aggregate view — label centroids + intra-label cohesion: mean
     // vector per label (element-wise), then each member's cosine to its
     // centroid, averaged. Exercises array aggregation at scale (posexplode →

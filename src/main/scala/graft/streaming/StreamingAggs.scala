@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time stateful operators for the streaming layer (SURVEY.md §2.4
   * T3-T4, §2.3 R13/R14/R17 streaming twins).
@@ -35,4 +36,34 @@ object StreamingAggs {
                            watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("routing_key", "ordinal")
+
+  /** Emitted by [[statsEveryN]] whenever a stream's received counter crosses
+    * a multiple of the interval.
+    */
+  final case class StreamStats(routingKey: String, received: Long, sent: Long)
+
+  /** T4/R12 streaming — the reference's every-N-messages stats log
+    * (app/app.py:93,515-518: a closure dict ticked per message, logged every
+    * 800) as per-key custom state: flatMapGroupsWithState keeps one
+    * (received, sent) pair per routing key — O(#streams) state, not
+    * O(#messages) — and emits a StreamStats record each time `received`
+    * crosses a multiple of `every`. Input: (routing_key, forward) rows from
+    * the enrich() pipeline.
+    */
+  def statsEveryN(keyed: Dataset[(String, Boolean)], every: Int): Dataset[StreamStats] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Boolean)], state: GroupState[(Long, Long)]) =>
+          var (received, sent) = state.getOption.getOrElse((0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StreamStats]
+          rows.foreach { case (_, forward) =>
+            received += 1
+            if (forward) sent += 1
+            if (received % every == 0) out += StreamStats(key, received, sent)
+          }
+          state.update((received, sent))
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import graft.streaming.StreamingAggs
+import graft.streaming.StreamingAggs.StreamStats
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** T4 — custom per-key state: the every-N stats counters as
+  * flatMapGroupsWithState, state carried ACROSS micro-batches.
+  */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("statsEveryN emits cumulative counters at each interval crossing, across batches") {
+    val stream = MemoryStream[(String, Boolean)](spark)
+    val out = StreamingAggs.statsEveryN(stream.toDS(), every = 3)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stats_out").start()
+    try {
+      // batch 1: 4 messages on rk-a (1 dropped), 2 on rk-b
+      stream.addData(("rk-a", true), ("rk-a", false), ("rk-a", true),
+        ("rk-a", true), ("rk-b", true), ("rk-b", true))
+      q.processAllAvailable()
+      // batch 2: state must carry over (rk-a at 4 → crosses 6; rk-b at 2 → crosses 3)
+      stream.addData(("rk-a", true), ("rk-a", true), ("rk-b", false))
+      q.processAllAvailable()
+      val rows = spark.table("stats_out").as[StreamStats].collect()
+        .sortBy(s => (s.routingKey, s.received))
+      assert(rows.toSeq === Seq(
+        StreamStats("rk-a", 3, 2),  // batch 1: third message, 2 forwarded
+        StreamStats("rk-a", 6, 5),  // batch 2: counters carried across batches
+        StreamStats("rk-b", 3, 2)))
+    } finally q.stop()
+  }
+}
