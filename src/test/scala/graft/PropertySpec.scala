@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Envelope, Replay}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based semantics checks (SURVEY.md §5.3): enrichment round-trip
+  * ∀ payloads, gap arithmetic ∀ ordinal sets, Jaccard metric laws. Uses
+  * ScalaCheck generators with fixed seeds (the scalatest↔scalacheck bridge
+  * artifact is not in the offline cache), evaluated through the actual
+  * Spark expressions — not a reimplementation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n * 3).iterator
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .take(n).toSeq
+
+  private val keyGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+  private val payloadGen: Gen[Map[String, Long]] =
+    Gen.mapOf(Gen.zip(keyGen, Gen.chooseNum(-1000000L, 1000000L))).map(_.take(6))
+
+  test("P4 ∀ payloads: enrichment preserves every key and adds ess_ordinal") {
+    val cases = samples(Gen.zip(payloadGen, Gen.chooseNum(0L, 1L << 40)), 20)
+    assert(cases.size === 20)
+    cases.foreach { case (payload, ordinal) =>
+      val json = payload.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      val wire = Seq((json, ordinal)).toDF("body", "ordinal")
+        .select(Envelope.enrichJson($"body", $"ordinal", lit(99L)).as("w"))
+        .as[String].head()
+      payload.foreach { case (k, v) =>
+        val got = Seq(wire).toDF("w")
+          .select(get_json_object($"w", s"$$.$k")).as[String].head()
+        assert(got === v.toString, s"key $k lost in $wire")
+      }
+      val o = Seq(wire).toDF("w")
+        .select(get_json_object($"w", "$.ess_ordinal")).as[String].head()
+      assert(o === ordinal.toString)
+    }
+  }
+
+  test("R11 ∀ ordinal sets: sum of gaps + count == span") {
+    val gen = Gen.containerOf[Set, Long](Gen.chooseNum(1L, 500L)).suchThat(_.size >= 2)
+    samples(gen, 15).foreach { ords =>
+      val df = ords.toSeq.toDF("ordinal")
+      val gaps = Replay.gaps(df, $"ordinal")
+        .agg(coalesce(sum($"__gap"), lit(0L))).as[Long].head()
+      val span = ords.max - ords.min + 1
+      assert(gaps + ords.size === span, s"gaps=$gaps n=${ords.size} span=$span for $ords")
+    }
+  }
+
+  test("R18 ∀ token sets: Jaccard ∈ [0,1], symmetric, 1 iff equal sets") {
+    val toksGen = Gen.nonEmptyContainerOf[Set, String](Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    samples(Gen.zip(toksGen, toksGen), 15).foreach { case (a, b) =>
+      val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      val (jab, jba) = df.select(
+        TextFunctions.jaccard($"a", $"b"),
+        TextFunctions.jaccard($"b", $"a")).as[(Double, Double)].head()
+      assert(jab === jba)
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert((jab == 1.0) === (a == b))
+    }
+  }
+}
