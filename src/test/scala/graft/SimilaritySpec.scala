@@ -42,4 +42,40 @@ class SimilaritySpec extends SparkSpec {
     val b = hyperplanes(4, 8)
     assert(a.flatten === b.flatten)
   }
+
+  test("R19: LSH buckets recover clustered near-dups with high recall") {
+    // Planted structure: 20 clusters x 8 members, members at cos≈0.99 to
+    // their center. On such data (the near-dup regime the operator exists
+    // for) same-cluster members collide in LSH buckets with high
+    // probability; the testdata embeddings are near-random (max pairwise
+    // cos 0.48), where top-1-NN recall is inherently noise — see SCALE.md.
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val data = (0 until 20).flatMap { c =>
+      val center = normalize(Array.fill(16)(rnd.nextGaussian()))
+      (0 until 8).map { m =>
+        val v = normalize(center.map(_ + 0.05 * rnd.nextGaussian()))
+        (c.toLong * 8 + m, c, v.toSeq)
+      }
+    }
+    val df = data.toDF("vec_id", "cluster", "v")
+    val planes = hyperplanes(10, 16)
+    val e = df.withColumn("bucket", lshBucket($"v", planes))
+    // pairs sharing a bucket, checked against cluster labels
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.cluster".as("ca"), $"b.cluster".as("cb"))
+    val total = pairs.count()
+    val sameCluster = pairs.filter($"ca" === $"cb").count()
+    // precision: colliding pairs are overwhelmingly true near-dups (the
+    // few false positives are removed by downstream exact verification)
+    assert(total > 100, s"too few candidate pairs: $total")
+    assert(sameCluster.toDouble / total > 0.9,
+      s"precision ${sameCluster.toDouble / total} on $total pairs")
+    // recall: most true same-cluster pairs (20 * 28 = 560) collide
+    assert(sameCluster.toDouble / 560 > 0.5,
+      s"recall ${sameCluster.toDouble / 560}")
+  }
 }
