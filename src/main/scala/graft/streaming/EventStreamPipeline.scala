@@ -72,7 +72,8 @@ object EventStreamPipeline {
       routingKey: String,
       spec: Replay.OffsetSpec,
       coordinator: StreamCoordinator,
-      send: String => Unit): StreamingQuery = {
+      send: String => Unit,
+      checkpointDir: Option[String] = None): StreamingQuery = {
 
     // received/sent counters (reference stats dict, app.py:425-426,499-501;
     // emitted every 800 msgs there) — here observe() metrics surfaced per
@@ -86,10 +87,18 @@ object EventStreamPipeline {
     // its own socket UUID (app.py:332-344), and the displaced predecessor is
     // still alive for a moment — two "es-<key>" queries may overlap briefly.
     val consumerId = java.util.UUID.randomUUID().toString.take(8)
-    val query = pipeline.writeStream
+    // With a checkpoint, a restarted consumer resumes from the committed
+    // source offsets — the durable twin of the reference's broker-side
+    // replay (README.md:187-220); at-most-once to the socket becomes
+    // effectively-once across restarts (no re-delivery of committed
+    // batches). Without one, Spark uses an ephemeral checkpoint and a
+    // restart replays per the offset spec.
+    val writer0 = pipeline.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
       .queryName(s"es-$routingKey-$consumerId")
+    val query = checkpointDir.fold(writer0)(
+      dir => writer0.option("checkpointLocation", dir))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Per-stream delivery is inherently serial (one socket per stream in
         // the reference), so the tiny per-batch collect is the faithful (and

@@ -68,4 +68,37 @@ class SourcesSpec extends SparkSpec {
       assert(stats.getAs[Long]("sent") === 10L)
     } finally coord.release("file-log")
   }
+
+  test("T2: checkpointed restart resumes from committed offsets, no re-delivery") {
+    val logDir = s"$tmp/restart_log"
+    val ckpt = s"$tmp/restart_ckpt"
+    def stage(lo: Int, hi: Int): Unit =
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .filter($"event_id" >= lo && $"event_id" < hi)
+        .select($"props".as("body"), $"event_id".as("ordinal"),
+          unix_millis($"ts").as("ts_ms"))
+        .coalesce(1).write.mode("append").parquet(logDir)
+
+    val schema = StructType(Seq(
+      StructField("body", StringType), StructField("ordinal", LongType),
+      StructField("ts_ms", LongType)))
+    def consume(): Seq[String] = {
+      val sent = new ConcurrentLinkedQueue[String]()
+      val coord = new StreamCoordinator
+      val stream = spark.readStream.schema(schema).parquet(logDir)
+      val q = EventStreamPipeline.start(
+        spark, stream, "restart-log", Replay.FromOrdinal(0), coord, sent.add(_),
+        checkpointDir = Some(ckpt))
+      try { q.processAllAvailable() } finally coord.release("restart-log")
+      sent.toArray(new Array[String](0)).toSeq
+    }
+
+    stage(0, 5)
+    val first = consume()
+    assert(first.size === 5)
+    stage(5, 8) // new data arrives while consumer is down
+    val second = consume()
+    assert(second.size === 3, s"re-delivery after restart: $second")
+    assert(second.head.contains("\"ess_ordinal\": 5"))
+  }
 }
