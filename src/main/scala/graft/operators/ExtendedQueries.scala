@@ -110,6 +110,59 @@ object ExtendedQueries {
           (col("o_orderkey") % 7).as("key_mod7"))
         .orderBy("o_orderkey")),
 
+    // P3/P4 modern form — VariantType JSON (Spark 4): schema-less parse with
+    // typed path extraction, the engine-native way to honor the reference's
+    // open-payload contract (unknown keys survive because nothing is bound
+    // to a schema; reference/app/app.py:470-471).
+    "p_variant_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .selectExpr(
+          "event_id",
+          "variant_get(parse_json(props), '$.k', 'bigint') AS k")
+        .withColumn("k_bucket", col("k") - (col("k") % 10))
+        .orderBy("event_id")),
+
+    // R4 — TPC-H Q3 shape: shipping-priority top-10 by revenue. Fact-fact
+    // shuffle join under broadcast dimension filters; top-k on the rounded
+    // revenue with orderkey tiebreak.
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(floorRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderpriority"), col("revenue"))
+    }),
+
+    // R4 — TPC-H Q5 shape: regional volume where the supplier sits in the
+    // customer's nation (5-way join, broadcast dims + one fact-fact shuffle).
+    "q5_region_volume" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          floorRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // P5+P9 — protobuf-text wire round-trip: enrich then client-side split
     // and recover the ordinal (reference/ws_listener.py:61-72), proving the
     // wire format parses back losslessly.
@@ -128,6 +181,34 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p_variant_extract" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  - (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket
+         FROM events ORDER BY event_id""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_volume" ->
+      """SELECT r_name, n_name,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_asof_join" ->
       """WITH t AS (
            SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
