@@ -35,15 +35,6 @@ object TextFunctions {
     */
   def shingles(textSql: String, n: Int): Column = expr(s"graft_shingles($textSql, $n)")
 
-  /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; element s of the signature is min over shingles of
-    * xxhash64(shingle, s). Standard shingle→minhash construction.
-    */
-  def minhash(shingleColSql: String, k: Int): Column =
-    expr(
-      s"""transform(sequence(0, ${k - 1}),
-            s -> array_min(transform($shingleColSql, sh -> xxhash64(sh, s))))""")
-
   /** LSH band keys: split a k-length signature into `bands` bands of
     * `rowsPerBand` each and hash each band; docs sharing any (band, hash)
     * pair become dedup candidates. Returns ARRAY<STRUCT<band INT, h BIGINT>>

@@ -43,4 +43,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
     assert(p.contains("graft_dot"), "native dot product missing")
   }
+
+  test("p_forward_filter: envelope path runs inside whole-stage codegen") {
+    // codegen stages render as "*(n) Operator" in the tree string
+    val p = plan("p_forward_filter")
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(400))
+  }
 }

@@ -50,4 +50,25 @@ class WatermarkSpec extends SparkSpec {
       assert(ords.toSeq === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("R14 streaming: session windows close after the inactivity gap + watermark") {
+    val stream = MemoryStream[Ev](spark)
+    val out = StreamingAggs.sessions(stream.toDF(), "ts", gap = "5 minutes",
+      watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // session A: 10:01,10:03 (closes at 10:08); session B: 10:20
+      stream.addData(Ev("rk", 1, t(1)), Ev("rk", 2, t(3)), Ev("rk", 3, t(20)))
+      q.processAllAvailable()
+      stream.addData(Ev("rk", 4, t(50))) // advance watermark past both
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(col("session_window.start").cast("string"), col("n_events"))
+        .as[(String, Long)].collect().sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:01:00", 2L),
+        ("2024-01-01 10:20:00", 1L)))
+    } finally q.stop()
+  }
 }
