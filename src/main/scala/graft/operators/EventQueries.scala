@@ -34,6 +34,17 @@ object EventQueries {
           Envelope.jsonField(col("props"), "$.k").as("k"))
         .orderBy("ess_ordinal")),
 
+    // P4 — the enriched JSON WIRE string itself, verified byte-for-byte:
+    // enrichment is a pure string splice, so the oracle reconstructs the
+    // exact same bytes and the hash compare proves unknown-key preservation
+    // on the full corpus (reference/app/app.py:486-489).
+    "p_enrich_json_wire" -> ((s, d) =>
+      ev(s, d)
+        .filter(Envelope.isJson(col("props")))
+        .select(col("event_id"),
+          Envelope.enrichJson(col("props"), col("event_id"), tsMs).as("wire"))
+        .orderBy("event_id")),
+
     // P5 — protobuf-text enrichment wire format |ordinal: N|timestamp: M
     // (reference/app/app.py:490-494, README.md:137-145).
     "p_enrich_prototext" -> ((s, d) =>
@@ -118,6 +129,16 @@ object EventQueries {
       """SELECT event_id AS ess_ordinal, epoch_ms(ts) AS ess_timestamp,
          event_type AS message_type, json_extract_string(props, '$.k') AS k
          FROM events WHERE substring(props, 1, 1) = '{' ORDER BY ess_ordinal""",
+    "p_enrich_json_wire" ->
+      """SELECT event_id,
+                CASE WHEN length(trim(props)) = 2
+                     THEN '{"ess_ordinal": ' || CAST(event_id AS VARCHAR)
+                          || ', "ess_timestamp": ' || CAST(epoch_ms(ts) AS VARCHAR) || '}'
+                     ELSE '{"ess_ordinal": ' || CAST(event_id AS VARCHAR)
+                          || ', "ess_timestamp": ' || CAST(epoch_ms(ts) AS VARCHAR)
+                          || ', ' || substring(props, 2)
+                END AS wire
+         FROM events WHERE substring(props, 1, 1) = '{' ORDER BY event_id""",
     "p_enrich_prototext" ->
       """SELECT event_id,
          event_type || '|' || props || '|ordinal: ' || CAST(event_id AS VARCHAR)

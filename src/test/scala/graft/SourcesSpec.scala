@@ -5,6 +5,7 @@ import graft.operators.Replay
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
 
@@ -15,6 +16,8 @@ class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  private case class EnvMsg(body: String, ordinal: Long, ts_ms: Long)
 
   test("S10: csv/json/parquet round-trip the events subset identically") {
     val src = Tables.events(spark, "/root/testdata/sf0.001")
@@ -100,5 +103,52 @@ class SourcesSpec extends SparkSpec {
     val second = consume()
     assert(second.size === 3, s"re-delivery after restart: $second")
     assert(second.head.contains("\"ess_ordinal\": 5"))
+  }
+
+  test("T6: maxFilesPerTrigger bounds batches; order preserved across batches") {
+    val logDir = s"$tmp/bp_log"
+    def stage(lo: Int, hi: Int): Unit =
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .filter($"event_id" >= lo && $"event_id" < hi)
+        .select($"props".as("body"), $"event_id".as("ordinal"),
+          unix_millis($"ts").as("ts_ms"))
+        .coalesce(1).write.mode("append").parquet(logDir)
+    stage(0, 10); stage(10, 20); stage(20, 30)
+
+    val schema = StructType(Seq(
+      StructField("body", StringType), StructField("ordinal", LongType),
+      StructField("ts_ms", LongType)))
+    val sent = new ConcurrentLinkedQueue[String]()
+    val coord = new StreamCoordinator
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir)
+    val q = EventStreamPipeline.start(
+      spark, stream, "bp-log", Replay.FromOrdinal(0), coord, sent.add(_))
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3) // one file per micro-batch
+      val ords = sent.toArray(new Array[String](0)).toSeq
+        .map(w => w.split("\"ess_ordinal\": ")(1).takeWhile(_.isDigit).toLong)
+      assert(ords.size === 30)
+      assert(ords === ords.sorted, "order broken across micro-batches")
+    } finally coord.release("bp-log")
+  }
+
+  test("T1: independent streams deliver concurrently without interference") {
+    val sentA = new ConcurrentLinkedQueue[String]()
+    val sentB = new ConcurrentLinkedQueue[String]()
+    val coord = new StreamCoordinator
+    val sa = MemoryStream[EnvMsg](spark)
+    val sb = MemoryStream[EnvMsg](spark)
+    val qa = EventStreamPipeline.start(spark, sa.toDF(), "multi-a", Replay.FromOrdinal(0), coord, sentA.add(_))
+    val qb = EventStreamPipeline.start(spark, sb.toDF(), "multi-b", Replay.FromOrdinal(0), coord, sentB.add(_))
+    try {
+      sa.addData(EnvMsg("a1|x", 1, 10), EnvMsg("a2|x", 2, 20))
+      sb.addData(EnvMsg("b1|x", 1, 10))
+      qa.processAllAvailable(); qb.processAllAvailable()
+      assert(sentA.size === 2 && sentB.size === 1)
+      assert(coord.activeQuery("multi-a").contains(qa))
+      assert(coord.activeQuery("multi-b").contains(qb))
+    } finally { coord.release("multi-a"); coord.release("multi-b") }
   }
 }
