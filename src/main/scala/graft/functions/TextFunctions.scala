@@ -46,16 +46,12 @@ object TextFunctions {
             b -> struct(b AS band,
                         xxhash64(concat_ws(',', slice($sigColSql, b * $rowsPerBand + 1, $rowsPerBand))) AS h))""")
 
-  /** 64-bit SimHash over a token-array SQL fragment: bit i of the result is
-    * the sign of sum over tokens of ±1 according to bit i of xxhash64(token).
+  /** 64-bit SimHash over a token-array SQL fragment — the native
+    * graft.plans.SimHashSig expression (one hash per token, all 64 bit
+    * counters in a single pass; the pure-HOF formulation re-hashed every
+    * token 64 times). Callers must have run GraftFunctions.register(spark).
     */
-  def simhash(tokenColSql: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
-            acc + CASE WHEN aggregate($tokenColSql, 0L,
-                    (s, tok) -> s + CASE WHEN (shiftright(xxhash64(tok), i) % 2) != 0
-                                         THEN 1L ELSE -1L END) > 0
-                       THEN shiftleft(1L, i) ELSE 0L END)""")
+  def simhash(tokenColSql: String): Column = expr(s"graft_simhash($tokenColSql)")
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -56,9 +56,22 @@ object Envelope {
       lit("{\"ess_ordinal\": "), ordinal.cast(StringType),
       lit(", \"ess_timestamp\": "), tsMillis.cast(StringType))
     val rest = body.substr(lit(2), length(body)) // payload minus opening brace
-    when(length(trim(body)) === 2, concat(prefix, lit("}")))
+    // Empty-object test must see "{ }" (interior whitespace) as empty, or
+    // the splice would emit a trailing comma — strip braces/whitespace and
+    // check nothing remains. Precondition per the reference's contract:
+    // payloads do not carry ess_-prefixed keys themselves (the prefix is
+    // reserved for the service, app.py:470-471); the reference overwrites
+    // such keys, this splice would duplicate them.
+    val isEmptyObject = regexp_replace(body, "[{}\\s]", "") === ""
+    when(isEmptyObject, concat(prefix, lit("}")))
       .otherwise(concat(prefix, lit(", "), rest))
   }
+
+  /** P3 — JSON validity test for the drop-malformed contract
+    * (reference/app/app.py:472-485): `get_json_object(body, '$')` is null
+    * exactly when the body does not parse.
+    */
+  def isValidJson(body: Column): Column = get_json_object(body, "$").isNotNull
 
   /** P4 variant used by the registered queries: enrichment expressed
     * relationally (columns, not a re-serialized JSON string) so the DuckDB

@@ -80,7 +80,7 @@ object ExtendedQueries {
       val geo = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      val view = s"graft_geo_${java.lang.Long.toHexString(System.identityHashCode(geo).toLong)}"
+      val view = "graft_geo_tmp" // fixed name: createOrReplaceTempView replaces, no catalog leak
       geo.createOrReplaceTempView(view)
       s.sql(
         s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n
@@ -118,7 +118,9 @@ object ExtendedQueries {
       Tables.events(s, d)
         .selectExpr(
           "event_id",
-          "variant_get(parse_json(props), '$.k', 'bigint') AS k")
+          // try_parse_json: a non-JSON body yields null (matching the
+          // oracle's json_extract_string) instead of aborting the query
+          "variant_get(try_parse_json(props), '$.k', 'bigint') AS k")
         .withColumn("k_bucket", col("k") - (col("k") % 10))
         .orderBy("event_id")),
 

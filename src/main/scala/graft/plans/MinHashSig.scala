@@ -66,5 +66,7 @@ object GraftFunctions {
       exprs => Shingles(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHashSig(exprs.head), "scala_udf")
   }
 }

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** Native 64-bit SimHash over a token array (SURVEY.md §2.3 R18, §2.5).
+  *
+  * The HOF formulation (aggregate over bits 0..63, each re-aggregating the
+  * token array) hashes every token 64 times through interpreted lambdas —
+  * O(64·n) string hashes per row. This expression hashes each token ONCE
+  * and updates all 64 bit counters in the same pass: bit i of the result is
+  * set iff the count of tokens whose hash has bit i set exceeds half the
+  * token count (the ±1 majority vote, identical semantics to the HOF form).
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      // majority vote: sum of (+1 for set bit, -1 for clear) > 0  ⇔  2·count > n
+      if (2 * counts(j) > n) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
+}

@@ -41,7 +41,11 @@ object EventStreamPipeline {
     * the sink can still observe POISON as the in-band stop signal.
     */
   def enrich(df: DataFrame): DataFrame =
-    df.withColumn("forward", Envelope.forwardable(col("body")))
+    df.withColumn("forward",
+        Envelope.forwardable(col("body")) &&
+        // P3 drop-malformed: a '{'-dispatched body that does not parse is
+        // skipped, not forwarded as a corrupted splice (app.py:473-485)
+        (!Envelope.isJson(col("body")) || Envelope.isValidJson(col("body"))))
       .withColumn("wire",
         when(col("forward"),
           when(Envelope.isJson(col("body")),
@@ -116,7 +120,7 @@ object EventStreamPipeline {
           if (r.getString(0) == Envelope.Poison) poisoned = true // stop; do not forward (app.py:463-467)
           else if (r.getBoolean(1)) send(r.getString(2))
         }
-        if (poisoned) coordinator.requestStop(routingKey)
+        if (poisoned) coordinator.requestStop(routingKey, s"es-$routingKey-$consumerId", spark)
         ()
       }
       .start()
@@ -153,9 +157,21 @@ final class StreamCoordinator {
     * synchronous stop() there would self-deadlock waiting for the running
     * batch, so hand it to a reaper thread — the analog of the reference's
     * `consumer.stop()` letting `run()` unwind (app.py:520-524, 578-590).
+    *
+    * Scoped to the REQUESTING query (by its unique name): if a replacement
+    * consumer has already displaced the poisoned one by the time the reaper
+    * fires, the replacement must not be killed — only the query that
+    * actually read POISON stops, and it is deregistered only if it still
+    * holds the key.
     */
-  def requestStop(routingKey: String): Unit = {
-    val t = new Thread(() => release(routingKey), s"es-stop-$routingKey")
+  def requestStop(routingKey: String, queryName: String,
+                  spark: SparkSession): Unit = {
+    val t = new Thread(() => {
+      val holder = active.get(routingKey)
+      if (holder != null && holder.name == queryName) active.remove(routingKey, holder)
+      spark.streams.active.filter(_.name == queryName)
+        .foreach(q => if (q.isActive) q.stop())
+    }, s"es-stop-$routingKey")
     t.setDaemon(true)
     t.start()
   }

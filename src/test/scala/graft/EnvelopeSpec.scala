@@ -72,4 +72,18 @@ class EnvelopeSpec extends SparkSpec {
       .select(Envelope.location($"uuid", secure = true, host = "h:8080")).as[String].head()
     assert(loc === "wss://h:8080/event-stream/abc123")
   }
+
+  test("P4 regression: whitespace-only object body yields valid JSON, no trailing comma") {
+    val df = Seq(("{ }", 1L, 2L), ("{  \t }", 3L, 4L)).toDF("body", "ordinal", "ts_ms")
+    val out = df.select(Envelope.enrichJson($"body", $"ordinal", $"ts_ms").as("w")).as[String].collect()
+    assert(out(0) === """{"ess_ordinal": 1, "ess_timestamp": 2}""")
+    assert(out(1) === """{"ess_ordinal": 3, "ess_timestamp": 4}""")
+    out.foreach(w => assert(!w.contains(", }") && !w.contains(",}")))
+  }
+
+  test("P3 regression: isValidJson rejects malformed, accepts valid") {
+    val df = Seq("{oops", """{"a": 1}""", "{", "{}").toDF("body")
+    val got = df.select(Envelope.isValidJson($"body").as("v")).as[Boolean].collect()
+    assert(got.toSeq === Seq(false, true, false, true))
+  }
 }

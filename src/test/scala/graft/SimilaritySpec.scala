@@ -78,4 +78,10 @@ class SimilaritySpec extends SparkSpec {
     assert(sameCluster.toDouble / 560 > 0.5,
       s"recall ${sameCluster.toDouble / 560}")
   }
+
+  test("R19 regression: dot product of mismatched-length arrays is null, not a partial sum") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val r = df.select(dot($"a", $"b").as("d")).collect()
+    assert(r(0).isNullAt(0))
+  }
 }

@@ -104,4 +104,18 @@ class StreamingSpec extends SparkSpec {
     assert(!reg.delete(r1.id, coord)) // 404 analog
     assert(reg.list().map(_.id) === Seq(r2.id))
   }
+
+  test("P3 streaming: malformed JSON bodies are dropped, not forwarded corrupted") {
+    val coord = new StreamCoordinator
+    val sent = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[Msg](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-malformed", Replay.FromOrdinal(0), coord, sent.add(_))
+    try {
+      stream.addData(Msg("{broken", 1, 10L), Msg("""{"ok": 1}""", 2, 20L))
+      q.processAllAvailable()
+      val out = sent.toArray(new Array[String](0)).toSeq
+      assert(out === Seq("""{"ess_ordinal": 2, "ess_timestamp": 20, "ok": 1}"""))
+    } finally coord.release("rk-malformed")
+  }
 }
