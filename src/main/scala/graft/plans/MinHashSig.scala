@@ -68,5 +68,7 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashSig(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_union", exprs => MinHashUnionAgg(exprs.head), "scala_udf")
   }
 }

@@ -63,4 +63,17 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").select("doc_id").as[Long].collect()
     assert(kept.toSeq === Seq(1L, 3L))
   }
+
+  test("R18: MinHashUnionAgg signature equals the signature of the shingle union") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+      .select(col("doc_id"), shingles("text", 3).as("sh"))
+      .withColumn("sig", expr("graft_minhash(sh)"))
+    val grouped = df.agg(expr("graft_minhash_union(sig)").as("u"))
+      .select("u").as[Seq[Long]].head()
+    val combined = Seq((docA, docB)).toDF("ta", "tb")
+      .select(expr("graft_minhash(array_union(graft_shingles(ta, 3), graft_shingles(tb, 3)))").as("c"))
+      .as[Seq[Long]].head()
+    assert(grouped === combined) // min over union == elementwise min of minima
+  }
 }

@@ -52,4 +52,10 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p.take(600))
   }
+
+  test("GraftExtensions wires the native functions into SparkSessionExtensions") {
+    // full application needs a fresh session (extensions bind at build
+    // time); here we verify the injection itself is well-formed
+    new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
