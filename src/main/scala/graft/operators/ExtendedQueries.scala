@@ -165,6 +165,25 @@ object ExtendedQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // R22 — map-type surface: per-type stats built as a MapType column,
+    // read back through map_keys/map_values/element_at. The oracle verifies
+    // the extracted VALUES (DuckDB's map type has different equality
+    // semantics, so the map itself stays engine-internal).
+    "q_map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+        .withColumn("m", map(
+          lit("events"), col("n"),
+          lit("users"), col("u")))
+        .select(
+          col("event_type"),
+          element_at(col("m"), "events").as("n_events"),
+          element_at(col("m"), "users").as("n_users"),
+          size(map_keys(col("m"))).as("n_keys"),
+          array_max(map_values(col("m"))).as("max_stat"))
+        .orderBy("event_type")),
+
     // P5+P9 — protobuf-text wire round-trip: enrich then client-side split
     // and recover the ordinal (reference/ws_listener.py:61-72), proving the
     // wire format parses back losslessly.
@@ -251,6 +270,13 @@ object ExtendedQueries {
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY GROUPING SETS ((r_name), (n_name), ())
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_map_funcs" ->
+      """SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                2 AS n_keys,
+                CAST(greatest(count(*), count(DISTINCT user_id)) AS BIGINT) AS max_stat
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
                 upper(o_orderpriority) AS pri_upper,
