@@ -61,10 +61,11 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("bucket", lshBucket(col("v"), planes))
+        .withColumn("nrm", l2Norm(col("v"))) // norm once per vector, not per pair
       // multiprobe: home bucket + hamming-1 neighbors, as probe keys
-      val probes = e.select(col("vec_id"), col("v"), col("bucket"),
+      val probes = e.select(col("vec_id"), col("v"), col("nrm"), col("bucket"),
         explode(array((lit(-1L) +: (0 until 12).map(i => lit(i.toLong))): _*)).as("flip"))
-        .select(col("vec_id"), col("v"),
+        .select(col("vec_id"), col("v"), col("nrm"),
           when(col("flip") === -1L, col("bucket"))
             .otherwise(expr("bucket ^ shiftleft(1L, flip)")).as("probe_bucket"))
         .dropDuplicates("vec_id", "probe_bucket")
@@ -72,7 +73,7 @@ object SimilarityQueries {
         .join(e.as("b"), col("a.probe_bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
-          floorRound(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+          floorRound(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("nn"))
       pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -91,10 +92,11 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("bucket", lshBucket(col("v"), planes))
+        .withColumn("nrm", l2Norm(col("v")))
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          floorRound(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+          floorRound(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
         .limit(10)
     }),
@@ -109,26 +111,28 @@ object SimilarityQueries {
     "v_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", l2Norm(col("v")))
       val centroids = e.filter(col("vec_id") % 13 === 0)
         .select(col("vec_id").as("cell"), col("v").as("cv"))
       // rank cells per vector by cosine; keep best 2 (nprobe)
       val wCell = Window.partitionBy(col("vec_id"))
         .orderBy(col("cell_cos").desc, col("cell"))
       val assigned = e.join(broadcast(centroids))
-        .select(col("vec_id"), col("v"), col("cell"),
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           cosine(col("v"), col("cv")).as("cell_cos"))
         .withColumn("cell_rank", row_number().over(wCell))
         .filter(col("cell_rank") <= 2)
       // members live in their best cell; probes search their best 2 cells
       val members = assigned.filter(col("cell_rank") === 1)
-        .select(col("cell"), col("vec_id").as("m_id"), col("v").as("m_v"))
+        .select(col("cell"), col("vec_id").as("m_id"), col("v").as("m_v"),
+          col("nrm").as("m_nrm"))
       val wBest = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("nn"))
       assigned.as("p")
         .join(members.as("m"),
           col("p.cell") === col("m.cell") && col("p.vec_id") =!= col("m.m_id"))
         .select(col("p.vec_id").as("vec_id"), col("m.m_id").as("nn"),
-          floorRound(cosine(col("p.v"), col("m.m_v")), 4).as("cosine"))
+          floorRound(dot(col("p.v"), col("m.m_v")) / (col("p.nrm") * col("m.m_nrm")), 4).as("cosine"))
         .withColumn("rk", row_number().over(wBest))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("nn"), col("cosine"))
@@ -148,8 +152,10 @@ object SimilarityQueries {
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("label"), expr("transform(pm, p -> p.m)").as("centroid"))
+        .withColumn("cnrm", l2Norm(col("centroid")))
       e.join(broadcast(centroids), "label")
-        .select(col("label"), cosine(col("v"), col("centroid")).as("c"))
+        .select(col("label"),
+          (dot(col("v"), col("centroid")) / (l2Norm(col("v")) * col("cnrm"))).as("c"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), floorRound(avg(col("c")), 4).as("avg_cohesion"))
         .orderBy("label")
