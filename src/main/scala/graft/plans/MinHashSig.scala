@@ -70,5 +70,7 @@ object GraftFunctions {
       "graft_simhash", exprs => SimHashSig(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_union", exprs => MinHashUnionAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
   }
 }
