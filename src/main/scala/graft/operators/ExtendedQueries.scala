@@ -165,6 +165,44 @@ object ExtendedQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // R4/R5 — outer-join surface: customers LEFT JOIN their high-value
+    // orders (many customers have none → null-extended rows, coalesced),
+    // preserving every left row. One shuffle; the null-handling semantics
+    // are the point.
+    "q_outer_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") >= 450000.0)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_big_orders"), // count skips nulls
+          floorRound(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("big_total"))
+        .orderBy("c_custkey")
+    }),
+
+    // R21 — multimodal frame sampling: slice each binary payload into
+    // fixed 32-byte frames (the video frame-extraction shape: byte-offset
+    // slicing, no decode needed) and keep every 2nd frame. Payloads are
+    // ASCII here so the oracle mirrors the byte math at string level;
+    // per-row expression, scan-speed at scale.
+    "m_frame_sample" -> ((s, d) =>
+      Multimodal.assets(s, d)
+        .select(col("asset_id"), col("payload"))
+        .withColumn("frames", expr(
+          """CASE WHEN octet_length(payload) >= 32 THEN
+               filter(
+                 transform(sequence(0, CAST(floor(octet_length(payload) / 32) AS INT) - 1),
+                           i -> struct(i AS idx, substring(payload, i * 32 + 1, 32) AS frame)),
+                 f -> f.idx % 2 = 0)
+             ELSE array() END"""))
+        .select(col("asset_id"), explode(col("frames")).as("f"))
+        .select(
+          col("asset_id"),
+          col("f.idx").as("frame_idx"),
+          octet_length(col("f.frame")).as("frame_bytes"),
+          sha2(col("f.frame"), 256).as("frame_sha"))
+        .orderBy("asset_id", "frame_idx")),
+
     // R22 — map-type surface: per-type stats built as a MapType column,
     // read back through map_keys/map_values/element_at. The oracle verifies
     // the extracted VALUES (DuckDB's map type has different equality
@@ -270,6 +308,24 @@ object ExtendedQueries {
            JOIN region ON n_regionkey = r_regionkey
          GROUP BY GROUPING SETS ((r_name), (n_name), ())
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+                CAST(count(o_orderkey) AS BIGINT) AS n_big_orders,
+                floor((coalesce(sum(o_totalprice), 0.0)) * 100 + 0.5) / 100 AS big_total
+         FROM customer LEFT JOIN (
+           SELECT * FROM orders WHERE o_totalprice >= 450000.0) o
+           ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""",
+    "m_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id AS asset_id,
+                  unnest(range(0, CAST(floor(length(text) / 32) AS BIGINT))) AS i,
+                  text
+           FROM documents WHERE length(text) >= 32)
+         SELECT asset_id, CAST(i AS INT) AS frame_idx,
+                CAST(32 AS INT) AS frame_bytes,
+                sha256(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_sha
+         FROM f WHERE i % 2 = 0 ORDER BY asset_id, frame_idx""",
     "q_map_funcs" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_events,
