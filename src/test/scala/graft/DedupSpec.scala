@@ -76,4 +76,15 @@ class DedupSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(grouped === combined) // min over union == elementwise min of minima
   }
+
+  test("R18: d_minhash_lsh achieves exact recall on the sf0.001 planted near-dups") {
+    // Ground truth (computed by exhaustive 3-shingle Jaccard over all 125k
+    // pairs): exactly 28 pairs at j >= 0.5, all at j ~ 0.89-0.99. The
+    // 8x4 banding collides such pairs with probability ~1, so the pipeline
+    // must find every one of them and nothing else.
+    val got = SparkEntry.queries("d_minhash_lsh")(spark, "/root/testdata/sf0.001")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.size === 28)
+    assert(Set((0L, 50L), (8L, 360L), (144L, 161L), (474L, 498L)).subsetOf(got))
+  }
 }
