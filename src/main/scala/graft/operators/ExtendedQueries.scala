@@ -203,6 +203,28 @@ object ExtendedQueries {
           sha2(col("f.frame"), 256).as("frame_sha"))
         .orderBy("asset_id", "frame_idx")),
 
+    // R16 — pivot: per-user event-type counts as columns (explicit value
+    // list so the output schema is deterministic; null where a user has no
+    // events of that type, matching the oracle's sum-of-CASE).
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy("user_id")),
+
+    // R16 — unpivot (melt): wide numeric columns to (key, metric, value)
+    // long form, the inverse reshaping primitive.
+    "q_unpivot" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey_d"))
+        .unpivot(
+          Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey_d")),
+          "metric", "value")
+        .orderBy("c_custkey", "metric")),
+
     // R22 — map-type surface: per-type stats built as a MapType column,
     // read back through map_keys/map_values/element_at. The oracle verifies
     // the extracted VALUES (DuckDB's map type has different equality
@@ -326,6 +348,20 @@ object ExtendedQueries {
                 CAST(32 AS INT) AS frame_bytes,
                 sha256(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_sha
          FROM f WHERE i % 2 = 0 ORDER BY asset_id, frame_idx""",
+    "q_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+         UNION ALL
+         SELECT c_custkey, 'c_nationkey_d' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+         FROM customer
+         ORDER BY c_custkey, metric""",
     "q_map_funcs" ->
       """SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_events,
