@@ -56,6 +56,14 @@ object EventQueries {
             col("event_id"), tsMs).as("wire"))
         .orderBy("event_id")),
 
+    // R22 — json_tuple multi-field extraction (generator form of the JSON
+    // path surface; reference parses whole payloads, app.py:473).
+    "p_json_tuple" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"), json_tuple(col("props"), "k").as("k"))
+        .withColumn("k_num", col("k").cast("long"))
+        .orderBy("event_id")),
+
     // P6+P7 — POISON/empty guard composed with a type filter
     // (reference/app/app.py:463-468).
     "p_forward_filter" -> ((s, d) =>
@@ -143,6 +151,10 @@ object EventQueries {
       """SELECT event_id,
          event_type || '|' || props || '|ordinal: ' || CAST(event_id AS VARCHAR)
            || '|timestamp: ' || CAST(epoch_ms(ts) AS VARCHAR) AS wire
+         FROM events ORDER BY event_id""",
+    "p_json_tuple" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
          FROM events ORDER BY event_id""",
     "p_forward_filter" ->
       """SELECT event_id, user_id, event_type FROM events

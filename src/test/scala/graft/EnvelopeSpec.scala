@@ -86,4 +86,21 @@ class EnvelopeSpec extends SparkSpec {
     val got = df.select(Envelope.isValidJson($"body").as("v")).as[Boolean].collect()
     assert(got.toSeq === Seq(false, true, false, true))
   }
+
+  test("P5 fidelity: reproduces the reference A2 fixture wire bytes exactly (FIXTURES.md)") {
+    // reference/README.md:137-145 / ampq_publisher.py:38-52 wire sample
+    val body = "accountserver.MerchantCharge|timestamp: \"2025-04-30T19:20:37.926+00:00\" " +
+      "merchant_kind: \"DATA_MANAGER\" merchant_name: \"squonk\" merchant_id: 1 " +
+      "operation: OPERATION_ENUM_PROCESSING auth_code: 456782 value: \"0.50\" sqn: 1"
+    val wire = Seq((body, 2L, 1746042171620L)).toDF("body", "ordinal", "ts_ms")
+      .select(Envelope.enrichProtoText($"body", $"ordinal", $"ts_ms")).as[String].head()
+    assert(wire === body + "|ordinal: 2|timestamp: 1746042171620")
+    // and the client-side split recovers the reference's four sections
+    val parts = Seq(wire).toDF("w").select(Envelope.splitProtoText($"w").as("p"))
+      .select(expr("size(p)"), $"p"(0), $"p"(2), $"p"(3)).head()
+    assert(parts.getInt(0) === 4)
+    assert(parts.getString(1) === "accountserver.MerchantCharge")
+    assert(parts.getString(2) === "ordinal: 2")
+    assert(parts.getString(3) === "timestamp: 1746042171620")
+  }
 }
