@@ -203,6 +203,20 @@ object ExtendedQueries {
           sha2(col("f.frame"), 256).as("frame_sha"))
         .orderBy("asset_id", "frame_idx")),
 
+    // R10 — the custom TopKPerKey operator (graft.plans: LogicalPlan +
+    // Strategy + two-phase heap SparkPlan): map-side bounded heaps cap the
+    // shuffle at k rows per (key, partition); no per-key sort. Verified
+    // byte-for-byte against the same oracle as the window formulation.
+    "q_topk_native" -> ((s, d) =>
+      graft.plans.TopK.perKey(
+        Tables.customer(s, d),
+        keys = Seq("c_mktsegment"),
+        order = Seq(graft.plans.TopK.Ord("c_acctbal", desc = true),
+                    graft.plans.TopK.Ord("c_custkey")),
+        k = 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rk")),
+
     // R16 — pivot: per-user event-type counts as columns (explicit value
     // list so the output schema is deterministic; null where a user has no
     // events of that type, matching the oracle's sum-of-CASE).
@@ -348,6 +362,12 @@ object ExtendedQueries {
                 CAST(32 AS INT) AS frame_bytes,
                 sha256(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_sha
          FROM f WHERE i % 2 = 0 ORDER BY asset_id, frame_idx""",
+    "q_topk_native" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+           FROM customer) WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
     "q_pivot" ->
       """SELECT user_id,
                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
