@@ -54,6 +54,32 @@ object ExtendedQueries {
         .orderBy("c_mktsegment", "rnk")
     }),
 
+    // R7 — statistical aggregate surface: stddev/variance (sample + pop),
+    // correlation and covariance across columns. Both engines accumulate in
+    // doubles; floor-rounding absorbs the implementation drift.
+    "q_stats_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          floorRound(stddev_samp(col("o_totalprice")), 2).as("sd_samp"),
+          floorRound(stddev_pop(col("o_totalprice")), 2).as("sd_pop"),
+          floorRound(var_samp(col("o_totalprice")), 1).as("var_samp"),
+          floorRound(corr(col("o_totalprice"), col("o_custkey")), 4).as("price_cust_corr"),
+          floorRound(covar_pop(col("o_totalprice"), col("o_custkey")), 1).as("price_cust_covar"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // R7/R12 — numeric histogram: fixed-width binning of order totals
+    // (the profile/quality-report shape; one hash-agg shuffle of bucket ids).
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          floorRound(min(col("o_totalprice")), 2).as("lo"),
+          floorRound(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")),
+
     // R7/R9 — exact interpolated percentiles per group (Spark `percentile`
     // ≡ DuckDB `quantile_cont`).
     "q_percentiles" -> ((s, d) =>
@@ -332,6 +358,21 @@ object ExtendedQueries {
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
          ORDER BY c_mktsegment, rnk""",
+    "q_stats_funcs" ->
+      """SELECT o_orderstatus,
+                floor((stddev_samp(o_totalprice)) * 100 + 0.5) / 100 AS sd_samp,
+                floor((stddev_pop(o_totalprice)) * 100 + 0.5) / 100 AS sd_pop,
+                floor((var_samp(o_totalprice)) * 10 + 0.5) / 10 AS var_samp,
+                floor((corr(o_totalprice, o_custkey)) * 10000 + 0.5) / 10000 AS price_cust_corr,
+                floor((covar_pop(o_totalprice, o_custkey)) * 10 + 0.5) / 10 AS price_cust_covar,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                floor((min(o_totalprice)) * 100 + 0.5) / 100 AS lo,
+                floor((max(o_totalprice)) * 100 + 0.5) / 100 AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""",
     "q_percentiles" ->
       """SELECT c_mktsegment,
                 floor((quantile_cont(c_acctbal, 0.5)) * 10000 + 0.5) / 10000 AS median_bal,
