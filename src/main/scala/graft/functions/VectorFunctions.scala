@@ -41,6 +41,13 @@ object VectorFunctions {
     when(denom > 0, dot(a, b) / denom)
   }
 
+  /** Cosine from precomputed norms (pair-join fast path): same null-safe
+    * zero-vector guard as [[cosine]] — under Spark 4's default ANSI mode a
+    * raw division would abort the query with DIVIDE_BY_ZERO.
+    */
+  def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    when(normA * normB > 0, dotAB / (normA * normB))
+
   /** Sign-random-projection LSH bucket id (Charikar's SimHash for vectors):
     * bit p of the bucket = sign of <v, plane_p>. Planes are deterministic
     * (seeded) so the operator is reproducible run-to-run. nPlanes ≤ 30.

@@ -73,7 +73,7 @@ object SimilarityQueries {
         .join(e.as("b"), col("a.probe_bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
-          floorRound(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+          floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4).as("cosine"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("nn"))
       pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -96,7 +96,7 @@ object SimilarityQueries {
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          floorRound(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+          floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
         .limit(10)
     }),
@@ -132,7 +132,7 @@ object SimilarityQueries {
         .join(members.as("m"),
           col("p.cell") === col("m.cell") && col("p.vec_id") =!= col("m.m_id"))
         .select(col("p.vec_id").as("vec_id"), col("m.m_id").as("nn"),
-          floorRound(dot(col("p.v"), col("m.m_v")) / (col("p.nrm") * col("m.m_nrm")), 4).as("cosine"))
+          floorRound(cosineFromNorms(dot(col("p.v"), col("m.m_v")), col("p.nrm"), col("m.m_nrm")), 4).as("cosine"))
         .withColumn("rk", row_number().over(wBest))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("nn"), col("cosine"))
@@ -155,7 +155,7 @@ object SimilarityQueries {
         .withColumn("cnrm", l2Norm(col("centroid")))
       e.join(broadcast(centroids), "label")
         .select(col("label"),
-          (dot(col("v"), col("centroid")) / (l2Norm(col("v")) * col("cnrm"))).as("c"))
+          cosineFromNorms(dot(col("v"), col("centroid")), l2Norm(col("v")), col("cnrm")).as("c"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), floorRound(avg(col("c")), 4).as("avg_cohesion"))
         .orderBy("label")

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_union"),
+      info("graft_minhash_union", "graft_minhash_union(sig) - group-level MinHash union"),
+      (exprs: Seq[Expression]) => MinHashUnionAgg(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of double arrays"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))

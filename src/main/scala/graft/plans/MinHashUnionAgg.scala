@@ -55,7 +55,7 @@ case class MinHashUnionAgg(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.map(java.lang.Long.valueOf(_): Any))
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(k * 8)

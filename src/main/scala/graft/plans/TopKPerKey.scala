@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.IntegerType
@@ -110,7 +110,10 @@ case class TopKPerKeyFinalExec(
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    // empty grouping = global top-k: all partial survivors must meet in one
+    // partition (like a global aggregate), or every partition would emit
+    // its own rank-1..k rows
+    if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -159,6 +162,8 @@ object TopK {
 
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Ord], k: Int,
              rankCol: String = "rk"): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    require(order.nonEmpty, "top-k needs at least one sort key")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -166,7 +171,8 @@ object TopK {
     val child = df.queryExecution.analyzed
     // resolve names against the analyzed child so the node is born resolved
     // (Connect-style Column wrappers don't resolve inside custom operators)
-    def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
+    val resolver = spark.sessionState.analyzer.resolver // honors spark.sql.caseSensitive
+    def attr(n: String): Attribute = child.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
     val g = keys.map(attr)
