@@ -284,6 +284,20 @@ object ExtendedQueries {
           array_max(map_values(col("m"))).as("max_stat"))
         .orderBy("event_type")),
 
+    // R22 — temporal arithmetic surface: day diffs, calendar-clamped month
+    // addition, end-of-month, quarter/day-of-year parts (the reference's
+    // datetime handling domain, app.py:230-244, generalized).
+    "q_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"),
+          add_months(col("o_orderdate"), 3).as("plus3m"),
+          last_day(col("o_orderdate")).as("eom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofyear(col("o_orderdate")).as("doy"))
+        .orderBy("o_orderkey")),
+
     // P5+P9 — protobuf-text wire round-trip: enrich then client-side split
     // and recover the ordinal (reference/ws_listener.py:61-72), proving the
     // wire format parses back losslessly.
@@ -444,6 +458,14 @@ object ExtendedQueries {
                 floor((sqrt(o_totalprice)) * 10000 + 0.5) / 10000 AS price_sqrt,
                 floor((ln(o_totalprice)) * 10000 + 0.5) / 10000 AS price_ln,
                 o_orderkey % 7 AS key_mod7
+         FROM orders ORDER BY o_orderkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+                CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+                CAST(last_day(o_orderdate) AS DATE) AS eom,
+                CAST(quarter(o_orderdate) AS INT) AS qtr,
+                CAST(dayofyear(o_orderdate) AS INT) AS doy
          FROM orders ORDER BY o_orderkey""",
     "p_prototext_roundtrip" ->
       """WITH w AS (

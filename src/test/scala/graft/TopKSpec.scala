@@ -48,4 +48,27 @@ class TopKSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), p.take(500))
     assert(p.contains("Exchange hashpartitioning(c_mktsegment"), p.take(800))
   }
+
+  test("global top-k (no keys) returns a single ranked top-k, not per-partition") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toDouble))
+      .toDF("id", "score").repartition(8)
+    val got = TopK.perKey(df, keys = Seq.empty, Seq(TopK.Ord("score", desc = true), TopK.Ord("id")), k = 5)
+      .select($"rk", $"id", $"score").orderBy("rk")
+      .collect()
+    assert(got.length === 5)
+    assert(got.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4, 5))
+    // matches a plain global sort
+    val expect = df.orderBy($"score".desc, $"id").limit(5).select($"id").as[Long].collect().toSeq
+    assert(got.map(_.getLong(1)).toSeq === expect)
+  }
+
+  test("invalid k and empty order are rejected at call time") {
+    val df = Seq(("a", 1L)).toDF("key", "id")
+    intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("key"), Seq(TopK.Ord("id")), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("key"), Seq.empty, k = 2)
+    }
+  }
 }
