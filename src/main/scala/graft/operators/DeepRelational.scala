@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParityMath.floorRound
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 relational depth (SURVEY.md §2.3 R4, R5, R10, R18, R22):
+  * classic warehouse shapes the round-1 surface didn't exercise —
+  * nation-to-nation trade flow, returned-item reporting, promo revenue
+  * share, correlated subqueries, fuzzy string matching, deterministic
+  * stratified sampling, and a bucketed time-range self-join.
+  *
+  * Scale notes are per-query; the common theme: dimensions broadcast, the
+  * single fact-fact shuffle keys on the join column, and every aggregate is
+  * partial-aggregated map-side before the exchange.
+  */
+object DeepRelational {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R4 — TPC-H Q7 shape: cross-border revenue by (customer nation,
+    // supplier nation, year). Facts shuffle once on l_orderkey; all four
+    // dimension joins broadcast (nation twice under different aliases).
+    // Revenue sums EXACT decimals (price as DECIMAL(18,2), discount factor
+    // as DECIMAL(8,4)): with ~1000 output groups a double sum lands on a
+    // floor-rounding boundary somewhere, and decimal addition is
+    // order-independent so partition count can't move the result.
+    "q7_nation_trade" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val revDec = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(8,4)")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(
+          floorRound(sum(revDec).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    }),
+
+    // R4/R10 — TPC-H Q10 shape: top-20 customers by revenue lost to
+    // returned items. Return-flag filter reaches the lineitem scan
+    // (pushed predicate); nation broadcast; single shuffle + global top-k
+    // (TakeOrderedAndProject — no full sort at scale).
+    "q10_returned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(floorRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_returned"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // R4/R22 — TPC-H Q14 shape: promo revenue share per ship-month.
+    // Part is the broadcast side; conditional aggregation computes the
+    // numerator and denominator in ONE pass (no second scan, no join of two
+    // aggregates).
+    "q14_promo" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+        .agg(
+          floorRound(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0
+            / sum(rev), 4).as("promo_pct"),
+          floorRound(sum(rev), 2).as("total_revenue"))
+        .orderBy("ship_month")
+    }),
+
+    // R5/R22 — correlated-subquery surface: EXISTS (correlated) plus an
+    // uncorrelated scalar subquery, expressed in SQL so Catalyst's
+    // RewritePredicateSubquery turns them into a semi join + broadcast
+    // scalar — the rewrite IS the scale story (no per-row re-execution).
+    "q_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_sub_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_sub_orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+           FROM graft_sub_customer c
+           WHERE EXISTS (
+             SELECT 1 FROM graft_sub_orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_totalprice > (SELECT avg(o_totalprice) FROM graft_sub_orders))
+           ORDER BY c.c_custkey""")
+    }),
+
+    // R18 — fuzzy match via edit distance: Levenshtein between
+    // consecutive-key part names (the SQL-expressible slice of
+    // typo/variant dedup; at scale the same expression runs inside
+    // LSH/blocking buckets instead of adjacent pairs). Pure codegen'd
+    // built-in, scan-speed.
+    "q_edit_distance" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      p.as("a")
+        .join(p.as("b"), col("b.p_partkey") === col("a.p_partkey") + 1)
+        .select(
+          col("a.p_partkey").as("p_partkey"),
+          col("a.p_name").as("name_a"),
+          col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+        .withColumn("name_sim", floorRound(
+          lit(1.0) - col("edit_dist") / greatest(length(col("name_a")), length(col("name_b"))), 4))
+        .orderBy("p_partkey")
+    }),
+
+    // R10/R17 — deterministic stratified sample: 10 rows per market
+    // segment, ordered by an LCG pseudo-hash of the key so the sample is
+    // reproducible across engines and scales (the training-data "take a
+    // fixed per-stratum subsample" shape). Window is per-segment; at scale
+    // the TopKPerKey native operator computes the same result with bounded
+    // heaps (q_topk_native proves that path).
+    "q_stratified_sample" -> ((s, d) => {
+      val h = pmod(col("c_custkey") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("h"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rk")
+    }),
+
+    // R13/R19 — time-proximity self-join, bucketed: pairs of events by the
+    // same user within 60 s. Naive form is a per-user quadratic filter; the
+    // bucketed form shuffles on (user_id, minute-bucket) and probes only
+    // the home and next bucket, so cost tracks bucket occupancy, not n².
+    // Probing the home and both adjacent buckets covers every |Δt| ≤ 60 s
+    // pair in either time order exactly once after the distinct.
+    "q_range_join_bucketed" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("bucket", floor(col("ms") / 60000L))
+      val probes = e.select(col("event_id"), col("user_id"), col("ms"),
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("pb"))
+      probes.as("a")
+        .join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.pb") === col("b.bucket") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("b.ms") - col("a.ms")) <= 60000L)
+        .select(
+          col("a.user_id").as("user_id"),
+          col("a.event_id").as("id_a"),
+          col("b.event_id").as("id_b"),
+          (col("b.ms") - col("a.ms")).as("gap_ms"))
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
+                CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3 ORDER BY cust_nation, supp_nation, l_year""",
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+                CAST(count(*) AS BIGINT) AS n_returned
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q14_promo" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+                floor((sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+                       / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_pct,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY ship_month""",
+    "q_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+         FROM customer c
+         WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+         ORDER BY c.c_custkey""",
+    "q_edit_distance" ->
+      """SELECT a.p_partkey, a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+                floor((1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                       / greatest(length(a.p_name), length(b.p_name))) * 10000 + 0.5) / 10000 AS name_sim
+         FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+         ORDER BY a.p_partkey""",
+    "q_stratified_sample" ->
+      """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  CAST(row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY (c_custkey * 1103515245 + 12345) % 2147483648, c_custkey) AS INT) AS rk
+           FROM customer) t
+         WHERE rk <= 10 ORDER BY c_mktsegment, rk""",
+    "q_range_join_bucketed" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_id < b.event_id
+          AND abs(epoch_ms(b.ts) - epoch_ms(a.ts)) <= 60000
+         ORDER BY id_a, id_b"""
+  )
+}

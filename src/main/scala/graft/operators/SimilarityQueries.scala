@@ -163,6 +163,22 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v_label_cohesion" ->
+      """WITH ex AS (
+           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         cent AS (SELECT label, i, avg(e) AS m FROM ex GROUP BY label, i),
+         dots AS (
+           SELECT ex.vec_id, ex.label,
+                  sum(ex.e * cent.m) AS dot, sum(ex.e * ex.e) AS na
+           FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+           GROUP BY ex.vec_id, ex.label),
+         cn AS (SELECT label, sum(m * m) AS nb FROM cent GROUP BY label)
+         SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+                floor((avg(d.dot / (sqrt(d.na) * sqrt(cn.nb)))) * 10000 + 0.5) / 10000 AS avg_cohesion
+         FROM dots d JOIN cn ON d.label = cn.label
+         GROUP BY d.label ORDER BY d.label""",
     "v_cosine_probe" ->
       """WITH ex AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
