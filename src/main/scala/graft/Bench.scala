@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKRewrite.enable(spark)
     // Warm the JVM/codegen/scan paths so per-query timings are not skewed
     // by one-time session setup landing on whichever query runs first.
     spark.range(1000000L).selectExpr("sum(id)").collect()

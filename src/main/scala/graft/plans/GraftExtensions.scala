@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // window-top-k → native heap TopKPerKey (rule + the strategy that
+    // plans the node it produces)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(shingles) - 32-element MinHash signature"),

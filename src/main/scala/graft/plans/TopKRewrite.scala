@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the ubiquitous window top-k idiom
+  *
+  *   `row_number().over(Window.partitionBy(keys).orderBy(ord))` + `rk <= k`
+  *
+  * into the native [[TopKPerKey]] operator. The window formulation fully
+  * sorts every key group (O(n log n) map-side even after Spark's own
+  * InferWindowGroupLimit, whose partial WindowGroupLimitExec still requires
+  * sorted input); TopKPerKey keeps bounded per-key heaps — O(n log k) and
+  * at most k rows per (key, partition) enter the shuffle.
+  *
+  * Matched shape (after the main optimizer batches have collapsed
+  * projections): Filter(rank-bound, Window(single row_number alias)), with
+  * an optional built-in WindowGroupLimit between Window and its child
+  * (superseded by the heap operator, so it is stripped). The rank attribute
+  * keeps its ExprId, so downstream references — including the filter
+  * replacements elsewhere in the plan — stay resolved.
+  */
+object TopKRewriteRule extends Rule[LogicalPlan] {
+
+  /** k such that `cond` ⟺ rank ≤ k, if cond is such a bound. */
+  private def boundOf(cond: Expression, rank: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank => Some(v)
+    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank => Some(v - 1)
+    case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank && v == 1 => Some(1)
+    case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank && v == 1 => Some(1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank => Some(v)
+    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank => Some(v - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
+        part, order, windowChild, _))
+        if spec.partitionSpec == part && spec.orderSpec == order && order.nonEmpty =>
+      boundOf(cond, alias.exprId) match {
+        case Some(k) if k >= 1 =>
+          // Spark's InferWindowGroupLimit may already have slid a
+          // WindowGroupLimit under the Window; the heap operator subsumes it.
+          val child = windowChild match {
+            case WindowGroupLimit(_, _, _, _, inner) => inner
+            case other => other
+          }
+          TopKPerKey(part, order, k,
+            alias.toAttribute.asInstanceOf[AttributeReference], child)
+        case _ => f
+      }
+  }
+}
+
+/** Session wiring for the rewrite outside the `spark.sql.extensions` path
+  * (tests, library callers): idempotently registers the optimizer rule and
+  * the planner strategy it depends on.
+  */
+object TopKRewrite {
+  def enable(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
+  }
+}
