@@ -158,6 +158,59 @@ object DeepRelational {
           (col("b.ms") - col("a.ms")).as("gap_ms"))
         .dropDuplicates("id_a", "id_b")
         .orderBy("id_a", "id_b")
+    }),
+
+    // R4 + SCALE "skew" — the explicit salted join, oracled against the
+    // PLAIN join SQL: salting must be result-invariant (every big-side row
+    // meets exactly one copy of each matching small-side row). The hot-key
+    // remedy when a single key exceeds an executor and AQE splitting isn't
+    // enough. Exact-decimal revenue (5 groups but the salt changes
+    // partitioning round to round).
+    "q_skew_salted_join" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
+      val small = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      SkewJoin.saltedEquiJoin(big, small, "okey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          floorRound(sum(col("rev")).cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // R10/R13 — RANGE window frames: per-user trailing-hour event count and
+    // value sum. RANGE includes value peers, so the frame CONTENT is
+    // deterministic even under timestamp ties (unlike a ROWS frame).
+    "q_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+          col("value"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .withColumn("v_trailing_1h", floorRound(sum(col("value")).over(w), 2))
+        .drop("value")
+        .orderBy("event_id")
+    }),
+
+    // R10 — rank-distribution surface: percent_rank / cume_dist / first /
+    // last / nth over a unique total order (no rounding needed — both
+    // engines divide the same integers).
+    "q_rank_dist" -> ((s, d) => {
+      val ord = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("pct_rank", percent_rank().over(ord))
+        .withColumn("cume", cume_dist().over(ord))
+        .withColumn("top_key", first(col("c_custkey")).over(full))
+        .withColumn("bottom_key", last(col("c_custkey")).over(full))
+        .withColumn("second_key", nth_value(col("c_custkey"), 2).over(full))
+        .orderBy("c_mktsegment", "c_custkey")
     })
   )
 
@@ -224,6 +277,36 @@ object DeepRelational {
            ON a.user_id = b.user_id
           AND a.event_id < b.event_id
           AND abs(epoch_ms(b.ts) - epoch_ms(a.ts)) <= 60000
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    // plain-join SQL: the salted join must be result-invariant
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_items,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_window_frames" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+                floor((sum(value) OVER w) * 100 + 0.5) / 100 AS v_trailing_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_rank_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                first_value(c_custkey) OVER w AS top_key,
+                last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key,
+                nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, c_custkey"""
   )
 }

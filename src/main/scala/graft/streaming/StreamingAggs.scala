@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-time stateful operators for the streaming layer (SURVEY.md §2.4
   * T3-T4, §2.3 R13/R14/R17 streaming twins).
@@ -65,5 +65,46 @@ object StreamingAggs {
           state.update((received, sent))
           out.iterator
       }
+  }
+
+  /** [[statsEveryN]] on the state-v2 `transformWithState` API (Spark 4):
+    * the same per-key counters as a typed [[ValueState]] managed by a
+    * [[StatefulProcessor]]. The operational win at scale is the state
+    * store contract: state-v2 requires RocksDB, whose changelog
+    * checkpointing and compaction keep O(#streams) state off the executor
+    * heap, and TTL (here NONE — counters live for the stream's lifetime)
+    * is declared per state variable instead of hand-rolled timeouts.
+    */
+  final class StatsEveryNProcessor(every: Int)
+      extends StatefulProcessor[String, (String, Boolean), StreamStats] {
+    @transient private var counters: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getValueState[(Long, Long)](
+        "counters", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Boolean)],
+        timerValues: TimerValues): Iterator[StreamStats] = {
+      var (received, sent) = if (counters.exists()) counters.get() else (0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[StreamStats]
+      rows.foreach { case (_, forward) =>
+        received += 1
+        if (forward) sent += 1
+        if (received % every == 0) out += StreamStats(key, received, sent)
+      }
+      counters.update((received, sent))
+      out.iterator
+    }
+  }
+
+  /** T4 via transformWithState — requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def statsEveryNTws(keyed: Dataset[(String, Boolean)], every: Int): Dataset[StreamStats] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(_._1)
+      .transformWithState(new StatsEveryNProcessor(every), TimeMode.None(), OutputMode.Append())
   }
 }
