@@ -110,8 +110,9 @@ object MultimodalQueries {
         .orderBy("shard")),
 
     // R21 — stubbed decode/feature-extract through the partition-batched
-    // UDF path; deterministic fake features ⇒ rows-only check, semantics
-    // unit-tested in MultimodalSpec.
+    // UDF path; the deterministic fake (byte-histogram moments) is
+    // replicated in the oracle SQL, so even the mapPartitions path is
+    // DuckDB-verified; semantics also unit-tested in MultimodalSpec.
     "m_decode_features" -> ((s, d) =>
       Multimodal.decodeStub(s, Multimodal.assets(s, d))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
@@ -130,6 +131,18 @@ object MultimodalQueries {
       """SELECT substring(sha256(text), 1, 1) AS shard,
                 CAST(count(*) AS BIGINT) AS n_assets,
                 CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
-         FROM documents GROUP BY 1 ORDER BY shard"""
+         FROM documents GROUP BY 1 ORDER BY shard""",
+    // byte-histogram moments of the ASCII payload, slot = byte index % 8 —
+    // the SQL twin of Multimodal.decodeStub's per-partition loop
+    "m_decode_features" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS n, t.i % 8 AS slot,
+                  ascii(substring(text, CAST(t.i + 1 AS INT), 1)) / 255.0 AS v
+           FROM documents, unnest(generate_series(0, length(text) - 1)) AS t(i)),
+         s AS (SELECT doc_id, max(n) AS n, slot, sum(v) AS sv FROM b GROUP BY doc_id, slot)
+         SELECT doc_id AS asset_id, 'text' AS modality, CAST(max(n) AS BIGINT) AS n_bytes,
+                floor((round(max(CASE WHEN slot = 0 THEN sv END) / max(n) * 10000) / 10000) * 10000 + 0.5) / 10000 AS f0,
+                floor((round(max(CASE WHEN slot = 7 THEN sv END) / max(n) * 10000) / 10000) * 10000 + 0.5) / 10000 AS f7
+         FROM s GROUP BY doc_id ORDER BY asset_id"""
   )
 }

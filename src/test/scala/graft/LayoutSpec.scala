@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Storage-layout claims from SCALE.md, pinned as plan assertions: bucketing
+  * removes the fact-fact exchange, and partitioned layout prunes at the scan.
+  * These are the two levers that make the 100 TB deployment story concrete.
+  */
+class LayoutSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val warehouse = Files.createTempDirectory("graft_buckets").toString
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBcast = spark.conf.get(bcastKey)
+    // disable broadcast so the join strategy at 100 TB (two big facts) is
+    // what actually gets planned here
+    spark.conf.set(bcastKey, "-1")
+    try {
+      Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$warehouse/l").saveAsTable("graft_buck_l")
+      Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$warehouse/o").saveAsTable("graft_buck_o")
+
+      val joined = spark.table("graft_buck_l")
+        .join(spark.table("graft_buck_o"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(joined.count() === Tables.lineitem(spark, d).count())
+
+      // same join on plain (unbucketed) parquet DOES shuffle — the baseline
+      val unbucketed = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .join(Tables.orders(spark, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set(bcastKey, prevBcast)
+      spark.sql("DROP TABLE IF EXISTS graft_buck_l")
+      spark.sql("DROP TABLE IF EXISTS graft_buck_o")
+    }
+  }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, d)
+      .write.partitionBy("event_type").parquet(s"$dir/events")
+    val scan = spark.read.parquet(s"$dir/events")
+      .filter(col("event_type") === "purchase")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("purchase"),
+      s"no partition pruning in:\n$plan")
+    // pruned scan reads exactly the one partition's rows
+    val expected = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(scan.count() === expected)
+  }
+}
