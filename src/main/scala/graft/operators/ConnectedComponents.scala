@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation with pointer
+  * jumping — the general engine behind `d_dedup_cluster` (SURVEY.md §2.3
+  * R17/R18), usable on any undirected edge set.
+  *
+  * Algorithm per round: (1) every node takes the min label among itself and
+  * its neighbors; (2) pointer jump — every node then takes its label's own
+  * label, halving remaining chain depth, so rounds are O(log longest path).
+  * Labels only decrease, so the label SUM is strictly decreasing until the
+  * fixpoint — the convergence test is one cheap aggregate per round.
+  *
+  * Scale properties: per round two edge⋈label joins + one min-aggregate +
+  * one representative join, all keyed shuffles sized by |labels| and
+  * |edges|, never any n² structure; lineage is truncated each round
+  * (localCheckpoint) so the plan stays constant-size. Intended use is on
+  * the (sparse) edge SUBGRAPH — callers union isolated nodes back as
+  * singletons, as d_dedup_cluster does.
+  */
+object ConnectedComponents {
+
+  /** Components of the graph spanned by `edges` (columns `src`, `dst`; both
+    * Long). Returns one row per node that appears in an edge:
+    * (doc_id, label) where label = min node id of the component.
+    */
+  def ofEdges(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var labels = e.select(col("src").as("doc_id"))
+      .unionByName(e.select(col("dst").as("doc_id")))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var round = 0
+    while (curSum != prevSum && round < maxRounds) {
+      val l1 = labels.select(col("doc_id").as("j"), col("label"))
+      val msgs = e.join(l1, col("src") === col("j"))
+          .select(col("dst").as("doc_id"), col("label"))
+        .unionByName(e.join(l1, col("dst") === col("j"))
+          .select(col("src").as("doc_id"), col("label")))
+      val stepped = labels.unionByName(msgs)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      val reps = stepped.select(col("doc_id").as("rep_id"), col("label").as("rep_label"))
+      val next = stepped.join(reps, col("label") === col("rep_id"))
+        .select(col("doc_id"), col("rep_label").as("label"))
+        .localCheckpoint(false)
+      prevSum = curSum
+      curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      labels = next
+      round += 1
+    }
+    labels
+  }
+}

@@ -58,4 +58,27 @@ class PlanSpec extends SparkSpec {
     // time); here we verify the injection itself is well-formed
     new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("q7_nation_trade: all four dimensions broadcast; facts never do") {
+    val p = plan("q7_nation_trade")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q10_returned: return-flag filter pushed to the lineitem scan, top-k not a sort") {
+    val p = plan("q10_returned")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q14_promo: part is the broadcast side of the fact join") {
+    val p = plan("q14_promo")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q_exists_subquery: no per-row subquery — one semi join, scalar broadcast") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -66,4 +66,30 @@ class PropertySpec extends SparkSpec {
       assert((jab == 1.0) === (a == b))
     }
   }
+
+  test("R17 ∀ random graphs: ConnectedComponents == driver union-find") {
+    // the DuckDB oracle only covers chain-shaped edge sets; this covers
+    // arbitrary topologies (stars, cycles, cross-links, multi-components)
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 8).foreach { edges =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        parent.getOrElseUpdate(x, x)
+        if (parent(x) != x) parent(x) = find(parent(x))
+        parent(x)
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.ConnectedComponents
+        .ofEdges(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
 }
