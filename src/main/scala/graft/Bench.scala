@@ -20,14 +20,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // Centisecond precision keeps the whole line short enough that a
-    // 2000-char tail-capture of the run log still contains it intact
-    // (full-precision doubles pushed the line past the window in round 1).
-    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver tail-captures ~2000 chars of the run log, so the printed
+    // line must stay well under that (round 1's full-precision line got
+    // truncated and the bench metric was lost). The line carries the
+    // all-query total plus the slowest 45 per-query timings (>80% of
+    // runtime); the complete map goes to target/bench_full.json.
+    def fmt(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .underlying().stripTrailingZeros().toPlainString
+      if (s.isEmpty || s == "0E-2") "0" else s
+    }
+    def render(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(45).sortBy(_._1)
+    val omitted = results.size - slowest.size
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"total":${fmt(total)},"queries":${render(results.toSeq.sortBy(_._1))}}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -196,6 +196,63 @@ object DeepRelational {
         .orderBy("event_id")
     }),
 
+    // R22 — regex surface: extract / replace-all / match / regex split.
+    // Patterns stay in the character-class subset where Java regex (Spark)
+    // and RE2 (DuckDB) agree.
+    "q_regex_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("pri_num"),
+          regexp_replace(col("o_orderstatus"), "[OF]", "#").as("status_masked"),
+          col("o_orderpriority").rlike("^[12]-").as("is_urgent"),
+          element_at(split(col("o_orderpriority"), "-"), 2).as("pri_word"))
+        .orderBy("o_orderkey")),
+
+    // R5 — FULL OUTER join with guaranteed null-extension on BOTH sides
+    // (disjoint key ranges), the survivor-merge shape for combining two
+    // partial aggregates.
+    "q_full_outer" -> ((s, d) => {
+      val cn = Tables.customer(s, d).filter(col("c_nationkey") < 20)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, d).filter(col("s_nationkey") >= 5)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // R7/R22 — ordered string aggregation (LISTAGG shape): deterministic
+    // because the list is sorted before concatenation. The groups are small
+    // (bounded per segment by the filter); an unbounded LISTAGG at 100 TB
+    // is an anti-pattern regardless of engine.
+    "q_string_agg" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 40)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    // R22 — null semantics: NULLIF / COALESCE / IS NULL / null-safe
+    // equality (<=> ≡ IS NOT DISTINCT FROM). Three-valued logic is where
+    // engines drift; pin it.
+    "q_null_semantics" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .select(
+          col("o_orderkey"),
+          col("st"),
+          coalesce(col("st"), lit("OPEN")).as("st_filled"),
+          col("st").isNull.as("is_open"),
+          (col("st") <=> lit("F")).as("is_f_nullsafe"))
+        .orderBy("o_orderkey")),
+
     // R10 — rank-distribution surface: percent_rank / cume_dist / first /
     // last / nth over a unique total order (no rounding needed — both
     // engines divide the same integers).
@@ -294,6 +351,38 @@ object DeepRelational {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_regex_funcs" ->
+      """SELECT o_orderkey,
+                regexp_extract(o_orderpriority, '([0-9]+)', 1) AS pri_num,
+                regexp_replace(o_orderstatus, '[OF]', '#', 'g') AS status_masked,
+                regexp_matches(o_orderpriority, '^[12]-') AS is_urgent,
+                string_split(o_orderpriority, '-')[2] AS pri_word
+         FROM orders ORDER BY o_orderkey""",
+    "q_full_outer" ->
+      """WITH cn AS (
+           SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+           FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey),
+         sn AS (
+           SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp
+           FROM supplier WHERE s_nationkey >= 5 GROUP BY s_nationkey)
+         SELECT CAST(coalesce(c_nationkey, s_nationkey) AS INT) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust,
+                coalesce(n_supp, 0) AS n_supp
+         FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+         ORDER BY nationkey""",
+    "q_string_agg" ->
+      """SELECT c_mktsegment,
+                string_agg(c_name, ',' ORDER BY c_name) AS names,
+                CAST(count(*) AS BIGINT) AS n
+         FROM customer WHERE c_custkey < 40
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_null_semantics" ->
+      """SELECT o_orderkey,
+                nullif(o_orderstatus, 'O') AS st,
+                coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st_filled,
+                nullif(o_orderstatus, 'O') IS NULL AS is_open,
+                nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
+         FROM orders ORDER BY o_orderkey""",
     "q_rank_dist" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
                 percent_rank() OVER w AS pct_rank,
