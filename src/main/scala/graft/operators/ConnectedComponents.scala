@@ -44,10 +44,14 @@ object ConnectedComponents {
           .select(col("src").as("doc_id"), col("label")))
       val stepped = labels.unionByName(msgs)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-      val reps = stepped.select(col("doc_id").as("rep_id"), col("label").as("rep_label"))
-      val next = stepped.join(reps, col("label") === col("rep_id"))
-        .select(col("doc_id"), col("rep_label").as("label"))
-        .localCheckpoint(false)
+      // double pointer jump: each halves remaining chain depth, so two per
+      // round quarter it — fewer (expensive) rounds for two cheap joins
+      def jump(df: DataFrame): DataFrame = {
+        val r = df.select(col("doc_id").as("rep_id"), col("label").as("rep_label"))
+        df.join(r, col("label") === col("rep_id"))
+          .select(col("doc_id"), col("rep_label").as("label"))
+      }
+      val next = jump(jump(stepped)).localCheckpoint(false)
       prevSum = curSum
       curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       labels = next
