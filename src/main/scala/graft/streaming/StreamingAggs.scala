@@ -107,4 +107,61 @@ object StreamingAggs {
     keyed.groupByKey(_._1)
       .transformWithState(new StatsEveryNProcessor(every), TimeMode.None(), OutputMode.Append())
   }
+
+  /** Emitted by [[sessionTimeouts]] when a stream goes quiet for the gap. */
+  final case class SessionClosed(routingKey: String, nEvents: Long, lastMs: Long)
+
+  /** T5/R14 — inactivity detection with EVENT-TIME TIMERS: one timer per
+    * key at (last event + gap); each new event slides it. When the
+    * watermark passes the timer, the session closes and its summary is
+    * emitted — the streaming analog of the reference's per-connection
+    * teardown (a consumer that stops hearing traffic), and the third leg
+    * of the state-v2 API (value state + timers + TTL) after
+    * [[StatsEveryNProcessor]]. State is O(#streams): one (count, lastMs)
+    * pair and one registered timer per key, reclaimed on emit.
+    */
+  final class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp), SessionClosed] {
+    @transient private var sess: ValueState[(Long, Long)] = _ // (nEvents, lastMs)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long)](
+        "sess", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionClosed] = {
+      var (n, last) = if (sess.exists()) sess.get() else (0L, 0L)
+      val hadTimer = n > 0
+      val prevExpiry = last + gapMs
+      rows.foreach { case (_, ts) =>
+        n += 1
+        if (ts.getTime > last) last = ts.getTime
+      }
+      // slide the timer: drop the stale one, arm at the new quiet horizon
+      if (hadTimer) getHandle.deleteTimer(prevExpiry)
+      getHandle.registerTimer(last + gapMs)
+      sess.update((n, last))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClosed] = {
+      val (n, last) = sess.get()
+      sess.clear()
+      Iterator(SessionClosed(key, n, last))
+    }
+  }
+
+  /** Session-close events for a watermarked (routing_key, ts) stream. */
+  def sessionTimeouts(keyed: Dataset[(String, java.sql.Timestamp)],
+                      gapMs: Long): Dataset[SessionClosed] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -62,4 +62,42 @@ class StatefulSpec extends SparkSpec {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("sessionTimeouts: event-time timer closes a quiet stream once the watermark passes") {
+    import StreamingAggs.SessionClosed
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, java.sql.Timestamp)](spark)
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      val watermarked = stream.toDF().toDF("routing_key", "ts")
+        .withWatermark("ts", "5 seconds")
+        .as[(String, java.sql.Timestamp)]
+      val out = StreamingAggs.sessionTimeouts(watermarked, gapMs = 60000)
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("sess_close_out").start()
+      try {
+        // rk-a: 3 events ending t=100; rk-b keeps the watermark moving
+        stream.addData(("rk-a", ts(90)), ("rk-a", ts(95)), ("rk-a", ts(100)))
+        q.processAllAvailable()
+        stream.addData(("rk-b", ts(120)))
+        q.processAllAvailable()
+        assert(spark.table("sess_close_out").isEmpty) // watermark 115 < 160
+        // watermark → 295 > rk-a's timer at 160: the session closes
+        stream.addData(("rk-b", ts(300)))
+        q.processAllAvailable()
+        // one more batch so timers fired in the previous batch are committed
+        stream.addData(("rk-b", ts(301)))
+        q.processAllAvailable()
+        val rows = spark.table("sess_close_out").as[SessionClosed].collect()
+          .filter(_.routingKey == "rk-a")
+        assert(rows.toSeq === Seq(SessionClosed("rk-a", 3, 100000)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
