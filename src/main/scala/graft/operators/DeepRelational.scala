@@ -238,6 +238,20 @@ object DeepRelational {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R22 — error-safe evaluation surface: try_cast / try_divide return
+    // NULL instead of raising — the semantics a 100 TB batch needs (one
+    // malformed row must not kill a 6-hour job). Mirrors the reference's
+    // drop-don't-crash handling of undecodable messages (app/app.py:433-443).
+    "q_try_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+          expr("try_cast(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS INT)").as("pri_int"),
+          floorRound(expr("try_divide(o_totalprice, o_custkey % 3)"), 4).as("per_mod"),
+          expr("try_cast(o_orderdate AS STRING)").as("date_str"))
+        .orderBy("o_orderkey")),
+
     // R22 — null semantics: NULLIF / COALESCE / IS NULL / null-safe
     // equality (<=> ≡ IS NOT DISTINCT FROM). Three-valued logic is where
     // engines drift; pin it.
@@ -376,6 +390,14 @@ object DeepRelational {
                 CAST(count(*) AS BIGINT) AS n
          FROM customer WHERE c_custkey < 40
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+                TRY_CAST(o_orderpriority AS INT) AS bad_int,
+                TRY_CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS INT) AS pri_int,
+                floor((CASE WHEN o_custkey % 3 = 0 THEN NULL
+                            ELSE o_totalprice / (o_custkey % 3) END) * 10000 + 0.5) / 10000 AS per_mod,
+                CAST(o_orderdate AS VARCHAR) AS date_str
+         FROM orders ORDER BY o_orderkey""",
     "q_null_semantics" ->
       """SELECT o_orderkey,
                 nullif(o_orderstatus, 'O') AS st,
