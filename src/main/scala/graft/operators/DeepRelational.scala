@@ -267,6 +267,37 @@ object DeepRelational {
           (col("st") <=> lit("F")).as("is_f_nullsafe"))
         .orderBy("o_orderkey")),
 
+    // R9 — several COUNT(DISTINCT ·) in ONE aggregation: Catalyst plans
+    // this with Expand (one replicated row-set per distinct column) +
+    // partial aggregation — a single pass instead of N self-joined
+    // single-distinct aggregates.
+    "q_multi_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("u_users"),
+          countDistinct(col("event_id") % 100).as("u_idmod"),
+          countDistinct(to_date(col("ts"))).as("u_days"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // R9 scale path — MERGEABLE distinct-count sketches (Apache
+    // DataSketches HLL): per-day sketches union into a per-type total
+    // without re-touching raw data. At 100 TB this is THE distinct-count
+    // pattern: daily jobs persist tiny sketches, rollups merge them.
+    // Estimates are engine-specific ⇒ rows-only check; accuracy vs exact
+    // is spec-pinned (±5%).
+    "q_hll_union" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_day"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+          sum(col("exact_day")).as("sum_daily_exact"))
+        .orderBy("event_type")),
+
     // R10 — rank-distribution surface: percent_rank / cume_dist / first /
     // last / nth over a unique total order (no rounding needed — both
     // engines divide the same integers).
@@ -390,6 +421,13 @@ object DeepRelational {
                 CAST(count(*) AS BIGINT) AS n
          FROM customer WHERE c_custkey < 40
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_multi_distinct" ->
+      """SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS u_users,
+                CAST(count(DISTINCT event_id % 100) AS BIGINT) AS u_idmod,
+                CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS u_days,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_try_funcs" ->
       """SELECT o_orderkey,
                 TRY_CAST(o_orderpriority AS INT) AS bad_int,

@@ -121,6 +121,21 @@ object TextQueries {
         .select(col("doc_id"), rollingFingerprint("text").as("fp"))
         .filter(col("fp").isNotNull)
         .orderBy("doc_id")
+    }),
+
+    // R20/R10 — corpus heavy hitters (boilerplate detection): top-10 tokens
+    // by frequency through the GLOBAL TopKPerKey path (empty grouping →
+    // AllTuples distribution: per-partition heaps, single k-row merge — the
+    // vocabulary never needs a full sort).
+    "t_heavy_hitters" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      graft.plans.TopK.perKey(counts, keys = Seq(),
+          order = Seq(graft.plans.TopK.Ord("n", desc = true),
+                      graft.plans.TopK.Ord("term")), k = 10)
+        .select(col("rk"), col("term"), col("n"))
+        .orderBy("rk")
     })
   )
 
@@ -183,6 +198,13 @@ object TextQueries {
          FROM scored WHERE rk = 1 ORDER BY doc_id""",
     "t_fingerprint" ->
       """SELECT doc_id, sha256(text) AS sha, substring(sha256(text), 1, 4) AS shard_key
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "t_heavy_hitters" ->
+      """WITH c AS (
+           SELECT t AS term, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           GROUP BY t)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk, term, n
+         FROM c ORDER BY n DESC, term LIMIT 10"""
   )
 }

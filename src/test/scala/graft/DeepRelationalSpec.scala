@@ -77,6 +77,20 @@ class DeepRelationalSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"))
   }
 
+  test("R9: merged HLL sketches estimate distinct users within 5% of exact") {
+    val rows = SparkEntry.queries("q_hll_union")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (et, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(et).toDouble
+      assert(math.abs(approx - e) / e <= 0.05, s"$et: approx=$approx exact=$e")
+    }
+  }
+
   test("R4: q14 promo share is a valid percentage and months are complete") {
     val rows = SparkEntry.queries("q14_promo")(spark, d).collect()
     assert(rows.nonEmpty)
