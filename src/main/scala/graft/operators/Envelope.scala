@@ -102,6 +102,18 @@ object Envelope {
     */
   def jsonField(body: Column, path: String): Column = get_json_object(body, path)
 
+  /** P9 typed — extract one named field from a protobuf-text body
+    * (reference fixture A2, producer reference/ampq_publisher.py:38-52:
+    * `name: value` pairs, strings double-quoted, numbers bare). Returns the
+    * unquoted string value, null when the field is absent; callers cast to
+    * the typed column (`ampq_publisher.py` field types in FIXTURES.md §A2).
+    */
+  def protoTextField(body: Column, field: String): Column = {
+    val raw = regexp_extract(body, field + """:\s*("[^"]*"|[^\s|]+)""", 1)
+    when(raw === "", lit(null).cast(StringType))
+      .otherwise(regexp_replace(raw, "^\"|\"$", ""))
+  }
+
   /** P10 — uuid → ws location (reference/app/app.py:104-108). */
   def location(uuid: Column, secure: Boolean = false, host: String = "localhost"): Column =
     concat(lit(if (secure) "wss://" else "ws://"), lit(host), lit("/event-stream/"), uuid)

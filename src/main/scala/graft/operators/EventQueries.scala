@@ -64,6 +64,33 @@ object EventQueries {
         .withColumn("k_num", col("k").cast("long"))
         .orderBy("event_id")),
 
+    // P9 typed — the A2 MerchantCharge decode: build the reference
+    // producer's protobuf-text body (ampq_publisher.py:38-52) from event
+    // columns, then recover TYPED fields with Envelope.protoTextField —
+    // quoted strings unquoted, numerics cast (FIXTURES.md §A2). Proves the
+    // wire→typed-columns path the reference's ws_listener only does
+    // stringly (ws_listener.py:61-72).
+    "p_merchant_decode" -> ((s, d) => {
+      val body = concat(
+        lit("merchant_kind: \""), upper(col("event_type")),
+        lit("\" merchant_name: \"squonk\" merchant_id: "), col("user_id").cast("string"),
+        lit(" operation: OPERATION_ENUM_PROCESSING auth_code: "),
+        (col("event_id") % 900000 + 100000).cast("string"),
+        lit(" value: \""), floorRound(col("value"), 2).cast("string"),
+        lit("\" sqn: "), col("event_id").cast("string"))
+      ev(s, d)
+        .select(col("event_id"), body.as("body"))
+        .select(
+          col("event_id"),
+          Envelope.protoTextField(col("body"), "merchant_kind").as("merchant_kind"),
+          Envelope.protoTextField(col("body"), "merchant_id").cast("long").as("merchant_id"),
+          Envelope.protoTextField(col("body"), "auth_code").cast("long").as("auth_code"),
+          Envelope.protoTextField(col("body"), "value").as("value_str"),
+          Envelope.protoTextField(col("body"), "sqn").cast("long").as("sqn"),
+          Envelope.protoTextField(col("body"), "missing_field").as("absent"))
+        .orderBy("event_id")
+    }),
+
     // P6+P7 — POISON/empty guard composed with a type filter
     // (reference/app/app.py:463-468).
     "p_forward_filter" -> ((s, d) =>
@@ -133,6 +160,23 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p_merchant_decode" ->
+      """WITH b AS (
+           SELECT event_id,
+                  'merchant_kind: "' || upper(event_type) || '" merchant_name: "squonk" merchant_id: '
+                  || CAST(user_id AS VARCHAR) || ' operation: OPERATION_ENUM_PROCESSING auth_code: '
+                  || CAST(event_id % 900000 + 100000 AS VARCHAR) || ' value: "'
+                  || CAST(floor(value * 100 + 0.5) / 100 AS VARCHAR) || '" sqn: '
+                  || CAST(event_id AS VARCHAR) AS body
+           FROM events)
+         SELECT event_id,
+                regexp_replace(nullif(regexp_extract(body, 'merchant_kind:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS merchant_kind,
+                CAST(regexp_replace(nullif(regexp_extract(body, 'merchant_id:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS merchant_id,
+                CAST(regexp_replace(nullif(regexp_extract(body, 'auth_code:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS auth_code,
+                regexp_replace(nullif(regexp_extract(body, 'value:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS value_str,
+                CAST(regexp_replace(nullif(regexp_extract(body, 'sqn:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS sqn,
+                regexp_replace(nullif(regexp_extract(body, 'missing_field:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS absent
+         FROM b ORDER BY event_id""",
     "p_enrich_json" ->
       """SELECT event_id AS ess_ordinal, epoch_ms(ts) AS ess_timestamp,
          event_type AS message_type, json_extract_string(props, '$.k') AS k

@@ -103,4 +103,25 @@ class EnvelopeSpec extends SparkSpec {
     assert(parts.getString(2) === "ordinal: 2")
     assert(parts.getString(3) === "timestamp: 1746042171620")
   }
+
+  test("P9 typed: protoTextField decodes the A2 fixture's fields, null when absent") {
+    // exact A2 body (FIXTURES.md §A2 / ampq_publisher.py:38-52): quoted
+    // strings (ISO timestamp with colons inside the quotes), bare numerics
+    val body = "timestamp: \"2025-04-30T19:20:37.926+00:00\" " +
+      "merchant_kind: \"DATA_MANAGER\" merchant_name: \"squonk\" merchant_id: 1 " +
+      "operation: OPERATION_ENUM_PROCESSING auth_code: 456782 value: \"0.50\" sqn: 1"
+    val r = Seq(body).toDF("b").select(
+      Envelope.protoTextField($"b", "timestamp").as("ts"),
+      Envelope.protoTextField($"b", "merchant_kind").as("mk"),
+      Envelope.protoTextField($"b", "merchant_id").cast("long").as("mid"),
+      Envelope.protoTextField($"b", "operation").as("op"),
+      Envelope.protoTextField($"b", "value").as("v"),
+      Envelope.protoTextField($"b", "nope").as("absent")).head()
+    assert(r.getString(0) === "2025-04-30T19:20:37.926+00:00")
+    assert(r.getString(1) === "DATA_MANAGER")
+    assert(r.getLong(2) === 1L)
+    assert(r.getString(3) === "OPERATION_ENUM_PROCESSING")
+    assert(r.getString(4) === "0.50")
+    assert(r.isNullAt(5))
+  }
 }
