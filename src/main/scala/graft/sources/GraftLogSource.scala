@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** A custom Structured Streaming source over an ordinal-ordered segment
+  * log — the faithful DataSourceV2 analog of the reference's RabbitMQ
+  * stream subscription (SURVEY.md §2.1 S1; reference/app/app.py:564-583).
+  *
+  * The log is a directory of append-only TSV segments
+  * (`ordinal \t ts_ms \t body` per line, `*.log`); segments play the
+  * broker's retention units. The source exposes the reference's consumer
+  * contract natively:
+  *
+  *   - **Offsets are ordinals** (broker offsets, app.py:404-407): the
+  *     streaming Offset is "last delivered ordinal", so Spark's
+  *     checkpointed offset tracking IS the reference's replay cursor.
+  *   - **Seek modes** (S2-S5, app.py:222-271) via options:
+  *     `startingOrdinal` (ordinal ≥ n), `startingTimestamp` (first
+  *     ordinal with broker ts ≥ ms), or `startingOffsets` =
+  *     `earliest` | `latest` (NEXT, the reference default).
+  *   - **Backpressure** (T6): `maxOrdinalsPerTrigger` through
+  *     [[SupportsAdmissionControl]] — the engine-side
+  *     `maxOffsetsPerTrigger` analog.
+  *   - **Per-stream total order** (T1, README.md:168-179): each micro
+  *     batch is ONE input partition, rows sorted by ordinal. Parallelism
+  *     lives across streams (one query per stream), exactly like the
+  *     reference's one-consumer-per-stream model.
+  *
+  * Scale note: `latestOffset` scans segment files on the driver per
+  * trigger; a production deployment fronts this with segment metadata
+  * (max ordinal per file name) exactly like Kafka's index — the file
+  * format here keeps the demo dependency-free while the OFFSET semantics
+  * (the part under test) are production-shaped.
+  */
+object GraftLog {
+  val Schema: StructType = StructType(Seq(
+    StructField("body", StringType),
+    StructField("ordinal", LongType),
+    StructField("ts_ms", LongType)))
+
+  /** Producer-side fixture (S8 analog): append one TSV segment. */
+  def writeSegment(dir: String, name: String, rows: Seq[(Long, Long, String)]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val content = rows.map { case (ord, ts, body) => s"$ord\t$ts\t$body" }.mkString("\n")
+    Files.write(Paths.get(dir, s"$name.log"), content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private[sources] def segmentFiles(dir: String): Seq[Path] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala.filter(_.toString.endsWith(".log")).toSeq.sortBy(_.toString)
+  }
+
+  /** (ordinal, ts_ms, body) of every record currently in the log. */
+  private[sources] def readAll(dir: String): Seq[(Long, Long, String)] =
+    segmentFiles(dir).flatMap { f =>
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(ord, ts, body) = line.split("\t", 3)
+          (ord.toLong, ts.toLong, body)
+        }
+    }
+
+  private[sources] def maxOrdinal(dir: String): Long = {
+    val all = readAll(dir)
+    if (all.isEmpty) -1L else all.map(_._1).max
+  }
+}
+
+/** Streaming offset = last delivered ordinal. */
+case class GraftLogOffset(ord: Long) extends Offset {
+  override def json: String = s"""{"ord":$ord}"""
+}
+
+object GraftLogOffset {
+  def fromJson(json: String): GraftLogOffset =
+    GraftLogOffset("""-?\d+""".r.findFirstIn(json).map(_.toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+}
+
+/** Entry point: `spark.readStream.format(classOf[GraftLogProvider].getName)`. */
+class GraftLogProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftLog.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftLogTable
+}
+
+class GraftLogTable extends Table with SupportsRead {
+  override def name(): String = "graft-log"
+  override def schema(): StructType = GraftLog.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = GraftLog.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftLogMicroBatch(options)
+    }
+}
+
+class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val dir = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("graft-log source needs option 'path'"))
+  private val startOrdinal = Option(options.get("startingOrdinal")).map(_.toLong)
+  private val startTimestamp = Option(options.get("startingTimestamp")).map(_.toLong)
+  private val startMode = Option(options.get("startingOffsets")).getOrElse("earliest")
+  private val maxPerTrigger = Option(options.get("maxOrdinalsPerTrigger")).map(_.toLong)
+  require(Seq(startOrdinal.isDefined, startTimestamp.isDefined).count(identity) <= 1,
+    "at most one of startingOrdinal / startingTimestamp (reference S6: WS close 1002)")
+
+  // S2-S5 — the consumer offset specification (app.py:226-266)
+  override def initialOffset(): Offset = {
+    val firstDeliverable: Long = (startOrdinal, startTimestamp) match {
+      case (Some(n), _) => n // ordinal ≥ n (0 ⇒ from first; README.md:200-203)
+      case (_, Some(ts)) => // first record with broker timestamp ≥ ts
+        GraftLog.readAll(dir).filter(_._2 >= ts).map(_._1)
+          .minOption.getOrElse(Long.MaxValue)
+      case _ if startMode == "latest" => GraftLog.maxOrdinal(dir) + 1 // NEXT
+      case _ => 0L // earliest
+    }
+    GraftLogOffset(firstDeliverable - 1)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control path is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLogOffset].ord
+    val avail = GraftLog.maxOrdinal(dir)
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(from + r.maxRows(), avail)
+      case _ => avail
+    }
+    GraftLogOffset(math.max(from, capped))
+  }
+
+  // ONE partition per batch: the stream's total-order contract (T1).
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    Array(GraftLogRange(dir,
+      start.asInstanceOf[GraftLogOffset].ord,
+      end.asInstanceOf[GraftLogOffset].ord))
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
+
+  override def deserializeOffset(json: String): Offset = GraftLogOffset.fromJson(json)
+  override def commit(end: Offset): Unit = () // retention is the log's concern (T2)
+  override def stop(): Unit = ()
+}
+
+case class GraftLogRange(dir: String, fromExclusive: Long, toInclusive: Long)
+  extends InputPartition
+
+object GraftLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[GraftLogRange]
+    val rows = GraftLog.readAll(r.dir)
+      .filter(t => t._1 > r.fromExclusive && t._1 <= r.toInclusive)
+      .sortBy(_._1) // ordinal order within the single partition (T1)
+      .iterator
+    new PartitionReader[InternalRow] {
+      private var current: (Long, Long, String) = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+      override def get(): InternalRow = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(current._3), current._1, current._2))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Replay
+import graft.sources.{GraftLog, GraftLogProvider}
+import graft.streaming.{EventStreamPipeline, StreamCoordinator}
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** The custom DataSourceV2 log source (SURVEY.md §2.1 S1): ordinal
+  * offsets, the reference's four seek modes, admission control, growth
+  * mid-stream, and the full service pipeline on top.
+  */
+class GraftLogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = classOf[GraftLogProvider].getName
+
+  private def newLog(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def stream(dir: String, opts: (String, String)*): DataFrame = {
+    val r = spark.readStream.format(fmt).option("path", dir)
+    opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  private def runToMemory(df: DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("S3: startingOrdinal delivers exactly ordinal >= n, in order") {
+    val dir = newLog("graftlog-ord")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 10L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-1", (10L until 20L).map(i => (i, 1000 + i, s"m$i")))
+    runToMemory(stream(dir, "startingOrdinal" -> "15"), "gl_ord")
+    val got = spark.table("gl_ord").select("ordinal").as[Long].collect().toSeq
+    assert(got === (15L until 20L))
+  }
+
+  test("S4: startingTimestamp starts at the first broker ts >= given") {
+    val dir = newLog("graftlog-ts")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 20L).map(i => (i, 1000 + 10 * i, s"m$i")))
+    runToMemory(stream(dir, "startingTimestamp" -> "1105"), "gl_ts")
+    val got = spark.table("gl_ts").select("ordinal").as[Long].collect().toSeq
+    assert(got === (11L until 20L)) // first ts >= 1105 is ordinal 11 (ts 1110)
+  }
+
+  test("S2: startingOffsets=latest is NEXT — only records appended after start") {
+    val dir = newLog("graftlog-next")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 5L).map(i => (i, 1000 + i, s"old$i")))
+    val df = stream(dir, "startingOffsets" -> "latest")
+    val q = df.writeStream.format("memory").queryName("gl_next").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gl_next").isEmpty) // nothing: all data predates start
+      GraftLog.writeSegment(dir, "seg-1", (5L until 8L).map(i => (i, 1000 + i, s"new$i")))
+      q.processAllAvailable()
+      val got = spark.table("gl_next").select("ordinal").as[Long].collect().toSeq
+      assert(got === (5L until 8L))
+    } finally q.stop()
+  }
+
+  test("S6: ordinal and timestamp seeks are mutually exclusive") {
+    val dir = newLog("graftlog-excl")
+    GraftLog.writeSegment(dir, "seg-0", Seq((0L, 1000L, "x")))
+    val err = intercept[Exception] {
+      runToMemory(stream(dir, "startingOrdinal" -> "1", "startingTimestamp" -> "5"), "gl_excl")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf).toSeq
+    assert(chain(err).exists(_.contains("at most one of")), err.toString)
+  }
+
+  test("T6: maxOrdinalsPerTrigger paces delivery; order survives batching") {
+    val dir = newLog("graftlog-pace")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 20L).map(i => (i, 1000 + i, s"m$i")))
+    val df = stream(dir, "maxOrdinalsPerTrigger" -> "6")
+    val q = df.writeStream.format("memory").queryName("gl_pace").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gl_pace").select("ordinal").as[Long].collect().toSeq
+      assert(got === (0L until 20L))
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4) // 20 rows / 6 per trigger
+      assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.numInputRows <= 6))
+    } finally q.stop()
+  }
+
+  test("S1 end-to-end: the service pipeline runs on the custom source") {
+    val dir = newLog("graftlog-svc")
+    // JSON bodies + one POISON + one empty, like real traffic
+    GraftLog.writeSegment(dir, "seg-0", Seq(
+      (1L, 1001L, """{"k": 7}"""),
+      (2L, 1002L, ""),
+      (3L, 1003L, """{"k": 9}""")))
+    val envelope = stream(dir)
+      .selectExpr("body", "ordinal", "ts_ms")
+    val sent = new ConcurrentLinkedQueue[String]()
+    val coord = new StreamCoordinator
+    val q = EventStreamPipeline.start(
+      spark, envelope, "graft-log-svc", Replay.FromOrdinal(0), coord, sent.add(_))
+    try {
+      q.processAllAvailable()
+      val out = sent.toArray(new Array[String](0)).toSeq
+      assert(out.size === 2) // empty body filtered (P7)
+      assert(out.head.contains("\"ess_ordinal\": 1") && out.head.contains("\"k\": 7"))
+      assert(out(1).contains("\"ess_ordinal\": 3"))
+    } finally coord.release("graft-log-svc")
+  }
+}
