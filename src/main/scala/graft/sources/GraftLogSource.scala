@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,12 +103,21 @@ class GraftLogTable extends Table with SupportsRead {
   override def name(): String = "graft-log"
   override def schema(): StructType = GraftLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = GraftLog.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftLogMicroBatch(options)
+      // dual-mode like Kafka: the same log is a bounded batch table (the
+      // retention-archive replay twin, SURVEY.md §2.1 S10)
+      override def toBatch: Batch = new Batch {
+        private val dir = Option(options.get("path")).getOrElse(
+          throw new IllegalArgumentException("graft-log source needs option 'path'"))
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogRange(dir, Long.MinValue, Long.MaxValue))
+        override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
+      }
     }
 }
 

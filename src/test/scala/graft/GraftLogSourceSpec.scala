@@ -87,6 +87,14 @@ class GraftLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S10: the same log reads as a bounded batch table (dual-mode)") {
+    val dir = newLog("graftlog-batch")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 7L).map(i => (i, 1000 + i, s"m$i")))
+    val df = spark.read.format(fmt).option("path", dir).load()
+    assert(df.count() === 7)
+    assert(df.selectExpr("sum(ordinal)").as[Long].head() === 21L)
+  }
+
   test("S1 end-to-end: the service pipeline runs on the custom source") {
     val dir = newLog("graftlog-svc")
     // JSON bodies + one POISON + one empty, like real traffic
