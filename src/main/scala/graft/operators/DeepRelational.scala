@@ -238,6 +238,39 @@ object DeepRelational {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R7 — higher-moment statistics: Spark emits POPULATION skewness g1 /
+    // excess kurtosis g2; DuckDB emits the SAMPLE estimators G1 / G2. The
+    // conversions are exact functions of n, so parity is algebra, not
+    // tolerance: G1 = g1·√(n(n−1))/(n−2), G2 = ((n+1)g2 + 6)·(n−1)/((n−2)(n−3)).
+    "q_skew_kurt" -> ((s, d) => {
+      val n = count(lit(1)).cast("double")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          floorRound(skewness(col("o_totalprice")) *
+            sqrt(n * (n - 1)) / (n - 2), 4).as("skew_sample"),
+          floorRound(((n + 1) * kurtosis(col("o_totalprice")) + 6) *
+            (n - 1) / ((n - 2) * (n - 3)), 4).as("kurt_sample"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // R7/R22 — argmin/argmax + bitwise/boolean aggregates. max_by/min_by
+    // order on the UNIQUE event_id so ties cannot make the result
+    // engine-dependent.
+    "q_minmax_by_bits" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("user_id"), col("event_id")).as("latest_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          expr("bit_and(user_id)").as("uid_and"),
+          expr("bit_or(user_id)").as("uid_or"),
+          expr("bit_xor(event_id)").as("eid_xor"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          expr("bool_or(value > 500)").as("any_large"))
+        .orderBy("event_type")),
+
     // R22 — array / higher-order-function surface: sequence, slice,
     // transform, aggregate, exists/forall, set ops (sorted for engine
     // parity), flatten, reverse-sort. Every lambda runs inside codegen.
@@ -450,6 +483,21 @@ object DeepRelational {
                 CAST(count(DISTINCT event_id % 100) AS BIGINT) AS u_idmod,
                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS u_days,
                 CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_skew_kurt" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                floor((skewness(o_totalprice)) * 10000 + 0.5) / 10000 AS skew_sample,
+                floor((kurtosis(o_totalprice)) * 10000 + 0.5) / 10000 AS kurt_sample
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_minmax_by_bits" ->
+      """SELECT event_type,
+                arg_max(user_id, event_id) AS latest_user,
+                arg_min(user_id, event_id) AS first_user,
+                CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+                CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+                CAST(bit_xor(event_id) AS BIGINT) AS eid_xor,
+                bool_and(value >= 0) AS all_nonneg,
+                bool_or(value > 500) AS any_large
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_array_funcs" ->
       """WITH a AS (
