@@ -238,6 +238,36 @@ object DeepRelational {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R22 — timestamp arithmetic: week truncation, part extraction,
+    // interval addition, epoch round-trip. All UTC (session TZ pinned).
+    "q_time_arith" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          date_trunc("week", col("ts")).cast("date").as("week_start"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("m"),
+          second(col("ts")).as("sec"),
+          unix_millis(col("ts") + expr("INTERVAL 90 MINUTES")).as("plus90m_ms"),
+          (unix_millis(col("ts")) / 1000L).cast("long").as("epoch_s"))
+        .orderBy("event_id")),
+
+    // R7/R22 — FILTER-clause and DISTINCT aggregates: per-group
+    // conditional aggregation without CASE scaffolding, plus sum/avg over
+    // distinct values (both planned through the same Expand machinery as
+    // multi-distinct).
+    "q_filtered_aggs" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_fa_events")
+      s.sql(
+        """SELECT event_type,
+                  CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+                  floor((sum(value) FILTER (WHERE user_id % 2 = 0)) * 100 + 0.5) / 100 AS even_user_value,
+                  CAST(sum(DISTINCT user_id % 10) AS BIGINT) AS sum_dist_mod,
+                  floor((avg(DISTINCT CAST(user_id % 7 AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_dist_mod
+           FROM graft_fa_events
+           GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // R7 — higher-moment statistics: Spark emits POPULATION skewness g1 /
     // excess kurtosis g2; DuckDB emits the SAMPLE estimators G1 / G2. The
     // conversions are exact functions of n, so parity is algebra, not
@@ -483,6 +513,22 @@ object DeepRelational {
                 CAST(count(DISTINCT event_id % 100) AS BIGINT) AS u_idmod,
                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS u_days,
                 CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_time_arith" ->
+      """SELECT event_id,
+                CAST(date_trunc('week', ts) AS DATE) AS week_start,
+                CAST(hour(ts) AS INT) AS h,
+                CAST(minute(ts) AS INT) AS m,
+                CAST(second(ts) AS INT) AS sec,
+                epoch_ms(ts + INTERVAL 90 MINUTE) AS plus90m_ms,
+                CAST(epoch_ms(ts) // 1000 AS BIGINT) AS epoch_s
+         FROM events ORDER BY event_id""",
+    "q_filtered_aggs" ->
+      """SELECT event_type,
+                CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+                floor((sum(value) FILTER (WHERE user_id % 2 = 0)) * 100 + 0.5) / 100 AS even_user_value,
+                CAST(sum(DISTINCT user_id % 10) AS BIGINT) AS sum_dist_mod,
+                floor((avg(DISTINCT CAST(user_id % 7 AS DOUBLE))) * 10000 + 0.5) / 10000 AS avg_dist_mod
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_skew_kurt" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
