@@ -238,6 +238,17 @@ object DeepRelational {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R20 ext — data-quality contract over lineitem: one-pass violation
+    // counts for the row-level constraints a training corpus ships with
+    // (DataQuality.violations; the observe() twin is spec-tested).
+    "q_quality_checks" -> ((s, d) =>
+      DataQuality.violations(Tables.lineitem(s, d), Seq(
+        DataQuality.Check("qty_pos", col("l_quantity") > 0),
+        DataQuality.Check("disc_range", col("l_discount") >= 0 && col("l_discount") <= 0.6),
+        DataQuality.Check("price_pos", col("l_extendedprice") > 0),
+        DataQuality.Check("shipdate_present", col("l_shipdate").isNotNull),
+        DataQuality.Check("flag_domain", col("l_returnflag").isin("A", "N", "R"))))),
+
     // R22 — timestamp arithmetic: week truncation, part extraction,
     // interval addition, epoch round-trip. All UTC (session TZ pinned).
     "q_time_arith" -> ((s, d) =>
@@ -514,6 +525,14 @@ object DeepRelational {
                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS u_days,
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_quality_checks" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_pos,
+                CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.6, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_disc_range,
+                CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_pos,
+                CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol_shipdate_present,
+                CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain
+         FROM lineitem""",
     "q_time_arith" ->
       """SELECT event_id,
                 CAST(date_trunc('week', ts) AS DATE) AS week_start,
