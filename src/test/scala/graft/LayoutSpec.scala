@@ -46,6 +46,24 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: later generations add columns; mergeSchema unifies, old rows null") {
+    val dir = Files.createTempDirectory("graft_evol").toString
+    // generation 1: the original corpus schema
+    Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .limit(10).write.parquet(s"$dir/docs/gen=1")
+    // generation 2: quality score added by a later pipeline run
+    Tables.documents(spark, d).select(col("doc_id"), col("text"),
+        length(col("text")).cast("double").as("quality"))
+      .limit(10).write.parquet(s"$dir/docs/gen=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
+    assert(unified.columns.toSet === Set("doc_id", "text", "quality", "gen"))
+    val byGen = unified.groupBy("gen")
+      .agg(count(lit(1)).as("n"), count(col("quality")).as("n_quality"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byGen(1) === ((10L, 0L)))  // old rows: quality null
+    assert(byGen(2) === ((10L, 10L)))
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.events(spark, d)
