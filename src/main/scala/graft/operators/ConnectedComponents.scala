@@ -28,10 +28,11 @@ object ConnectedComponents {
     */
   def ofEdges(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var labels = e.select(col("src").as("doc_id"))
-      .unionByName(e.select(col("dst").as("doc_id")))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // init = first neighbor-min fused into the node-set build: same
+    // aggregate the plain distinct would cost, one propagation round free
+    var labels = e.select(col("src").as("doc_id"), least(col("src"), col("dst")).as("label"))
+      .unionByName(e.select(col("dst").as("doc_id"), least(col("src"), col("dst")).as("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
       .localCheckpoint(true)
     var prevSum = Long.MinValue
     var curSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
