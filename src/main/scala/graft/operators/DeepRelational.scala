@@ -238,6 +238,16 @@ object DeepRelational {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R7/R12 — width_bucket histogram (Postgres semantics in both
+    // engines): equi-width bucketing with explicit bounds, the
+    // SQL-standard sibling of q_histogram's floor-division buckets.
+    "q_width_bucket" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(expr("width_bucket(o_totalprice, 0, 600000, 12)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          floorRound(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy("bucket")),
+
     // R20 ext — data-quality contract over lineitem: one-pass violation
     // counts for the row-level constraints a training corpus ships with
     // (DataQuality.violations; the observe() twin is spec-tested).
@@ -525,6 +535,15 @@ object DeepRelational {
                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS u_days,
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // DuckDB has no width_bucket: the oracle spells out its Postgres
+    // definition (underflow → 0, overflow → n+1, else equi-width + 1)
+    "q_width_bucket" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 600000 THEN 13
+                          ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                floor((avg(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
     "q_quality_checks" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_pos,
