@@ -95,6 +95,26 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(df.selectExpr("sum(ordinal)").as[Long].head() === 21L)
   }
 
+  test("T2: checkpointed restart resumes from the committed ordinal (deserializeOffset path)") {
+    val dir = newLog("graftlog-restart")
+    val ckpt = Files.createTempDirectory("graftlog-ckpt").toString
+    GraftLog.writeSegment(dir, "seg-0", (0L until 5L).map(i => (i, 1000 + i, s"m$i")))
+    def consumeOnce(): Seq[Long] = {
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = stream(dir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("ordinal").collect().foreach(r => sink.add(r.getLong(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      sink.toArray(new Array[java.lang.Long](0)).toSeq.map(_.longValue)
+    }
+    assert(consumeOnce() === (0L until 5L))
+    GraftLog.writeSegment(dir, "seg-1", (5L until 9L).map(i => (i, 1000 + i, s"m$i")))
+    // a fresh query on the same checkpoint must resume AFTER ordinal 4
+    assert(consumeOnce() === (5L until 9L))
+  }
+
   test("S1 end-to-end: the service pipeline runs on the custom source") {
     val dir = newLog("graftlog-svc")
     // JSON bodies + one POISON + one empty, like real traffic

@@ -39,4 +39,29 @@ class StreamStaticSpec extends SparkSpec {
         "m2|x|es_id: 2|ordinal: 2|timestamp: 20"))
     } finally coord.release("ss-join")
   }
+
+  test("stream-stream join: two watermarked streams pair within the time bound") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // views ⋈ purchases per user within 10 minutes — the funnel-attribution
+    // shape; both sides watermarked so join state is bounded (T3/T4)
+    val views = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val v = views.toDF().toDF("user_id", "v_ts").withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "10 minutes")
+    val joined = v.join(p,
+      expr("""user_id = p_user AND p_ts BETWEEN v_ts AND v_ts + INTERVAL 10 minutes"""))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_funnel").start()
+    try {
+      views.addData((1L, ts(100)), (2L, ts(100)))
+      purchases.addData((1L, ts(400)))   // within 10 min of user 1's view
+      purchases.addData((2L, ts(5000)))  // outside the window for user 2
+      q.processAllAvailable()
+      val rows = spark.table("ss_funnel")
+        .selectExpr("user_id", "cast(v_ts as long)", "cast(p_ts as long)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows === Seq((1L, 100L, 400L)))
+    } finally q.stop()
+  }
 }
