@@ -238,6 +238,33 @@ object DeepRelational {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R17/R22 — RECURSIVE CTE (Spark 4): transitive closure walking the
+    // near-dup chain edges from each chain start — an independent
+    // SQL-level witness of the d_dedup_cluster components (and the
+    // recursive-query surface itself). The edge table is materialized
+    // ONCE (localCheckpoint) before the recursion: Spark re-executes
+    // non-materialized CTEs on every recursive step, which turned the
+    // token self-join into a per-iteration cost. Recursion depth is the
+    // longest chain — data-small even at corpus scale.
+    "q_recursive_cte" -> ((s, d) => {
+      DedupQueries.adjacentJaccard(s, d).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a")).localCheckpoint(true)
+        .createOrReplaceTempView("graft_rc_edge")
+      s.sql(
+        """WITH RECURSIVE
+             roots AS (
+               SELECT e.doc_a AS doc_id FROM graft_rc_edge e
+               LEFT JOIN graft_rc_edge prev ON prev.doc_a = e.doc_a - 1
+               WHERE prev.doc_a IS NULL),
+             walk(root, doc_id, depth) AS (
+               SELECT doc_id, doc_id, 0 FROM roots
+               UNION ALL
+               SELECT w.root, w.doc_id + 1, w.depth + 1
+               FROM walk w JOIN graft_rc_edge e ON e.doc_a = w.doc_id)
+           SELECT root, doc_id, CAST(depth AS BIGINT) AS depth
+           FROM walk ORDER BY root, doc_id""")
+    }),
+
     // R7/R12 — width_bucket histogram (Postgres semantics in both
     // engines): equi-width bucketing with explicit bounds, the
     // SQL-standard sibling of q_histogram's floor-division buckets.
@@ -535,6 +562,32 @@ object DeepRelational {
                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS u_days,
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE
+           tok AS (
+             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+           sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+           inter AS (
+             SELECT a.doc_id AS doc_a, CAST(count(*) AS BIGINT) AS i
+             FROM tok a JOIN tok b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+             GROUP BY a.doc_id),
+           edge AS (
+             SELECT doc_a FROM inter
+               JOIN sz sa ON sa.doc_id = doc_a
+               JOIN sz sb ON sb.doc_id = doc_a + 1
+             WHERE floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.5),
+           roots AS (
+             SELECT e.doc_a AS doc_id FROM edge e
+             LEFT JOIN edge prev ON prev.doc_a = e.doc_a - 1
+             WHERE prev.doc_a IS NULL),
+           walk(root, doc_id, depth) AS (
+             SELECT doc_id, doc_id, 0 FROM roots
+             UNION ALL
+             SELECT w.root, w.doc_id + 1, w.depth + 1
+             FROM walk w JOIN edge e ON e.doc_a = w.doc_id)
+         SELECT root, doc_id, CAST(depth AS BIGINT) AS depth
+         FROM walk ORDER BY root, doc_id""",
     // DuckDB has no width_bucket: the oracle spells out its Postgres
     // definition (underflow → 0, overflow → n+1, else equi-width + 1)
     "q_width_bucket" ->
