@@ -12,6 +12,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from the run log. sbt's
+// default LoggedOutput decorates every forked-process line with "[info] ",
+// which broke that parse in rounds 1-2 (BENCH_r0{1,2}.json "parsed": null).
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim, and
+// showSuccess drops the trailing "[success] Total time" line so the JSON
+// line is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

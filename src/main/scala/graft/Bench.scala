@@ -9,7 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver tail-parses stdout for the JSON line
+    // below, and WARN spam (WindowExec single-partition notes, function
+    // re-registration) both bloats the captured tail and risks interleaving
+    // with the metric line.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKRewrite.enable(spark)
     // Warm the JVM/codegen/scan paths so per-query timings are not skewed
     // by one-time session setup landing on whichever query runs first.
@@ -39,7 +43,11 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"total":${fmt(total)},"queries":${render(results.toSeq.sortBy(_._1))}}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so no executor/shutdown logging can land
+    // after the metric line — it must be the final line of stdout for the
+    // driver's parse.
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -58,6 +58,14 @@ object ConnectedComponents {
       labels = next
       round += 1
     }
+    // Exiting on the round cap without the sum fixpoint means the labels
+    // are only partially propagated — silently returning them would hand
+    // callers (e.g. d_dedup_cluster) wrong component ids with no signal.
+    // Convergence is already measured at this point, so fail loudly.
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxRounds rounds " +
+          s"(label sum still moving: $prevSum -> $curSum); raise maxRounds")
     labels
   }
 }

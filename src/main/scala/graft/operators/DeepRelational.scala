@@ -352,6 +352,10 @@ object DeepRelational {
     // R22 — array / higher-order-function surface: sequence, slice,
     // transform, aggregate, exists/forall, set ops (sorted for engine
     // parity), flatten, reverse-sort. Every lambda runs inside codegen.
+    // Array-valued results are serialized with array_join: the driver's
+    // comparator cannot hash list cells (round-2 'unhashable numpy.ndarray'
+    // crash left this oracle unchecked), so both engines emit the same
+    // comma-joined string instead.
     "q_array_funcs" -> ((s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"),
@@ -359,17 +363,17 @@ object DeepRelational {
           sequence(lit(2L), (col("c_nationkey") % 7 + 2).cast("long")).as("seq2"))
         .select(
           col("c_custkey"),
-          col("seq"),
+          array_join(col("seq"), ",").as("seq"),
           size(col("seq")).as("n"),
-          expr("slice(seq, 1, 2)").as("first2"),
+          array_join(expr("slice(seq, 1, 2)"), ",").as("first2"),
           expr("CAST(aggregate(seq, 0L, (a, x) -> a + x) AS BIGINT)").as("sum_seq"),
-          expr("transform(seq, x -> x * x)").as("squares"),
+          array_join(expr("transform(seq, x -> x * x)"), ",").as("squares"),
           expr("exists(seq, x -> x % 2 = 0)").as("has_even"),
           expr("forall(seq, x -> x > 0)").as("all_pos"),
-          array_sort(array_intersect(col("seq"), col("seq2"))).as("inter_sorted"),
-          array_sort(array_except(col("seq2"), col("seq"))).as("extra_sorted"),
-          sort_array(col("seq"), asc = false).as("seq_desc"),
-          flatten(array(col("seq"), col("seq"))).as("doubled"))
+          array_join(array_sort(array_intersect(col("seq"), col("seq2"))), ",").as("inter_sorted"),
+          array_join(array_sort(array_except(col("seq2"), col("seq"))), ",").as("extra_sorted"),
+          array_join(sort_array(col("seq"), asc = false), ",").as("seq_desc"),
+          array_join(flatten(array(col("seq"), col("seq"))), ",").as("doubled"))
         .orderBy("c_custkey")),
 
     // R22 — error-safe evaluation surface: try_cast / try_divide return
@@ -642,17 +646,19 @@ object DeepRelational {
                   generate_series(1, c_nationkey % 5 + 1) AS seq,
                   generate_series(2, c_nationkey % 7 + 2) AS seq2
            FROM customer)
-         SELECT c_custkey, seq,
+         SELECT c_custkey,
+                array_to_string(seq, ',') AS seq,
                 CAST(len(seq) AS INT) AS n,
-                list_slice(seq, 1, 2) AS first2,
+                array_to_string(list_slice(seq, 1, 2), ',') AS first2,
                 CAST(list_sum(seq) AS BIGINT) AS sum_seq,
-                list_transform(seq, x -> x * x) AS squares,
+                array_to_string(list_transform(seq, x -> x * x), ',') AS squares,
                 len(list_filter(seq, x -> x % 2 = 0)) > 0 AS has_even,
                 len(list_filter(seq, x -> x <= 0)) = 0 AS all_pos,
-                list_sort(list_intersect(seq, seq2)) AS inter_sorted,
-                list_sort(list_filter(seq2, x -> NOT list_contains(seq, x))) AS extra_sorted,
-                list_sort(seq, 'DESC') AS seq_desc,
-                flatten([seq, seq]) AS doubled
+                -- DuckDB array_to_string(empty)=NULL but Spark array_join(empty)='' 
+                coalesce(array_to_string(list_sort(list_intersect(seq, seq2)), ','), '') AS inter_sorted,
+                coalesce(array_to_string(list_sort(list_filter(seq2, x -> NOT list_contains(seq, x))), ','), '') AS extra_sorted,
+                array_to_string(list_sort(seq, 'DESC'), ',') AS seq_desc,
+                array_to_string(flatten([seq, seq]), ',') AS doubled
          FROM a ORDER BY c_custkey""",
     "q_try_funcs" ->
       """SELECT o_orderkey,

@@ -109,7 +109,14 @@ object Envelope {
     * the typed column (`ampq_publisher.py` field types in FIXTURES.md §A2).
     */
   def protoTextField(body: Column, field: String): Column = {
-    val raw = regexp_extract(body, field + """:\s*("[^"]*"|[^\s|]+)""", 1)
+    // Left-anchored ((?:^|\s)) and literal-quoted so a field that is a
+    // suffix of another never matches the wrong pair ("id" must not hit
+    // "merchant_id") — real protobuf-text field semantics, mirrored
+    // verbatim in the p_merchant_decode oracle SQL.
+    val raw = regexp_extract(
+      body,
+      """(?:^|\s)""" + java.util.regex.Pattern.quote(field) + """:\s*("[^"]*"|[^\s|]+)""",
+      1)
     when(raw === "", lit(null).cast(StringType))
       .otherwise(regexp_replace(raw, "^\"|\"$", ""))
   }

@@ -60,7 +60,15 @@ object GraftLog {
   private[sources] def segmentFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.filter(_.toString.endsWith(".log")).toSeq.sortBy(_.toString)
+    else {
+      // Files.list holds the directory fd until closed; this runs per
+      // trigger (latestOffset) and per partition read, so an unclosed
+      // stream leaks one fd per micro-batch until GC (EMFILE risk on a
+      // long-running query). Materialize then close.
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(_.toString.endsWith(".log")).toSeq.sortBy(_.toString)
+      finally s.close()
+    }
   }
 
   /** (ordinal, ts_ms, body) of every record currently in the log. */
@@ -138,8 +146,12 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
     val firstDeliverable: Long = (startOrdinal, startTimestamp) match {
       case (Some(n), _) => n // ordinal ≥ n (0 ⇒ from first; README.md:200-203)
       case (_, Some(ts)) => // first record with broker timestamp ≥ ts
+        // No currently-matching record ⇒ NEXT semantics (maxOrdinal+1),
+        // NOT Long.MaxValue: a broker TIMESTAMP seek still delivers
+        // records that arrive later with ts ≥ the requested point, so the
+        // cursor must rest at the log head, not pin the stream shut.
         GraftLog.readAll(dir).filter(_._2 >= ts).map(_._1)
-          .minOption.getOrElse(Long.MaxValue)
+          .minOption.getOrElse(GraftLog.maxOrdinal(dir) + 1)
       case _ if startMode == "latest" => GraftLog.maxOrdinal(dir) + 1 // NEXT
       case _ => 0L // earliest
     }
