@@ -35,11 +35,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.defs ++ RelationalQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++
-      ExtendedQueries.defs ++ DeepRelational.defs
+      ExtendedQueries.defs ++ DeepRelational.defs ++ Round3Queries.defs
 
   /** DuckDB-runnable ANSI SQL twin for each SQL-expressible query. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles ++
-      ExtendedQueries.oracles ++ DeepRelational.oracles
+      ExtendedQueries.oracles ++ DeepRelational.oracles ++ Round3Queries.oracles
 }
