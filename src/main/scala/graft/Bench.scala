@@ -16,9 +16,14 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKRewrite.enable(spark)
     // Warm the JVM/codegen/scan paths so per-query timings are not skewed
-    // by one-time session setup landing on whichever query runs first.
+    // by one-time session setup landing on whichever query runs first
+    // (d_dedup_cluster sorts first and was absorbing the documents-table
+    // cold scan + file-index build).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
+    Seq("documents", "events", "embeddings", "customer", "orders", "part")
+      .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

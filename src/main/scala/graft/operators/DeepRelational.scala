@@ -244,12 +244,24 @@ object DeepRelational {
     // recursive-query surface itself). The edge table is materialized
     // ONCE (localCheckpoint) before the recursion: Spark re-executes
     // non-materialized CTEs on every recursive step, which turned the
-    // token self-join into a per-iteration cost. Recursion depth is the
-    // longest chain — data-small even at corpus scale.
+    // token self-join into a per-iteration cost.
+    //
+    // The recursive member strides TWO hops per iteration over a
+    // precomputed two-hop edge table (pairs of consecutive edges), and a
+    // final one-hop expansion fills in the odd depths — the result set is
+    // identical to the naive one-hop walk (the unchanged oracle
+    // hash-proves it) but iteration count halves. Each recursion step is
+    // driver-overhead-bound (the worktable is tiny), so at any corpus
+    // scale step count, not per-step data, is the cost to cut.
     "q_recursive_cte" -> ((s, d) => {
-      DedupQueries.adjacentJaccard(s, d).filter(col("jaccard") >= 0.5)
+      val e = DedupQueries.adjacentJaccard(s, d).filter(col("jaccard") >= 0.5)
         .select(col("doc_a")).localCheckpoint(true)
-        .createOrReplaceTempView("graft_rc_edge")
+      e.createOrReplaceTempView("graft_rc_edge")
+      e.as("e1").join(e.as("e2"), col("e2.doc_a") === col("e1.doc_a") + 1)
+        .select(col("e1.doc_a")).localCheckpoint(true)
+        .createOrReplaceTempView("graft_rc_edge2")
+      // the even-depth walk is referenced twice below (identity + one-hop
+      // expansion); checkpoint it so the recursion executes ONCE
       s.sql(
         """WITH RECURSIVE
              roots AS (
@@ -259,10 +271,17 @@ object DeepRelational {
              walk(root, doc_id, depth) AS (
                SELECT doc_id, doc_id, 0 FROM roots
                UNION ALL
-               SELECT w.root, w.doc_id + 1, w.depth + 1
-               FROM walk w JOIN graft_rc_edge e ON e.doc_a = w.doc_id)
-           SELECT root, doc_id, CAST(depth AS BIGINT) AS depth
-           FROM walk ORDER BY root, doc_id""")
+               SELECT w.root, w.doc_id + 2, w.depth + 2
+               FROM walk w JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id)
+           SELECT root, doc_id, depth FROM walk""")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("graft_rc_walk")
+      s.sql(
+        """SELECT root, doc_id, CAST(depth AS BIGINT) AS depth FROM graft_rc_walk
+           UNION ALL
+           SELECT w.root, w.doc_id + 1, CAST(w.depth + 1 AS BIGINT) AS depth
+           FROM graft_rc_walk w JOIN graft_rc_edge e ON e.doc_a = w.doc_id
+           ORDER BY root, doc_id""")
     }),
 
     // R7/R12 — width_bucket histogram (Postgres semantics in both
