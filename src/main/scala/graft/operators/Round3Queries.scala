@@ -84,6 +84,36 @@ object Round3Queries {
         .orderBy("doc_id")
     }),
 
+    // R5/R10 — LATERAL correlated subquery join: per customer, the single
+    // most expensive order (deterministic tie-break on key). Catalyst
+    // plans the correlated LIMIT 1 as a per-key top-1, not a per-row
+    // re-execution; same shape as the max_by/TopKPerKey paths but through
+    // the SQL-standard LATERAL surface.
+    "q_lateral_join" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+      s.sql(
+        """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+           FROM graft_lat_customer c,
+             LATERAL (
+               SELECT o.o_orderkey, o.o_totalprice
+               FROM graft_lat_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+               LIMIT 1) t
+           ORDER BY c.c_custkey""")
+    }),
+
+    // R7 — exact grouped median (interpolated for even counts in both
+    // engines): single-pass sort-based agg per group.
+    "q_median" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          floorRound(expr("median(o_totalprice)"), 4).as("med_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // R21 — resize planning: aspect-preserving target dimensions for a
     // 224-box from (synthetic, deterministic) source dims. Completes the
     // multimodal op set (decode ✓ features ✓ frame-sample ✓ resize).
@@ -147,6 +177,21 @@ object Round3Queries {
                        / len(list_distinct(list_concat(a.g, b.g)))) * 10000 + 0.5) / 10000 AS jacc
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          ORDER BY doc_id""",
+    "q_lateral_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+           LATERAL (
+             SELECT o.o_orderkey, o.o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o.o_totalprice DESC, o.o_orderkey
+             LIMIT 1) t
+         ORDER BY c.c_custkey""",
+    "q_median" ->
+      """SELECT o_orderpriority,
+                floor(median(o_totalprice) * 10000 + 0.5) / 10000 AS med_price,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "m_resize_plan" ->
       """WITH dims AS (
            SELECT doc_id AS asset_id,

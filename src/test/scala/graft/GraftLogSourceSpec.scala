@@ -47,6 +47,23 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(got === (11L until 20L)) // first ts >= 1105 is ordinal 11 (ts 1110)
   }
 
+  test("S4: startingTimestamp with no current match falls back to NEXT, not forever-empty") {
+    val dir = newLog("graftlog-ts-future")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 5L).map(i => (i, 1000 + i, s"old$i")))
+    // requested ts is beyond every current record: a broker TIMESTAMP seek
+    // must still deliver records that ARRIVE later with ts >= the request
+    val df = stream(dir, "startingTimestamp" -> "5000")
+    val q = df.writeStream.format("memory").queryName("gl_ts_future").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gl_ts_future").isEmpty)
+      GraftLog.writeSegment(dir, "seg-1", (5L until 8L).map(i => (i, 5000 + i, s"new$i")))
+      q.processAllAvailable()
+      val got = spark.table("gl_ts_future").select("ordinal").as[Long].collect().toSeq
+      assert(got === (5L until 8L), "later-arriving matching records must be delivered")
+    } finally q.stop()
+  }
+
   test("S2: startingOffsets=latest is NEXT — only records appended after start") {
     val dir = newLog("graftlog-next")
     GraftLog.writeSegment(dir, "seg-0", (0L until 5L).map(i => (i, 1000 + i, s"old$i")))
