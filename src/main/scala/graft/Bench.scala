@@ -21,13 +21,27 @@ object Bench {
     // cold scan + file-index build).
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
-    Seq("documents", "events", "embeddings", "customer", "orders", "part")
+    // events.parquet carries INT64 TIMESTAMP(NANOS) which a bare
+    // spark.read.parquet rejects (README gotcha); warm it through
+    // Tables.events so the scan actually warms and no ERROR stack trace
+    // lands in the driver's 2000-char stdout tail above the metric line.
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+    Seq("documents", "embeddings", "customer", "orders", "part")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          errors += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(80).replaceAll("[\"\\n\\r]", " ")}"
+          false
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // Failed queries get a NEGATED timing so they are unmistakable in both
+      // bench_full.json and the metric line (a -1.23 can never be confused
+      // with a passing elapsed time).
+      name -> (if (ok) secs else -secs)
     }.toMap
     // The driver tail-captures ~2000 chars of the run log, so the printed
     // line must stay well under that (round 1's full-precision line got
@@ -41,18 +55,19 @@ object Bench {
     }
     def render(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val slowest = results.toSeq.sortBy(-_._2).take(45).sortBy(_._1)
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
+    val slowest = results.toSeq.sortBy(r => -math.abs(r._2)).take(45).sortBy(_._1)
     val omitted = results.size - slowest.size
+    val errJson = errors.take(10).map(e => "\"" + e + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"queries":${render(results.toSeq.sortBy(_._1))}}""")
+      s"""{"total":${fmt(total)},"failed":${errors.size},"errors":$errJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no executor/shutdown logging can land
     // after the metric line — it must be the final line of stdout for the
     // driver's parse.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

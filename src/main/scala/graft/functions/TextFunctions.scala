@@ -66,8 +66,19 @@ object TextFunctions {
   def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
 
   /** Rolling-hash document fingerprint (winnowing-style): the minimum
-    * xxhash64 over 5-gram shingles — a cheap near-dup prefilter key.
+    * xxhash64 over 5-gram shingles — a cheap near-dup prefilter key. The
+    * fastest form for production sharding; hash values are engine-specific
+    * (spec-tested, not oracle-able).
     */
   def rollingFingerprint(textSql: String): Column =
     expr(s"array_min(transform(graft_shingles($textSql, 5), sh -> xxhash64(sh)))")
+
+  /** Oracle-able twin of [[rollingFingerprint]]: minimum md5 hex digest
+    * over the same 5-gram shingles. Winnowing only needs SOME uniform hash,
+    * and md5 produces identical lowercase hex in Spark and DuckDB, so the
+    * selected fingerprint value itself is verifiable cross-engine
+    * (lexicographic min of hex strings = min of the 128-bit values).
+    */
+  def rollingFingerprintMd5(textSql: String): Column =
+    expr(s"array_min(transform(graft_shingles($textSql, 5), sh -> md5(sh)))")
 }

@@ -444,8 +444,13 @@ object DeepRelational {
     // pattern: daily jobs persist tiny sketches, rollups merge them.
     // Estimates are engine-specific ⇒ rows-only check; accuracy vs exact
     // is spec-pinned (±5%).
-    "q_hll_union" -> ((s, d) =>
-      Tables.events(s, d)
+    "q_hll_union" -> ((s, d) => {
+      // Datasketches HLL mergeability: per-day sketches union into the
+      // per-type total without re-reading raw data. Oracled as an accuracy
+      // invariant — the union estimate is sketch-specific, so the hashed
+      // columns are the exact overall distinct count, the (exact) sum of
+      // daily distincts, and a |union_est − exact| / exact ≤ 0.05 bound.
+      val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"),
           countDistinct(col("user_id")).as("exact_day"))
@@ -453,7 +458,15 @@ object DeepRelational {
         .agg(
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
           sum(col("exact_day")).as("sum_daily_exact"))
-        .orderBy("event_type")),
+      val exact = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      daily.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"), col("sum_daily_exact"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("union_within_5pct"))
+        .orderBy("event_type")
+    }),
 
     // R10 — rank-distribution surface: percent_rank / cume_dist / first /
     // last / nth over a unique total order (no rounding needed — both
@@ -578,6 +591,19 @@ object DeepRelational {
                 CAST(count(*) AS BIGINT) AS n
          FROM customer WHERE c_custkey < 40
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_hll_union" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_day
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events GROUP BY 1)
+         SELECT t.event_type, t.exact_users,
+                CAST(sum(d.exact_day) AS BIGINT) AS sum_daily_exact,
+                TRUE AS union_within_5pct
+         FROM tot t JOIN daily d ON t.event_type = d.event_type
+         GROUP BY t.event_type, t.exact_users ORDER BY t.event_type""",
     "q_multi_distinct" ->
       """SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS u_users,

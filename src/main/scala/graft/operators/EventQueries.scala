@@ -123,12 +123,19 @@ object EventQueries {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
         .orderBy("user_id")),
 
-    // R11 — gap detection over the purchase sub-stream (README.md:229-233).
+    // R11 — gap detection over the purchase sub-stream (README.md:229-233),
+    // via the windowless join-based Replay.gapStats: no single-partition
+    // window anywhere in the plan, so the same query survives a 100 TB
+    // stream (the round-3 lag-window form was flagged as a scale-killer).
     "r_gap_detect" -> ((s, d) =>
-      Replay.gaps(ev(s, d).filter(col("event_type") === "purchase"), col("event_id"))
-        .agg(
-          count(lit(1)).as("n_gaps"),
-          coalesce(sum(col("__gap")), lit(0L)).cast(LongType).as("lost"))),
+      Replay.gapStats(ev(s, d).filter(col("event_type") === "purchase"), "event_id")),
+
+    // R11 per stream — the reference's ordinals are per-routing-key, so the
+    // production audit is one gap row per stream: run starts via the
+    // (key, ordinal+1) anti-join shuffle, spans via a keyed aggregate.
+    "r_gap_detect_per_stream" -> ((s, d) =>
+      Replay.gapStats(ev(s, d), "event_id", Seq("event_type"))
+        .orderBy("event_type")),
 
     // R12 — windowed stats every N messages: the reference logs counters every
     // 800 messages (reference/app/app.py:93,515-518); batch twin = bucket by
@@ -224,6 +231,17 @@ object EventQueries {
          FROM (SELECT event_id - lag(event_id) OVER (ORDER BY event_id) - 1 AS gap
                FROM events WHERE event_type = 'purchase')
          WHERE gap > 0""",
+    // independent formulation (lag window per key) checks the join-based
+    // runs/span algebra in Replay.gapStats
+    "r_gap_detect_per_stream" ->
+      """SELECT event_type,
+                CAST(count(CASE WHEN gap > 0 THEN 1 END) AS BIGINT) AS n_gaps,
+                CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) AS lost
+         FROM (SELECT event_type,
+                      event_id - lag(event_id) OVER (PARTITION BY event_type
+                        ORDER BY event_id) - 1 AS gap
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "r_stats_every_800" ->
       """SELECT CAST(floor(event_id / 800) AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS received,

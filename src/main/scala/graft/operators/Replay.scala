@@ -30,17 +30,50 @@ object Replay {
 
   /** S6 — seek-param mutual exclusion (reference/app/app.py:222-278): at most
     * one seek parameter may be supplied; >1 is a protocol error (WS close
-    * 1002 in the reference).
+    * 1002 in the reference). A datetime that no format in the ladder can
+    * parse is the same protocol error (app.py:230-244 rejects anything
+    * dateutil can't parse) — validated HERE, at the protocol boundary, so a
+    * bad seek string errors loudly instead of becoming a silent
+    * deliver-nothing filter.
     */
   def offsetSpec(fromOrdinal: Option[Long] = None,
                  fromTimestamp: Option[Long] = None,
                  fromDatetime: Option[String] = None): Either[String, OffsetSpec] = {
     val given = List(fromOrdinal, fromTimestamp, fromDatetime).count(_.isDefined)
     if (given > 1) Left("1002: more than one stream_from_ parameter")
-    else Right(
-      fromOrdinal.map(FromOrdinal).orElse(
-        fromTimestamp.map(FromTimestamp)).orElse(
-        fromDatetime.map(FromDatetime)).getOrElse(Next))
+    else fromDatetime match {
+      case Some(s) => parseDatetime(s).map(_ => FromDatetime(s))
+      case None => Right(
+        fromOrdinal.map(FromOrdinal).orElse(
+          fromTimestamp.map(FromTimestamp)).getOrElse(Next))
+    }
+  }
+
+  /** S5 — flexible datetime → epoch millis, the dateutil.parse analog
+    * (reference/README.md:208-216): naive values are UTC; explicit offsets
+    * are honored. The ladder covers ISO `T` and space-separated forms with
+    * optional seconds/fraction, date-only, and RFC-1123. Unparseable ⇒
+    * `Left("1002: …")`, the reference's protocol-error close code
+    * (app.py:230-244). (dateutil's bare-time "13:33" form resolves against
+    * TODAY's date — wall-clock-dependent, so deliberately unsupported in a
+    * deterministic engine.)
+    */
+  def parseDatetime(s: String): Either[String, Long] = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val t = s.trim
+    def attempt(f: => Long): Option[Long] =
+      try Some(f) catch { case _: Exception => None }
+    val space = DateTimeFormatter.ofPattern("yyyy-M-d H:mm[:ss][.SSS]")
+    val spaceTz = DateTimeFormatter.ofPattern("yyyy-M-d H:mm[:ss][.SSS]XXX")
+    val parsed =
+      attempt(OffsetDateTime.parse(t).toInstant.toEpochMilli)                          // 2024-01-20T06:30:00+02:00 | …Z
+        .orElse(attempt(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC).toEpochMilli)) // ISO 'T', naive ⇒ UTC
+        .orElse(attempt(LocalDateTime.parse(t, space).toInstant(ZoneOffset.UTC).toEpochMilli)) // space-separated, naive
+        .orElse(attempt(OffsetDateTime.parse(t, spaceTz).toInstant.toEpochMilli))       // space-separated with offset
+        .orElse(attempt(LocalDate.parse(t).atStartOfDay.toInstant(ZoneOffset.UTC).toEpochMilli)) // date-only ⇒ midnight UTC
+        .orElse(attempt(ZonedDateTime.parse(t, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant.toEpochMilli))
+    parsed.toRight(s"1002: unparseable stream_from_datetime: '$s'")
   }
 
   /** S2-S5 — apply a seek predicate to a batch log. `ordinal` and `tsMillis`
@@ -57,7 +90,12 @@ object Replay {
       case FromOrdinal(n)   => df.filter(ordinal >= n)
       case FromTimestamp(m) => df.filter(tsMillis >= m)
       case FromDatetime(s)  =>
-        df.filter(tsMillis >= unix_millis(to_timestamp(lit(s))))
+        // offsetSpec validated the string already when the spec came through
+        // the protocol boundary; a direct seek with a bad string fails loudly
+        // with the same 1002 message rather than silently filtering all rows
+        // (which is what feeding a null timestamp into the predicate did).
+        val ms = parseDatetime(s).fold(e => throw new IllegalArgumentException(e), identity)
+        df.filter(tsMillis >= ms)
     }
 
   /** R6 — latest event per key (as-of "now"): the reference's "first event
@@ -70,16 +108,43 @@ object Replay {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** R11 — gap detection: lost-message count from non-contiguous ordinals
-    * (README.md:229-233: "first message … ordinal 150 ⇒ 49 messages lost").
-    * The lag window runs per partition key when one is given; a global
-    * ordinal order (partitionBy()) is correct but single-partition — callers
-    * at scale should pass the stream/routing key.
+  /** R11 — row-level gap listing via a lag window: emits each gap with its
+    * size. SMALL-DATA DIAGNOSTIC ONLY when called without partition keys —
+    * Window.partitionBy() moves the whole stream to one task. The
+    * registered queries use [[gapStats]], which needs no window at all;
+    * keep this for per-key interactive inspection (pass the stream key).
     */
   def gaps(df: DataFrame, ordinal: Column, partitionKeys: Seq[Column] = Nil): DataFrame = {
     val w = (if (partitionKeys.isEmpty) Window.partitionBy()
              else Window.partitionBy(partitionKeys: _*)).orderBy(ordinal)
     df.withColumn("__gap", ordinal - lag(ordinal, 1).over(w) - 1)
       .filter(col("__gap") > 0)
+  }
+
+  /** R11 at scale — gap statistics with NO window: run starts are rows whose
+    * predecessor ordinal is absent (left-anti self-join on ordinal+1, a
+    * plain hash shuffle on (keys, ordinal) that parallelizes at any size),
+    * so `n_gaps = runs − 1`; `lost = span − count` (README.md:229-233's
+    * "first ordinal 150 ⇒ 49 lost" arithmetic, summed over every interior
+    * gap as well). Identical results to the lag-window form on any stream
+    * with unique ordinals per key — the algebra is exact, not approximate —
+    * but survives a 100 TB stream where a global window cannot. Keyless call
+    * = one stream's audit (single output row); keyed call = one row per
+    * stream. Streams with zero observed messages produce no row (the
+    * windowed form agreed).
+    */
+  def gapStats(df: DataFrame, ordinal: String, keys: Seq[String] = Nil): DataFrame = {
+    val e = df.select((keys :+ ordinal).map(col): _*)
+    val cond = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col(s"a.$ordinal") === col(s"b.$ordinal") + 1)).reduce(_ && _)
+    val runs = e.as("a").join(e.as("b"), cond, "left_anti")
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__runs"))
+    val spans = e.groupBy(keys.map(col): _*)
+      .agg(min(col(ordinal)).as("__mn"), max(col(ordinal)).as("__mx"),
+        count(lit(1)).as("__cnt"))
+    val joined = if (keys.isEmpty) spans.crossJoin(runs) else spans.join(runs, keys)
+    joined.select(keys.map(col) ++ Seq(
+      (col("__runs") - 1).cast("long").as("n_gaps"),
+      (col("__mx") - col("__mn") + 1 - col("__cnt")).cast("long").as("lost")): _*)
   }
 }

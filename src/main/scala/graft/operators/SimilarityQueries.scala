@@ -21,6 +21,22 @@ object SimilarityQueries {
 
   private val KDim = 64
 
+  /** Exact best cosine per vector (self excluded), floor-rounded to 4 dp —
+    * the brute-force audit twin the ANN oracles compare against. All-pairs
+    * via a nested-loop join: affordable at verification scale; at 100 TB
+    * the recall audit runs on a sample of probes, never the full corpus.
+    */
+  private def exactBestPerVector(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        floorRound(cosineFromNorms(dot(col("x.v"), col("y.v")),
+          col("x.nrm"), col("y.nrm")), 4).as("c"))
+      .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R19 baseline — cosine of every vector against the vec_id=0 probe.
     // Broadcast the single probe row; the big side streams through a scalar
@@ -54,8 +70,20 @@ object SimilarityQueries {
     // 12 deterministic hyperplanes → bucket id; hamming-1 multiprobe (emit
     // the home bucket plus all 12 one-bit flips) so near neighbors split by
     // one plane are still found; join within buckets only; best match per
-    // vector by rounded cosine. Hash/plane-specific ⇒ rows-only check;
-    // recall is unit-tested in SimilaritySpec.
+    // vector by rounded cosine.
+    //
+    // Oracled as a one-row recall audit: which vectors get a candidate (and
+    // which candidate) is bucket-specific, so the hashed columns are the
+    // DuckDB-mirrorable corpus facts — vector count and the integer-unit
+    // sum of every vector's EXACT best cosine (integer sum ⇒ no float
+    // summation-order wobble) — plus two invariant booleans: ANN coverage
+    // ≥ half the corpus (measured 0.82 on data with no neighbor structure)
+    // and every ANN result bounded by the exact best. The exact side is a
+    // brute-force audit twin (all-pairs — affordable as the verification
+    // harness; the ANN path itself stays sublinear). Per-vector recall on
+    // THIS synthetic table is inherently noise (near-random vectors, see
+    // SCALE.md "ANN recall, honestly measured"), which is why the oracle
+    // pins coverage and boundedness, not top-1 agreement.
     "v_ann_lsh" -> ((s, d) => {
       val planes = hyperplanes(12, KDim)
       val e = Tables.embeddings(s, d)
@@ -76,25 +104,39 @@ object SimilarityQueries {
           floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4).as("cosine"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("nn"))
-      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      val ann = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("vec_id"), col("nn"), col("cosine"))
-        .orderBy("vec_id")
+      val best = exactBestPerVector(s, d)
+      val exactAgg = best.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(expr("CAST(floor(best * 10000 + 0.5) AS BIGINT)")).as("sum_best_1e4"))
+      val annAgg = ann.join(best, "vec_id")
+        .agg(count(lit(1)).as("n_found"),
+          max(col("cosine") - col("best")).as("max_gap"))
+      exactAgg.crossJoin(annAgg)
+        .select(col("n_vectors"), col("sum_best_1e4"),
+          (col("n_found") * 2 >= col("n_vectors")).as("coverage_ge_half"),
+          (col("max_gap") <= 1e-9).as("bounded_by_exact"))
     }),
 
-    // R19/R18 bridge — embedding-cosine near-duplicate candidates: the
-    // top-10 most-similar within-bucket pairs from the same LSH buckets. In
-    // production this would carry a `cosine >= threshold` near-dup cut; the
-    // synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.5), so
-    // the query surfaces the candidate ranking instead of an empty set.
-    // Rows-only check (hash/plane-specific).
+    // R19/R18 bridge — embedding-cosine near-duplicate candidates via
+    // metadata blocking: pairs are generated within a `label` block only
+    // (the provenance/cluster key a real corpus carries), ranked by exact
+    // cosine, top-10 kept. Blocking on a stored key instead of a hash makes
+    // the pair set deterministic and DuckDB-mirrorable — this query is the
+    // fully-oracled member of the near-dup family, complementing the
+    // hash-blocked v_ann_lsh/v_ann_ivf. Σ block² ≪ n² still holds; at
+    // 100 TB a hot label would be sub-blocked (salt or secondary key), the
+    // same guard as the LSH mega-bucket cap. In production the top-k cut
+    // becomes `cosine >= threshold`; the synthetic embeddings are
+    // near-orthogonal (max pairwise cos ≈ 0.5), so the query surfaces the
+    // candidate ranking instead of an empty set.
     "v_neardup_cosine" -> ((s, d) => {
-      val planes = hyperplanes(12, KDim)
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), planes))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", l2Norm(col("v")))
       e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
@@ -128,7 +170,7 @@ object SimilarityQueries {
           col("nrm").as("m_nrm"))
       val wBest = Window.partitionBy(col("vec_id"))
         .orderBy(col("cosine").desc, col("nn"))
-      assigned.as("p")
+      val ann = assigned.as("p")
         .join(members.as("m"),
           col("p.cell") === col("m.cell") && col("p.vec_id") =!= col("m.m_id"))
         .select(col("p.vec_id").as("vec_id"), col("m.m_id").as("nn"),
@@ -136,6 +178,17 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(wBest))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("nn"), col("cosine"))
+      // Oracled per vector against the exact brute-force best (audit twin):
+      // IVF coverage is structurally total — every probed cell contains its
+      // own centroid as a member, and the two probed cells can't both be
+      // {self} — so the row set (all vec_ids) and the exact-best column are
+      // DuckDB-mirrorable, and the ANN result is pinned by the
+      // bounded-by-exact invariant. Top-1 agreement stays unasserted: on
+      // these near-random vectors it is noise (SCALE.md), and IVF's
+      // measured 0.30 recall@1 is documented there, not oracled.
+      ann.join(exactBestPerVector(s, d), "vec_id")
+        .select(col("vec_id"), col("best").as("exact_best"),
+          (col("cosine") <= col("best") + 1e-9).as("ann_le_exact"))
         .orderBy("vec_id")
     }),
 
@@ -162,7 +215,56 @@ object SimilarityQueries {
     })
   )
 
+  // exact best cosine per vector, shared by the ANN-audit oracles
+  private val ExactBestCte =
+    """ex AS (
+         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS n FROM ex GROUP BY vec_id),
+       dots AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.e * b.e) AS dp
+         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       best AS (
+         SELECT va AS vec_id,
+                max(floor((dp / (x.n * y.n)) * 10000 + 0.5) / 10000) AS best
+         FROM dots JOIN nrm x ON x.vec_id = va JOIN nrm y ON y.vec_id = vb
+         GROUP BY 1)"""
+
   val oracles: Map[String, String] = Map(
+    "v_ann_lsh" ->
+      s"""WITH $ExactBestCte
+         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                CAST(sum(CAST(floor(best * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_best_1e4,
+                TRUE AS coverage_ge_half, TRUE AS bounded_by_exact
+         FROM best""",
+    "v_ann_ivf" ->
+      s"""WITH $ExactBestCte
+         SELECT vec_id, best AS exact_best, TRUE AS ann_le_exact
+         FROM best ORDER BY vec_id""",
+    "v_neardup_cosine" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS n FROM ex GROUP BY vec_id),
+         pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT p.va, p.vb, sum(x.e * y.e) AS dp
+           FROM pairs p
+             JOIN ex x ON x.vec_id = p.va
+             JOIN ex y ON y.vec_id = p.vb AND y.i = x.i
+           GROUP BY 1, 2)
+         SELECT va AS vec_a, vb AS vec_b,
+                floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000 AS cosine
+         FROM dots
+           JOIN nrm nx ON nx.vec_id = va
+           JOIN nrm ny ON ny.vec_id = vb
+         ORDER BY cosine DESC, vec_a, vec_b LIMIT 10""",
     "v_label_cohesion" ->
       """WITH ex AS (
            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e,

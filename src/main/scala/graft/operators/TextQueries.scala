@@ -114,11 +114,15 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // R20 — rolling-hash (winnowing-style) fingerprint over 5-gram
-    // shingles: xxhash64-based ⇒ rows-only check; unit-tested.
+    // shingles: the minimum hash over the shingle stream is the doc's
+    // near-dup prefilter key. Uses the md5 twin so the fingerprint VALUE is
+    // oracle-able cross-engine (DuckDB computes the identical hex digest);
+    // the xxhash64 production form shares the selection logic and is
+    // spec-tested (TextFunctions.rollingFingerprint).
     "t_rolling_fingerprint" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
       docs(s, d)
-        .select(col("doc_id"), rollingFingerprint("text").as("fp"))
+        .select(col("doc_id"), rollingFingerprintMd5("text").as("fp"))
         .filter(col("fp").isNotNull)
         .orderBy("doc_id")
     }),
@@ -199,6 +203,15 @@ object TextQueries {
     "t_fingerprint" ->
       """SELECT doc_id, sha256(text) AS sha, substring(sha256(text), 1, 4) AS shard_key
          FROM documents ORDER BY doc_id""",
+    // min-md5 over distinct 5-gram shingles; min over hex strings = min of
+    // the underlying 128-bit hashes, and both engines emit lowercase hex
+    "t_rolling_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id,
+                list_min(list_transform(
+                  list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')),
+                  s -> md5(s))) AS fp
+         FROM toks WHERE len(t) >= 5 ORDER BY doc_id""",
     "t_heavy_hitters" ->
       """WITH c AS (
            SELECT t AS term, CAST(count(*) AS BIGINT) AS n

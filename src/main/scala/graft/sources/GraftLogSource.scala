@@ -134,6 +134,15 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
 
   private val dir = Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("graft-log source needs option 'path'"))
+  // Stream-existence check at subscribe time (the reference probes
+  // consumer.stream_exists and closes 1013 when the stream is missing,
+  // reference/app/app.py:311-318). Without it a typo'd path silently
+  // becomes an empty log that delivers nothing forever. `allowMissing=true`
+  // opts back into the lenient behavior for logs created after subscribe.
+  if (!Option(options.get("allowMissing")).exists(_.toBoolean) &&
+      !Files.isDirectory(Paths.get(dir)))
+    throw new IllegalArgumentException(
+      s"1013: stream does not exist: $dir (set allowMissing=true to subscribe to a not-yet-created log)")
   private val startOrdinal = Option(options.get("startingOrdinal")).map(_.toLong)
   private val startTimestamp = Option(options.get("startingTimestamp")).map(_.toLong)
   private val startMode = Option(options.get("startingOffsets")).getOrElse("earliest")

@@ -18,4 +18,35 @@ class ContractSpec extends SparkSpec {
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("S5: datetime ladder parses the dateutil-style forms, naive = UTC") {
+    import graft.operators.Replay.parseDatetime
+    val expected = 1705732200000L // 2024-01-20T06:30:00Z
+    assert(parseDatetime("2024-01-20T06:30:00").contains(expected))
+    assert(parseDatetime("2024-01-20 06:30:00").contains(expected))
+    assert(parseDatetime("2024-01-20 06:30").contains(expected))
+    assert(parseDatetime("2024-01-20T08:30:00+02:00").contains(expected))
+    assert(parseDatetime("2024-01-20 08:30:00+02:00").contains(expected))
+    assert(parseDatetime("2024-01-20T06:30:00Z").contains(expected))
+    assert(parseDatetime("Sat, 20 Jan 2024 06:30:00 GMT").contains(expected))
+    assert(parseDatetime("2024-01-20")
+      .contains(1705708800000L)) // midnight UTC
+  }
+
+  test("S5/S6: unparseable stream_from_datetime is protocol error 1002, not empty result") {
+    import graft.operators.Replay
+    val bad = Replay.offsetSpec(fromDatetime = Some("not a datetime"))
+    assert(bad.isLeft && bad.swap.exists(_.startsWith("1002")))
+    // a valid one still passes through the boundary
+    assert(Replay.offsetSpec(fromDatetime = Some("2024-01-20 06:30:00")).isRight)
+    // direct seek with a bad string fails loudly (no silent null filter)
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val ex = intercept[IllegalArgumentException] {
+      Replay.seek(e, Replay.FromDatetime("garbage"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")))
+    }
+    assert(ex.getMessage.startsWith("1002"))
+  }
 }

@@ -90,6 +90,29 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(chain(err).exists(_.contains("at most one of")), err.toString)
   }
 
+  test("S1: subscribing to a missing stream fails at start (close-1013 analog)") {
+    val missing = newLog("graftlog-gone") + "-nonexistent"
+    val err = intercept[Exception] {
+      runToMemory(stream(missing), "gl_1013")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(String.valueOf).toSeq
+    assert(chain(err).exists(_.contains("1013")), err.toString)
+  }
+
+  test("S1: allowMissing=true subscribes to a not-yet-created log and sees later appends") {
+    val base = newLog("graftlog-late")
+    val dir = base + "/log" // does not exist yet
+    val df = stream(dir, "allowMissing" -> "true")
+    val q = df.writeStream.format("memory").queryName("gl_late").start()
+    try {
+      q.processAllAvailable() // empty, but alive — no 1013
+      GraftLog.writeSegment(dir, "seg-0", Seq((0L, 1000L, "born-late")))
+      q.processAllAvailable()
+      assert(spark.table("gl_late").count() === 1)
+    } finally q.stop()
+  }
+
   test("T6: maxOrdinalsPerTrigger paces delivery; order survives batching") {
     val dir = newLog("graftlog-pace")
     GraftLog.writeSegment(dir, "seg-0", (0L until 20L).map(i => (i, 1000 + i, s"m$i")))
