@@ -181,6 +181,28 @@ object DeepRelational {
         .orderBy("o_orderpriority")
     }),
 
+    // R4 + SCALE "skew", production form — hot-key-ONLY salting: one cheap
+    // count aggregate finds the keys above the threshold, only those are
+    // salted (small side replicated ×salts for hot keys alone), the cold
+    // bulk takes the plain join path. Threshold 4 on lineitem-per-order
+    // splits the data both ways (orders carry 1-7 items), so the oracle —
+    // the same PLAIN join SQL — exercises hot path, cold path, and their
+    // union.
+    "q_skew_hotkey_join" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
+      val small = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      SkewJoin.saltedEquiJoinHotKeys(big, small, "okey", salts = 8, hotThreshold = 4L)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          floorRound(sum(col("rev")).cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // R10/R13 — RANGE window frames: per-user trailing-hour event count and
     // value sum. RANGE includes value peers, so the frame CONTENT is
     // deterministic even under timestamp ties (unlike a ROWS frame).
@@ -552,6 +574,14 @@ object DeepRelational {
          ORDER BY id_a, id_b""",
     // plain-join SQL: the salted join must be result-invariant
     "q_skew_salted_join" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_items,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same plain-join SQL: hot/cold split + salting must be result-invariant
+    "q_skew_hotkey_join" ->
       """SELECT o_orderpriority,
                 CAST(count(*) AS BIGINT) AS n_items,
                 floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

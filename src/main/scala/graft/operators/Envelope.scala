@@ -109,13 +109,16 @@ object Envelope {
     * the typed column (`ampq_publisher.py` field types in FIXTURES.md §A2).
     */
   def protoTextField(body: Column, field: String): Column = {
-    // Left-anchored ((?:^|\s)) and literal-quoted so a field that is a
+    // Left-anchored ((?:^|[\s|])) and literal-quoted so a field that is a
     // suffix of another never matches the wrong pair ("id" must not hit
     // "merchant_id") — real protobuf-text field semantics, mirrored
-    // verbatim in the p_merchant_decode oracle SQL.
+    // verbatim in the p_merchant_decode oracle SQL. '|' is in the anchor
+    // class because the enriched wire format is pipe-delimited
+    // (enrichProtoText appends "|ordinal: N|timestamp: M"), so fields
+    // directly after a separator must still be found.
     val raw = regexp_extract(
       body,
-      """(?:^|\s)""" + java.util.regex.Pattern.quote(field) + """:\s*("[^"]*"|[^\s|]+)""",
+      """(?:^|[\s|])""" + java.util.regex.Pattern.quote(field) + """:\s*("[^"]*"|[^\s|]+)""",
       1)
     when(raw === "", lit(null).cast(StringType))
       .otherwise(regexp_replace(raw, "^\"|\"$", ""))

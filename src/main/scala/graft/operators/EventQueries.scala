@@ -177,12 +177,12 @@ object EventQueries {
                   || CAST(event_id AS VARCHAR) AS body
            FROM events)
          SELECT event_id,
-                regexp_replace(nullif(regexp_extract(body, '(?:^|\s)merchant_kind:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS merchant_kind,
-                CAST(regexp_replace(nullif(regexp_extract(body, '(?:^|\s)merchant_id:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS merchant_id,
-                CAST(regexp_replace(nullif(regexp_extract(body, '(?:^|\s)auth_code:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS auth_code,
-                regexp_replace(nullif(regexp_extract(body, '(?:^|\s)value:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS value_str,
-                CAST(regexp_replace(nullif(regexp_extract(body, '(?:^|\s)sqn:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS sqn,
-                regexp_replace(nullif(regexp_extract(body, '(?:^|\s)missing_field:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS absent
+                regexp_replace(nullif(regexp_extract(body, '(?:^|[\s|])merchant_kind:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS merchant_kind,
+                CAST(regexp_replace(nullif(regexp_extract(body, '(?:^|[\s|])merchant_id:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS merchant_id,
+                CAST(regexp_replace(nullif(regexp_extract(body, '(?:^|[\s|])auth_code:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS auth_code,
+                regexp_replace(nullif(regexp_extract(body, '(?:^|[\s|])value:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS value_str,
+                CAST(regexp_replace(nullif(regexp_extract(body, '(?:^|[\s|])sqn:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS BIGINT) AS sqn,
+                regexp_replace(nullif(regexp_extract(body, '(?:^|[\s|])missing_field:\s*("[^"]*"|[^\s|]+)', 1), ''), '^"|"$', '', 'g') AS absent
          FROM b ORDER BY event_id""",
     "p_enrich_json" ->
       """SELECT event_id AS ess_ordinal, epoch_ms(ts) AS ess_timestamp,

@@ -25,6 +25,12 @@ object Round3Queries {
     // bitmap_bit_position is 1-based, so ids are shifted +1 (injective ⇒
     // the distinct count is unchanged); verified exactly against DuckDB's
     // count(DISTINCT).
+    //
+    // PRECONDITION (id domain): the key must be >= 0 and < Long.MaxValue —
+    // a negative id yields an invalid 1-based bit position and MaxValue
+    // overflows the +1 shift, silently corrupting counts. Holds for
+    // events.user_id (generator emits 0..n); reusing this pattern on
+    // another key column requires the same guarantee (or a pre-filter).
     "q_bitmap_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"),

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -13,12 +13,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * sequential in index order — the exact same order as the left-fold
   * aggregate — so results are bit-identical to the HOF form and to the
   * DuckDB oracle's per-index join + sum.
+  *
+  * Generates code (doGenCode) so the hot inner loop of every similarity
+  * query stays inside whole-stage codegen instead of falling back to
+  * interpreted eval per row pair (the round-3 CodegenFallback cost a
+  * virtual call + boxing per pair on the all-pairs audit joins).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  // Length mismatch yields null even for non-null inputs, so the result is
+  // always potentially nullable (keeps ev.isNull a real variable in codegen).
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -36,6 +45,25 @@ case class DotProduct(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)

@@ -87,4 +87,22 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 28)
     assert(Set((0L, 50L), (8L, 360L), (144L, 161L), (474L, 498L)).subsetOf(got))
   }
+
+  test("R18: mega-bucket cap bounds a planted degenerate bucket; small buckets unchanged") {
+    import graft.operators.DedupQueries
+    // a 200-member boilerplate bucket + a healthy 10-member bucket
+    val banded = ((0 until 200).map(i => (0, 7L, i.toLong)) ++
+      (0 until 10).map(i => (1, 9L, (1000 + i).toLong)))
+      .toDF("band", "h", "doc_id")
+    val pairs = DedupQueries.bucketedCandidatePairs(banded)
+    val mega = pairs.filter($"doc_a" < 1000).count()
+    val small = pairs.filter($"doc_a" >= 1000).count()
+    // degenerate bucket capped at C(64,2), nowhere near C(200,2) = 19900
+    assert(mega === 64L * 63 / 2, s"mega bucket produced $mega pairs")
+    // below the cap: exact uncapped pair set
+    assert(small === 10L * 9 / 2)
+    // determinism: the kept subset is the sorted prefix, not collect_list order
+    val kept = pairs.filter($"doc_a" < 1000).agg(max($"doc_b")).as[Long].head()
+    assert(kept === 63L)
+  }
 }

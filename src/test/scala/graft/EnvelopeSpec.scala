@@ -124,4 +124,17 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.getString(4) === "0.50")
     assert(r.isNullAt(5))
   }
+
+  test("P9 regression: fields directly after a '|' separator are found (enriched wire body)") {
+    // the enriched wire format is pipe-delimited (P5): extracting the
+    // appended ordinal/timestamp from a wire body must work
+    val wire = "merchant_kind: \"X\" sqn: 7|ordinal: 42|timestamp: 1705000000000"
+    val r = Seq(wire).toDF("b").select(
+      Envelope.protoTextField($"b", "ordinal").cast("long").as("ord"),
+      Envelope.protoTextField($"b", "timestamp").cast("long").as("ts"),
+      Envelope.protoTextField($"b", "sqn").cast("long").as("sqn")).head()
+    assert(r.getLong(0) === 42L)
+    assert(r.getLong(1) === 1705000000000L)
+    assert(r.getLong(2) === 7L)
+  }
 }

@@ -48,4 +48,34 @@ class NativeExprSpec extends SparkSpec {
     val df = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
     assert(df.selectExpr("graft_dot(a, b)").head().getDouble(0) === 0.0)
   }
+
+  test("graft_dot: generated code is bit-identical to the HOF left-fold; mismatch is null") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { i =>
+      (i, Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian()))
+    } :+ ((-1, Seq(1.0, 2.0), Seq(1.0))) // length mismatch row
+    // repartition so the projection is NOT constant-folded into a
+    // LocalTableScan — it must run inside a real codegen stage
+    val df = rows.toDF("id", "a", "b").repartition(2)
+    val got = df.select(col("id"),
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)").as("hof"))
+      .collect()
+    val (bad, good) = got.partition(_.getInt(0) == -1)
+    assert(good.length === 50)
+    good.foreach { r =>
+      // bit-identical, not approximately equal: same summation order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+    assert(bad.length === 1 && bad.head.isNullAt(1) && bad.head.isNullAt(2))
+    // and the plan stays inside whole-stage codegen (no fallback marker) —
+    // collect first so AQE materializes the final plan
+    val df2 = df.select(expr("graft_dot(a, b)"))
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the WholeStageCodegen marker in plan strings;
+    // a CodegenFallback expression would leave the Project unstarred
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")), plan)
+  }
 }
