@@ -35,11 +35,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.defs ++ RelationalQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++
-      ExtendedQueries.defs ++ DeepRelational.defs ++ Round3Queries.defs
+      ExtendedQueries.defs ++ DeepRelational.defs ++ Round3Queries.defs ++
+      Round4Queries.defs
 
   /** DuckDB-runnable ANSI SQL twin for each SQL-expressible query. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles ++
-      ExtendedQueries.oracles ++ DeepRelational.oracles ++ Round3Queries.oracles
+      ExtendedQueries.oracles ++ DeepRelational.oracles ++ Round3Queries.oracles ++
+      Round4Queries.oracles
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParityMath.floorRound
+import graft.functions.TextFunctions.sha256Hex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator additions (SURVEY.md §2.6): the remaining
+  * training-data-pipeline primitives a 100 TB corpus build needs —
+  * multimodal perceptual-hash near-dup, incremental snapshot dedup, and
+  * corpus collocation statistics. Every query is DuckDB-oracled; the
+  * perceptual-hash path does ALL of its comparisons in integer units so
+  * the two engines agree bit-for-bit with no float-boundary risk.
+  */
+object Round4Queries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R21+R18 bridge — perceptual-hash near-dup over BINARY payloads: the
+    // multimodal twin of MinHash. Each asset's payload reduces to the 8-bin
+    // byte-histogram feature (the same partition-batched decode stub the
+    // m_decode_features path uses, here recomputed in column expressions),
+    // the perceptual hash sets bit i when slot i is above the asset's mean
+    // (8·uᵢ > Σu in INTEGER 1e-4 units — no float compare), assets block
+    // on equal hashes (deterministic arithmetic, so the oracle mirrors the
+    // blocking exactly — unlike MinHash there is no engine-specific hash
+    // anywhere), and blocked pairs are verified by integer L1 distance.
+    // Scale: one groupBy on the 8-bit hash, Σ bucket² ≪ n², same shape as
+    // every other blocked near-dup path here.
+    "m_phash_neardup" -> ((s, d) => {
+      val feats = Multimodal.decodeStub(s, Multimodal.assets(s, d))
+        // integer 1e-4 units of the (already 4-dp-rounded) feature slots
+        .select(col("asset_id"),
+          expr("transform(feature, x -> CAST(round(x * 10000) AS BIGINT))").as("u"))
+        .select(col("asset_id"), col("u"),
+          expr("aggregate(u, 0L, (acc, x) -> acc + x)").as("usum"))
+        .select(col("asset_id"), col("u"),
+          expr("""aggregate(sequence(0, 7), 0L, (acc, i) ->
+                    acc | IF(8 * element_at(u, i + 1) > usum, shiftleft(1L, i), 0L))""")
+            .as("phash"))
+      feats.as("a").join(feats.as("b"),
+          col("a.phash") === col("b.phash") && col("a.asset_id") < col("b.asset_id"))
+        .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+          expr("""aggregate(zip_with(a.u, b.u, (x, y) -> abs(x - y)),
+                            0L, (acc, v) -> acc + v)""").as("l1_units"))
+        .filter(col("l1_units") <= 500) // 0.05 in 1e-4 units
+        .orderBy("asset_a", "asset_b")
+    }),
+
+    // R17 — INCREMENTAL snapshot dedup: the every-crawl primitive — an
+    // incoming batch (sources src10+, the "new crawl") checked against the
+    // accepted base corpus (src0-src9) by content address; `is_new` marks
+    // docs whose sha256 is unseen. One shuffle join on the 32-byte sha —
+    // the big text never moves; at 100 TB the base sha set is a bucketed
+    // table the incoming batch shuffle-joins against (no broadcast
+    // assumption), exactly this plan.
+    "d_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), sha256Hex(col("text")).as("content_sha"),
+          expr("cast(regexp_replace(source, '[^0-9]', '') as int)").as("src_idx"))
+      val base = docs.filter(col("src_idx") < 10)
+        .select(col("content_sha")).distinct()
+        .withColumn("seen", lit(true))
+      docs.filter(col("src_idx") >= 10)
+        .join(base, Seq("content_sha"), "left_outer")
+        .select(col("doc_id"), col("content_sha"),
+          coalesce(!col("seen"), lit(true)).as("is_new"))
+        .orderBy("doc_id")
+    }),
+
+    // R20 — collocation mining: top bigrams by pointwise mutual information
+    // over adjacent token pairs, the standard corpus-statistics pass for
+    // tokenizer/vocabulary work. Exact integer counts (bigram + unigram
+    // tables, two linear groupBys), one log at the end, min-count cut so
+    // PMI is stable, ties broken lexicographically. At 100 TB both count
+    // tables partial-aggregate map-side; the join is bigram→unigram (two
+    // broadcastable aggregates after the cut).
+    "t_collocations" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        // guard: Spark's sequence(1, 0) DESCENDS — a 1-token doc must not
+        // produce a bogus (t[1], t[0]) bigram
+        .filter(size(col("t")) >= 2)
+      val bigrams = toks.select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+               i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""))
+          .as("bg"))
+        .groupBy(col("bg.w1"), col("bg.w2")).agg(count(lit(1)).as("c_ab"))
+      val unigrams = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val nBig = bigrams.agg(sum(col("c_ab")).as("n_big"))
+      val nUni = unigrams.agg(sum(col("c_w")).as("n_uni"))
+      bigrams.filter(col("c_ab") >= 5)
+        .join(unigrams.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+        .join(unigrams.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+        .crossJoin(nBig).crossJoin(nUni)
+        .select(col("w1"), col("w2"), col("c_ab"),
+          floorRound(
+            log((col("c_ab").cast("double") / col("n_big")) /
+              ((col("c_a").cast("double") / col("n_uni")) *
+               (col("c_b").cast("double") / col("n_uni")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // feature units per (doc, slot) exactly as the m_decode_features twin,
+    // then integer phash + integer L1 — mirrors the Spark arithmetic 1:1
+    "m_phash_neardup" ->
+      """WITH b AS (
+           SELECT doc_id, length(text) AS n, t.i % 8 AS slot,
+                  ascii(substring(text, CAST(t.i + 1 AS INT), 1)) / 255.0 AS v
+           FROM documents, unnest(generate_series(0, length(text) - 1)) AS t(i)),
+         f AS (SELECT doc_id, slot,
+                      CAST(round(round(sum(v) / max(n) * 10000) / 10000 * 10000) AS BIGINT) AS u
+               FROM b GROUP BY doc_id, slot),
+         ph AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN 8 * u > (SELECT sum(u) FROM f f2 WHERE f2.doc_id = f.doc_id)
+                                THEN CAST(1 AS BIGINT) << slot ELSE 0 END) AS BIGINT) AS phash
+                FROM f GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS asset_a, b.doc_id AS asset_b
+           FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id)
+         SELECT asset_a, asset_b, CAST(sum(abs(fa.u - fb.u)) AS BIGINT) AS l1_units
+         FROM pairs
+           JOIN f fa ON fa.doc_id = asset_a
+           JOIN f fb ON fb.doc_id = asset_b AND fb.slot = fa.slot
+         GROUP BY asset_a, asset_b
+         HAVING sum(abs(fa.u - fb.u)) <= 500
+         ORDER BY asset_a, asset_b""",
+    "d_dedup_incremental" ->
+      """WITH d AS (
+           SELECT doc_id, sha256(text) AS content_sha,
+                  CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) AS src_idx
+           FROM documents),
+         base AS (SELECT DISTINCT content_sha FROM d WHERE src_idx < 10)
+         SELECT doc_id, content_sha,
+                (content_sha NOT IN (SELECT content_sha FROM base)) AS is_new
+         FROM d WHERE src_idx >= 10 ORDER BY doc_id""",
+    "t_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+           GROUP BY 1, 2),
+         uni AS (
+           SELECT u.w AS w, CAST(count(*) AS BIGINT) AS c_w
+           FROM toks, unnest(t) AS u(w) GROUP BY 1),
+         nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_big FROM bg),
+         nu AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n_uni FROM uni)
+         SELECT w1, w2, c_ab,
+                floor((ln((c_ab / n_big) /
+                       ((ca.c_w / n_uni) * (cb.c_w / n_uni)))) * 10000 + 0.5) / 10000 AS pmi
+         FROM bg
+           JOIN uni ca ON ca.w = w1
+           JOIN uni cb ON cb.w = w2
+           CROSS JOIN nb CROSS JOIN nu
+         WHERE c_ab >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+  )
+}

@@ -67,6 +67,39 @@ object StreamingAggs {
       }
   }
 
+  /** Emitted by [[gapDetect]] for every ordinal discontinuity observed on a
+    * stream: messages (fromExclusive, toExclusive) never arrived.
+    */
+  final case class GapEvent(routingKey: String, fromExclusive: Long,
+                            toExclusive: Long, lost: Long)
+
+  /** T4/R11 streaming — LIVE gap detection, the streaming twin of
+    * `Replay.gapStats`: one last-seen ordinal per routing key
+    * (flatMapGroupsWithState, O(#streams) state), a GapEvent emitted the
+    * moment a discontinuity is observed — the reference's "first message …
+    * ordinal 150 ⇒ 49 messages lost" arithmetic (README.md:229-233) as it
+    * happens rather than in a batch audit. Relies on the source's per-key
+    * ordinal order (T1); the first message of a key sets the cursor without
+    * emitting (NEXT semantics — a consumer joining mid-stream is not "a
+    * gap"). Input: (routing_key, ordinal) rows.
+    */
+  def gapDetect(keyed: Dataset[(String, Long)]): Dataset[GapEvent] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
+          var last = state.getOption.getOrElse(Long.MinValue)
+          rows.foreach { case (_, ord) =>
+            if (last != Long.MinValue && ord > last + 1)
+              out += GapEvent(key, last, ord, ord - last - 1)
+            if (ord > last) last = ord
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+  }
+
   /** [[statsEveryN]] on the state-v2 `transformWithState` API (Spark 4):
     * the same per-key counters as a typed [[ValueState]] managed by a
     * [[StatefulProcessor]]. The operational win at scale is the state

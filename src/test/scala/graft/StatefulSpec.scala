@@ -33,6 +33,25 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapDetect emits lost-message events live, state carried across batches") {
+    import graft.streaming.StreamingAggs.GapEvent
+    val stream = MemoryStream[(String, Long)](spark)
+    val out = StreamingAggs.gapDetect(stream.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gap_out").start()
+    try {
+      // rk-a joins mid-stream at 100 (no gap), then 100 → 150: ordinals
+      // 101..149 never arrive — the reference's "49 messages lost" example
+      // (README.md:229-233); rk-b contiguous — never emits
+      stream.addData(("rk-a", 100L), ("rk-b", 7L), ("rk-b", 8L))
+      q.processAllAvailable()
+      stream.addData(("rk-a", 150L), ("rk-b", 9L)) // gap detected ACROSS batches
+      q.processAllAvailable()
+      val rows = spark.table("gap_out").as[GapEvent].collect().toSeq
+      assert(rows === Seq(GapEvent("rk-a", 100L, 150L, 49L)))
+    } finally q.stop()
+  }
+
   test("statsEveryNTws (transformWithState/state-v2) matches the fMGWS semantics") {
     // state-v2 requires RocksDB; scope the provider to this query
     val key = "spark.sql.streaming.stateStore.providerClass"
