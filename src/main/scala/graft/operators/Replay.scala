@@ -142,7 +142,11 @@ object Replay {
     val spans = e.groupBy(keys.map(col): _*)
       .agg(min(col(ordinal)).as("__mn"), max(col(ordinal)).as("__mx"),
         count(lit(1)).as("__cnt"))
-    val joined = if (keys.isEmpty) spans.crossJoin(runs) else spans.join(runs, keys)
+    // keyless groupBy() emits one (cnt=0, null-span) row even on EMPTY
+    // input — drop it so "no observed messages ⇒ no row" holds in both
+    // the keyed and keyless forms
+    val joined = (if (keys.isEmpty) spans.crossJoin(runs) else spans.join(runs, keys))
+      .filter(col("__cnt") > 0)
     joined.select(keys.map(col) ++ Seq(
       (col("__runs") - 1).cast("long").as("n_gaps"),
       (col("__mx") - col("__mn") + 1 - col("__cnt")).cast("long").as("lost")): _*)

@@ -81,4 +81,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("r_gap_detect: NO window operator anywhere — join-based runs/span algebra") {
+    for (q <- Seq("r_gap_detect", "r_gap_detect_per_stream")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n${p.take(800)}")
+      assert(p.contains("LeftAnti"), s"$q missing the run-start anti join:\n${p.take(800)}")
+    }
+  }
+
+  test("q_skew_hotkey_join: hot-key set is broadcast on every split join") {
+    val p = plan("q_skew_hotkey_join")
+    // 4 splits (big/small × hot/cold) each join against the broadcast hot set
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    assert(p.contains("LeftAnti"), p.take(1200)) // the cold-path split
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m_phash_neardup: blocked equi-join on the hash, no cartesian") {
+    val p = plan("m_phash_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("d_dedup_incremental: one shuffle join keyed on the content sha") {
+    val p = plan("d_dedup_incremental")
+    assert(p.contains("content_sha"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -50,6 +50,22 @@ class ReplaySpec extends SparkSpec {
     assert(gaps.toSeq === Seq(49L))
   }
 
+  test("R11: gapStats join algebra equals the lag-window form, keyless and per key") {
+    // stream A: runs {0..2},{10..11},{20} → 2 interior gaps, lost 7+8=15
+    // stream B: contiguous {5,6,7} → 0 gaps; stream C: single row → 0 gaps
+    val rows = Seq(0L, 1L, 2L, 10L, 11L, 20L).map(("A", _)) ++
+      Seq(5L, 6L, 7L).map(("B", _)) ++ Seq(("C", 99L))
+    val df = rows.toDF("k", "ordinal")
+    val perKey = Replay.gapStats(df, "ordinal", Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perKey.toSeq === Seq(("A", 2L, 15L), ("B", 0L, 0L), ("C", 0L, 0L)))
+    val global = Replay.gapStats(df.filter($"k" === "A"), "ordinal")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(global.toSeq === Seq((2L, 15L)))
+    // empty input: no observed stream ⇒ no row (matches the windowed form)
+    assert(Replay.gapStats(df.filter($"k" === "Z"), "ordinal").collect().isEmpty)
+  }
+
   test("R6: latest per key, deterministic on ordinal ties") {
     val df = Seq(("u1", 1L, "old"), ("u1", 9L, "new"), ("u2", 4L, "only"))
       .toDF("k", "ordinal", "v")
