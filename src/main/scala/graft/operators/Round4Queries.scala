@@ -68,6 +68,50 @@ object Round4Queries {
         .orderBy("doc_id")
     }),
 
+    // R20/R12 — SEQUENCE PACKING: the GPT-style concat-and-chunk that turns
+    // a document corpus into fixed-size training sequences. Docs are
+    // concatenated in doc_id order WITHIN a shard (doc_id % 32 — the
+    // pre-assigned pack shard a real pipeline carries) and the token stream
+    // chunks into 512-token bins; each doc reports the bin its first token
+    // lands in, the bin its last token lands in (straddlers span several),
+    // and its offset inside the start bin. One window per shard = one
+    // shuffle on the shard key; shards are the parallelism unit, so packing
+    // 100 TB is embarrassingly parallel across shards and each shard's
+    // prefix sum is a linear scan. Pure integer arithmetic ⇒ exact oracle.
+    "t_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val binCap = 512
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          ((col("cum") - col("n_tokens")) / binCap).cast("long").as("start_bin"),
+          ((col("cum") - 1) / binCap).cast("long").as("end_bin"),
+          ((col("cum") - col("n_tokens")) % binCap).as("offset_in_bin"))
+        .orderBy("doc_id")
+    }),
+
+    // R10/R17 — deterministic reservoir sample: k docs per language chosen
+    // by md5 rank order — a uniform-ish, seed-free, engine-reproducible
+    // sample (md5 of the id is the random tag; both engines compute the
+    // identical hex, so the "reservoir" is the same everywhere — unlike a
+    // rand() sample, re-running or re-sharding cannot change membership).
+    // Runs through the native bounded-heap TopKPerKey path: at most k rows
+    // per (key, partition) enter the shuffle, the full corpus is never
+    // sorted — the same plan a 100 TB per-key sample needs.
+    "q_reservoir_sample" -> ((s, d) => {
+      val tagged = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("tag"))
+      graft.plans.TopK.perKey(tagged, keys = Seq("lang"),
+          order = Seq(graft.plans.TopK.Ord("tag"), graft.plans.TopK.Ord("doc_id")), k = 10)
+        .select(col("lang"), col("rk"), col("doc_id"), col("tag"))
+        .orderBy("lang", "rk")
+    }),
+
     // R20 — collocation mining: top bigrams by pointwise mutual information
     // over adjacent token pairs, the standard corpus-statistics pass for
     // tokenizer/vocabulary work. Exact integer counts (bigram + unigram
@@ -129,6 +173,29 @@ object Round4Queries {
          GROUP BY asset_a, asset_b
          HAVING sum(abs(fa.u - fb.u)) <= 500
          ORDER BY asset_a, asset_b""",
+    "t_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 32 AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS start_bin,
+                CAST(floor((cum - 1) / 512.0) AS BIGINT) AS end_bin,
+                CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_bin
+         FROM c ORDER BY doc_id""",
+    "q_reservoir_sample" ->
+      """WITH tagged AS (
+           SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS tag FROM documents),
+         r AS (
+           SELECT lang, doc_id, tag,
+                  CAST(row_number() OVER (PARTITION BY lang ORDER BY tag, doc_id) AS INT) AS rk
+           FROM tagged)
+         SELECT lang, rk, doc_id, tag FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "d_dedup_incremental" ->
       """WITH d AS (
            SELECT doc_id, sha256(text) AS content_sha,

@@ -2,10 +2,12 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,11 +109,35 @@ class GraftLogProvider extends TableProvider {
     new GraftLogTable
 }
 
-class GraftLogTable extends Table with SupportsRead {
+class GraftLogTable extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "graft-log"
   override def schema(): StructType = GraftLog.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+
+  /** Producer side (S8, the ampq_publisher analog): executors append TSV
+    * segments directly — each task streams its rows to a `.log.tmp` file
+    * and atomically renames to `.log` on task commit, so readers (which
+    * only pick up `*.log`) never observe partial segments and an aborted
+    * task leaves no visible data. No driver-side funnel: at 100 TB every
+    * executor publishes its own segments, exactly how a partitioned broker
+    * ingests. Ordinals travel IN the rows (the log's contract — readers
+    * order by ordinal), so parallel writers need no coordination.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = Option(info.options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-log sink needs option 'path'"))
+    val names = info.schema().fields.map(_.name).toSeq
+    require(names == Seq("body", "ordinal", "ts_ms"),
+      s"graft-log sink needs columns (body, ordinal, ts_ms); got $names")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftLogBatchWrite(dir, "batch")
+        override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(dir)
+      }
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = GraftLog.Schema
@@ -198,6 +224,74 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
 
 case class GraftLogRange(dir: String, fromExclusive: Long, toInclusive: Long)
   extends InputPartition
+
+/** Task-side segment writer: stream lines to `.log.tmp`, rename to `.log`
+  * on commit (atomic on a POSIX dir; on an object store this becomes the
+  * usual staged-multipart + manifest commit). Empty tasks publish nothing.
+  */
+private class GraftLogDataWriter(dir: String, segName: String)
+    extends DataWriter[InternalRow] {
+  private val tmp = Paths.get(dir, s"$segName.log.tmp")
+  private var out: java.io.BufferedWriter = _
+  private var first = true
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      Files.createDirectories(Paths.get(dir))
+      out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    }
+    if (!first) out.write("\n")
+    first = false
+    val body = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
+    out.write(s"${row.getLong(1)}\t${row.getLong(2)}\t$body")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) {
+      out.close()
+      // REPLACE so a replayed streaming epoch overwrites its own segment
+      // (idempotent) instead of failing or duplicating
+      Files.move(tmp, Paths.get(dir, s"$segName.log"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); Files.deleteIfExists(tmp) }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Serializable factory shipped to executors (must not capture the Write). */
+private case class GraftLogWriterFactory(dir: String, tag: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftLogDataWriter(dir, s"seg-$tag-$partitionId-$taskId")
+  // named by (epoch, partition), NOT taskId: a replayed epoch writes the
+  // same segment name and REPLACEs it — idempotent on retry
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftLogDataWriter(dir, s"seg-e$epochId-$partitionId")
+}
+
+private class GraftLogBatchWrite(dir: String, tag: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftLogWriterFactory(dir, tag)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming epochs name segments by epochId, so a replayed epoch (failure
+  * before the driver recorded the batch) overwrites rather than duplicates
+  * — the same idempotence trick as file-sink epoch manifests.
+  */
+private class GraftLogStreamingWrite(dir: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftLogWriterFactory(dir, "stream")
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
 
 object GraftLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -155,6 +155,36 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(consumeOnce() === (5L until 9L))
   }
 
+  test("S8: batch write publishes segments that read back identically (producer path)") {
+    val src = newLog("graftlog-wsrc")
+    val dst = newLog("graftlog-wdst") + "/out"
+    GraftLog.writeSegment(src, "seg-0", (0L until 50L).map(i => (i, 2000 + i, s"body-$i")))
+    val df = spark.read.format(fmt).option("path", src).load()
+    df.write.format(fmt).option("path", dst).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dst).load()
+      .orderBy("ordinal").collect().map(r => (r.getLong(1), r.getLong(2), r.getString(0)))
+    assert(back.toSeq === (0L until 50L).map(i => (i, 2000 + i, s"body-$i")))
+    // no stray tmp files survive a clean commit
+    assert(!new java.io.File(dst).listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("S8 streaming: the sink names segments by epoch and the source tails them") {
+    val src = newLog("graftlog-ssrc")
+    val dst = newLog("graftlog-sdst") + "/out"
+    val ckpt = newLog("graftlog-sckpt")
+    GraftLog.writeSegment(src, "seg-0", (0L until 10L).map(i => (i, 1000 + i, s"m$i")))
+    val q = stream(src).writeStream.format(fmt)
+      .option("path", dst).option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      GraftLog.writeSegment(src, "seg-1", (10L until 15L).map(i => (i, 1000 + i, s"m$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format(fmt).option("path", dst).load()
+      .orderBy("ordinal").select("ordinal").as[Long].collect()
+    assert(back.toSeq === (0L until 15L))
+  }
+
   test("S1 end-to-end: the service pipeline runs on the custom source") {
     val dir = newLog("graftlog-svc")
     // JSON bodies + one POISON + one empty, like real traffic
