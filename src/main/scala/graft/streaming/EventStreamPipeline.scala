@@ -182,10 +182,26 @@ final class StreamCoordinator {
   * catalog state — creating/deleting streams runs no Spark job.
   */
 final class EventStreamRegistry(secure: Boolean = false, host: String = "localhost") {
+  /** The reference reads its VERSION file (app.py:100-101); ours. */
+  private val BuildVersion = "4.0.0"
+
   final case class EsRecord(id: Long, uuid: String, routingKey: String) {
     def location: String =
       s"${if (secure) "wss" else "ws"}://$host/event-stream/$uuid"
   }
+
+  /** GET /event-stream/version/ response (reference/app/app.py:596-604:
+    * protocol enumeration, service name, version).
+    */
+  final case class EsVersion(protocol: String, name: String, version: String)
+
+  /** GET /event-stream/version/ — the reference answers ("WEBSOCKET",
+    * "Python FastAPI", VERSION-file contents); this engine is a streaming
+    * DataFrame surface, so the protocol enumeration says so.
+    */
+  def version(): EsVersion =
+    EsVersion(protocol = "DATAFRAME_STREAM", name = "Spark graft engine",
+      version = BuildVersion)
 
   private val byId = TrieMap.empty[Long, EsRecord]
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -103,6 +103,10 @@ class StreamingSpec extends SparkSpec {
     assert(!q.isActive)
     assert(!reg.delete(r1.id, coord)) // 404 analog
     assert(reg.list().map(_.id) === Seq(r2.id))
+    // GET /event-stream/version/ analog (app.py:596-604): protocol
+    // enumeration + name + version, all non-empty
+    val v = reg.version()
+    assert(v.protocol === "DATAFRAME_STREAM" && v.name.nonEmpty && v.version.nonEmpty)
   }
 
   test("P3 streaming: malformed JSON bodies are dropped, not forwarded corrupted") {
