@@ -34,7 +34,18 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          errors += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName).take(80).replaceAll("[\"\\n\\r]", " ")}"
+          // full JSON-string escape: backslash and quote escaped, ALL
+          // control chars (tabs, newlines from plan fragments) flattened —
+          // a lone backslash or raw tab would make bench_full.json invalid
+          // exactly when there are failures to report
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            .take(80).flatMap {
+              case '\\' => "\\\\"
+              case '"'  => "\\\""
+              case c if c < ' ' => " "
+              case c => c.toString
+            }
+          errors += s"$name: $msg"
           false
       }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -122,10 +122,12 @@ object Round4Queries {
     "t_collocations" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(split(col("text"), " ").as("t"))
-        // guard: Spark's sequence(1, 0) DESCENDS — a 1-token doc must not
-        // produce a bogus (t[1], t[0]) bigram
-        .filter(size(col("t")) >= 2)
-      val bigrams = toks.select(explode(expr(
+      // bigram branch only: Spark's sequence(1, 0) DESCENDS, so a 1-token
+      // doc must not produce a bogus (t[1], t[0]) bigram — but its token
+      // still counts in the unigram model (the oracle's uni CTE spans ALL
+      // docs, so the filter must not leak into that branch)
+      val bigrams = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
           """transform(sequence(1, size(t) - 1),
                i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""))
           .as("bg"))

@@ -25,16 +25,22 @@ object SimilarityQueries {
     * the brute-force audit twin the ANN oracles compare against. All-pairs
     * via a nested-loop join: affordable at verification scale; at 100 TB
     * the recall audit runs on a sample of probes, never the full corpus.
+    * `materialize` when the caller consumes the result more than once —
+    * each unmaterialized consumer re-runs the full n² nested-loop join,
+    * the dominant cost of the audit; single-use callers skip the
+    * checkpoint (it would only add an extra materialization pass).
     */
-  private def exactBestPerVector(s: SparkSession, d: String): DataFrame = {
+  private def exactBestPerVector(s: SparkSession, d: String,
+                                 materialize: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+    val best = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"),
         floorRound(cosineFromNorms(dot(col("x.v"), col("y.v")),
           col("x.nrm"), col("y.nrm")), 4).as("c"))
       .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+    if (materialize) best.localCheckpoint() else best
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -106,7 +112,7 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("nn"))
       val ann = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("vec_id"), col("nn"), col("cosine"))
-      val best = exactBestPerVector(s, d)
+      val best = exactBestPerVector(s, d, materialize = true)
       val exactAgg = best.agg(
         count(lit(1)).as("n_vectors"),
         sum(expr("CAST(floor(best * 10000 + 0.5) AS BIGINT)")).as("sum_best_1e4"))

@@ -52,10 +52,39 @@ object GraftLog {
     StructField("ordinal", LongType),
     StructField("ts_ms", LongType)))
 
+  /** The record framing is line + tab based, so bodies must not carry raw
+    * newlines/CRs (they would split records) — escape on write, reverse on
+    * read. Backslash escapes first so the mapping is bijective; tab is
+    * escaped too for symmetry even though `split("\t", 3)` would tolerate
+    * it.
+    */
+  private[sources] def escapeBody(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private[sources] def unescapeBody(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case _    => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Producer-side fixture (S8 analog): append one TSV segment. */
   def writeSegment(dir: String, name: String, rows: Seq[(Long, Long, String)]): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val content = rows.map { case (ord, ts, body) => s"$ord\t$ts\t$body" }.mkString("\n")
+    val content = rows.map { case (ord, ts, body) => s"$ord\t$ts\t${escapeBody(body)}" }.mkString("\n")
     Files.write(Paths.get(dir, s"$name.log"), content.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -80,7 +109,7 @@ object GraftLog {
         .filter(_.nonEmpty)
         .map { line =>
           val Array(ord, ts, body) = line.split("\t", 3)
-          (ord.toLong, ts.toLong, body)
+          (ord.toLong, ts.toLong, unescapeBody(body))
         }
     }
 
@@ -131,10 +160,15 @@ class GraftLogTable extends Table with SupportsRead with SupportsWrite {
     val names = info.schema().fields.map(_.name).toSeq
     require(names == Seq("body", "ordinal", "ts_ms"),
       s"graft-log sink needs columns (body, ordinal, ts_ms); got $names")
+    // queryId is stable across restarts of the SAME streaming query (it
+    // lives in the checkpoint), so epoch-replay replaces its own segments,
+    // while a different query writing to the same dir can never collide.
+    val qid = Option(info.queryId()).map(_.replaceAll("[^0-9a-zA-Z]", "").take(8))
+      .filter(_.nonEmpty).getOrElse("q")
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftLogBatchWrite(dir, "batch")
-        override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(dir)
+        override def toBatch: BatchWrite = new GraftLogBatchWrite(dir)
+        override def toStreaming: StreamingWrite = new GraftLogStreamingWrite(dir, qid)
       }
     }
   }
@@ -225,13 +259,18 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
 case class GraftLogRange(dir: String, fromExclusive: Long, toInclusive: Long)
   extends InputPartition
 
-/** Task-side segment writer: stream lines to `.log.tmp`, rename to `.log`
-  * on commit (atomic on a POSIX dir; on an object store this becomes the
-  * usual staged-multipart + manifest commit). Empty tasks publish nothing.
+/** Task-side segment writer: stream lines to a tmp file unique to THIS
+  * attempt (`tmpTag` carries the taskId — concurrent speculative/zombie
+  * attempts of the same task must never share an inode or delete each
+  * other's staging file), rename to the stable `.log` name on commit
+  * (atomic on a POSIX dir; on an object store this becomes the usual
+  * staged-multipart + manifest commit). Empty tasks publish nothing.
+  * Bodies are newline-escaped on write (GraftLog.escapeBody) so arbitrary
+  * DataFrame content cannot corrupt the line framing.
   */
-private class GraftLogDataWriter(dir: String, segName: String)
+private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
     extends DataWriter[InternalRow] {
-  private val tmp = Paths.get(dir, s"$segName.log.tmp")
+  private val tmp = Paths.get(dir, s"$segName.log.$tmpTag.tmp")
   private var out: java.io.BufferedWriter = _
   private var first = true
 
@@ -243,14 +282,16 @@ private class GraftLogDataWriter(dir: String, segName: String)
     if (!first) out.write("\n")
     first = false
     val body = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
-    out.write(s"${row.getLong(1)}\t${row.getLong(2)}\t$body")
+    out.write(s"${row.getLong(1)}\t${row.getLong(2)}\t${GraftLog.escapeBody(body)}")
   }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) {
       out.close()
       // REPLACE so a replayed streaming epoch overwrites its own segment
-      // (idempotent) instead of failing or duplicating
+      // (idempotent) instead of failing or duplicating; batch segment
+      // names embed a per-job tag, so REPLACE can only ever hit this job's
+      // own earlier attempt, never another run's data
       Files.move(tmp, Paths.get(dir, s"$segName.log"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -267,28 +308,38 @@ private class GraftLogDataWriter(dir: String, segName: String)
 /** Serializable factory shipped to executors (must not capture the Write). */
 private case class GraftLogWriterFactory(dir: String, tag: String)
     extends DataWriterFactory with StreamingDataWriterFactory {
+  // batch: the final name embeds the per-JOB tag + task id, so re-running
+  // another append job against the same dir appends new segments instead
+  // of silently replacing old ones (task ids restart in a fresh JVM)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(dir, s"seg-$tag-$partitionId-$taskId")
-  // named by (epoch, partition), NOT taskId: a replayed epoch writes the
-  // same segment name and REPLACEs it — idempotent on retry
+    new GraftLogDataWriter(dir, s"seg-$tag-$partitionId-$taskId", taskId.toString)
+  // streaming: final name is (query, epoch, partition)-stable — a replayed
+  // epoch of the same query REPLACEs its own segment (idempotent), while
+  // the attempt-unique tmpTag keeps concurrent attempts from colliding
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftLogDataWriter(dir, s"seg-e$epochId-$partitionId")
+    new GraftLogDataWriter(dir, s"seg-$tag-e$epochId-$partitionId", taskId.toString)
 }
 
-private class GraftLogBatchWrite(dir: String, tag: String) extends BatchWrite {
+private class GraftLogBatchWrite(dir: String) extends BatchWrite {
+  // driver-side per-job tag: keeps this job's segments disjoint from any
+  // earlier run's (append semantics) while staying stable for its own
+  // task retries
+  private val jobTag = "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftLogWriterFactory(dir, tag)
+    GraftLogWriterFactory(dir, jobTag)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-/** Streaming epochs name segments by epochId, so a replayed epoch (failure
-  * before the driver recorded the batch) overwrites rather than duplicates
-  * — the same idempotence trick as file-sink epoch manifests.
+/** Streaming epochs name segments by (queryId, epochId, partition), so a
+  * replayed epoch (failure before the driver recorded the batch)
+  * overwrites rather than duplicates — the same idempotence trick as
+  * file-sink epoch manifests — and distinct queries sharing a dir never
+  * collide.
   */
-private class GraftLogStreamingWrite(dir: String) extends StreamingWrite {
+private class GraftLogStreamingWrite(dir: String, queryTag: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLogWriterFactory(dir, "stream")
+    GraftLogWriterFactory(dir, queryTag)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -88,12 +88,21 @@ object StreamingAggs {
     keyed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          // The shuffle into flatMapGroupsWithState sorts on the KEY only —
+          // within-key arrival order is arbitrary with a multi-partition
+          // upstream, so sort this batch's ordinals before walking them
+          // (bounded by the micro-batch's per-key row count). Ordinals at
+          // or below the cursor (redelivery) are skipped, not re-gapped.
+          val ords = rows.map(_._2).toArray
+          java.util.Arrays.sort(ords)
           val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
           var last = state.getOption.getOrElse(Long.MinValue)
-          rows.foreach { case (_, ord) =>
-            if (last != Long.MinValue && ord > last + 1)
-              out += GapEvent(key, last, ord, ord - last - 1)
-            if (ord > last) last = ord
+          ords.foreach { ord =>
+            if (ord > last) {
+              if (last != Long.MinValue && ord > last + 1)
+                out += GapEvent(key, last, ord, ord - last - 1)
+              last = ord
+            }
           }
           if (last != Long.MinValue) state.update(last)
           out.iterator

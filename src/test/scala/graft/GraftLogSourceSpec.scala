@@ -168,6 +168,23 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(!new java.io.File(dst).listFiles().exists(_.getName.endsWith(".tmp")))
   }
 
+  test("S8: bodies with newlines, tabs and backslashes round-trip through the sink") {
+    val dst = newLog("graftlog-esc") + "/out"
+    val nasty = Seq(
+      (0L, 1L, "line1\nline2"), (1L, 2L, "tab\there"),
+      (2L, 3L, "back\\slash"), (3L, 4L, "mix\\n\t\r\nend"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(nasty.map { case (o, t, b) => Row(b, o, t) }),
+      StructType(Seq(StructField("body", StringType), StructField("ordinal", LongType),
+        StructField("ts_ms", LongType))))
+    df.write.format(fmt).option("path", dst).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dst).load()
+      .orderBy("ordinal").collect().map(r => (r.getLong(1), r.getLong(2), r.getString(0)))
+    assert(back.toSeq === nasty)
+  }
+
   test("S8 streaming: the sink names segments by epoch and the source tails them") {
     val src = newLog("graftlog-ssrc")
     val dst = newLog("graftlog-sdst") + "/out"

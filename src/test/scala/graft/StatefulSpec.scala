@@ -52,6 +52,26 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gapDetect is order-robust within a batch and skips redeliveries") {
+    import graft.streaming.StreamingAggs.GapEvent
+    val stream = MemoryStream[(String, Long)](spark)
+    val out = StreamingAggs.gapDetect(stream.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gap_ooo").start()
+    try {
+      // same batch, descending arrival: the group iterator's order is not
+      // the arrival order contract — the operator sorts, so this is one
+      // 49-gap, not a silent miss
+      stream.addData(("rk-a", 150L), ("rk-a", 100L))
+      q.processAllAvailable()
+      // redelivery of an ordinal at/below the cursor emits nothing
+      stream.addData(("rk-a", 150L), ("rk-a", 120L))
+      q.processAllAvailable()
+      val rows = spark.table("gap_ooo").as[GapEvent].collect().toSeq
+      assert(rows === Seq(GapEvent("rk-a", 100L, 150L, 49L)))
+    } finally q.stop()
+  }
+
   test("statsEveryNTws (transformWithState/state-v2) matches the fMGWS semantics") {
     // state-v2 requires RocksDB; scope the provider to this query
     val key = "spark.sql.streaming.stateStore.providerClass"
