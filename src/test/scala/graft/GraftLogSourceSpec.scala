@@ -200,6 +200,17 @@ class GraftLogSourceSpec extends SparkSpec {
     val back = spark.read.format(fmt).option("path", dst).load()
       .orderBy("ordinal").select("ordinal").as[Long].collect()
     assert(back.toSeq === (0L until 15L))
+    // restart from the same checkpoint: committed epochs must not replay
+    // (no duplicate ordinals), and new data flows through the same sink dir
+    val q2 = stream(src).writeStream.format(fmt)
+      .option("path", dst).option("checkpointLocation", ckpt).start()
+    try {
+      GraftLog.writeSegment(src, "seg-2", (15L until 18L).map(i => (i, 1000 + i, s"m$i")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = spark.read.format(fmt).option("path", dst).load()
+      .select("ordinal").as[Long].collect().sorted
+    assert(after.toSeq === (0L until 18L))
   }
 
   test("S1 end-to-end: the service pipeline runs on the custom source") {
