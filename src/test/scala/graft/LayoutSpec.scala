@@ -78,4 +78,58 @@ class LayoutSpec extends SparkSpec {
       .filter(col("event_type") === "purchase").count()
     assert(scan.count() === expected)
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes the fact scan at runtime") {
+    // The 100 TB star-join killer feature: the fact side is partitioned on
+    // the join key, the dimension carries the selective filter, and Spark
+    // injects a runtime subquery filter into the fact scan — only matching
+    // partitions are read, without the user repeating the filter.
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), (col("l_orderkey") % 10).as("okey_mod"))
+      .write.partitionBy("okey_mod").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = Tables.orders(spark, d)
+      .select(col("o_orderkey"), (col("o_orderkey") % 10).as("okey_mod"), col("o_orderpriority"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .filter(col("okey_mod") === 3) // selective partition predicate on the dim
+    val joined = fact.join(dim, Seq("okey_mod"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic partition pruning in:\n${plan.take(1500)}")
+    assert(joined.count() > 0)
+  }
+
+  test("runtime bloom-filter pruning: a selective dim side injects might_contain into the fact scan") {
+    // The row-level sibling of DPP for non-partition join keys: Spark
+    // builds a bloom filter from the selective (filtered) side and pushes
+    // a might_contain probe into the big side's scan, skipping most fact
+    // rows before the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~matching slice.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // test-scale data sits under the production thresholds; floor them
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter in:\n${plan.take(1500)}")
+      val expected = Tables.lineitem(spark, d).join(
+        Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
