@@ -198,6 +198,36 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // R19 — int8 vector quantization with a VERIFIED reconstruction bound:
+    // the standard 4× compression step before ANN serving at scale
+    // (100 TB of float32 embeddings → 25 TB of int8 + per-vector scale).
+    // Per vector: affine min/max quantization to 0..255 via the
+    // floor(x+0.5) parity trick (no engine-dependent rounding), then the
+    // dequantization error is checked against the half-step bound. Hashed
+    // columns are all integer/boolean: the quantized-code checksum, dims,
+    // and the bound boolean — DuckDB replays the identical arithmetic, so
+    // the oracle verifies the actual codes, not a summary. Pure per-row
+    // expressions: embarrassingly parallel, no shuffle at all.
+    "v_quantize_int8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+      e.select(col("vec_id"),
+          size(col("v")).as("n_dims"),
+          // degenerate (constant) vectors quantize to all-zeros
+          expr("""CASE WHEN mx = mn THEN 0L ELSE
+                    aggregate(transform(v, x ->
+                      CAST(floor((x - mn) * 255 / (mx - mn) + 0.5) AS BIGINT)),
+                      0L, (acc, q) -> acc + q) END""").as("q_checksum"),
+          expr("""mx = mn OR aggregate(transform(v, x ->
+                    abs(x - (mn + CAST(floor((x - mn) * 255 / (mx - mn) + 0.5) AS BIGINT)
+                                  * (mx - mn) / 255))), CAST(0.0 AS DOUBLE),
+                    (acc, e2) -> greatest(acc, e2))
+                  <= (mx - mn) / 255 / 2 * (1 + 1e-9)""").as("within_half_step"))
+        .orderBy("vec_id")
+    }),
+
     // R19 aggregate view — label centroids + intra-label cohesion: mean
     // vector per label (element-wise), then each member's cosine to its
     // centroid, averaged. Exercises array aggregation at scale (posexplode →
@@ -249,6 +279,31 @@ object SimilarityQueries {
       s"""WITH $ExactBestCte
          SELECT vec_id, best AS exact_best, TRUE AS ann_le_exact
          FROM best ORDER BY vec_id""",
+    // identical affine-quantization arithmetic over the unnested floats;
+    // q codes are exact integers in both engines (floor(x+0.5) parity)
+    "v_quantize_int8" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings),
+         mm AS (SELECT vec_id, min(x) AS mn, max(x) AS mx,
+                       CAST(count(*) AS INT) AS n_dims
+                FROM ex GROUP BY vec_id),
+         q AS (
+           SELECT ex.vec_id,
+                  CASE WHEN mm.mx = mm.mn THEN 0
+                       ELSE CAST(floor((ex.x - mm.mn) * 255 / (mm.mx - mm.mn) + 0.5) AS BIGINT)
+                  END AS qc,
+                  CASE WHEN mm.mx = mm.mn THEN 0.0
+                       ELSE abs(ex.x - (mm.mn + CAST(floor((ex.x - mm.mn) * 255 / (mm.mx - mm.mn) + 0.5) AS BIGINT)
+                                        * (mm.mx - mm.mn) / 255))
+                  END AS err,
+                  (mm.mx - mm.mn) / 255 / 2 * (1 + 1e-9) AS bound
+           FROM ex JOIN mm ON ex.vec_id = mm.vec_id)
+         SELECT q.vec_id, CAST(max(mm.n_dims) AS INT) AS n_dims,
+                CAST(sum(q.qc) AS BIGINT) AS q_checksum,
+                (max(mm.mx) = max(mm.mn) OR max(q.err) <= max(q.bound)) AS within_half_step
+         FROM q JOIN mm ON q.vec_id = mm.vec_id
+         GROUP BY q.vec_id ORDER BY q.vec_id""",
     "v_neardup_cosine" ->
       """WITH ex AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
