@@ -211,6 +211,10 @@ object SimilarityQueries {
     "v_quantize_int8" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        // empty vectors have no codes: the oracle's unnest emits no rows
+        // for them, so the Spark side must drop them too (a null-boolean
+        // row here would be a row-count mismatch)
+        .filter(size(col("v")) > 0)
         .withColumn("mn", array_min(col("v")))
         .withColumn("mx", array_max(col("v")))
       e.select(col("vec_id"),

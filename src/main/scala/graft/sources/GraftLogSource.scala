@@ -259,14 +259,26 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
 case class GraftLogRange(dir: String, fromExclusive: Long, toInclusive: Long)
   extends InputPartition
 
+/** Commit message: where the task staged its lines and where the segment
+  * must be published. Carrying both paths lets the DRIVER do the publish
+  * in BatchWrite/StreamingWrite.commit — two-phase commit, so a failed job
+  * leaves no visible segments and abort can clean every staged file.
+  */
+private case class GraftLogSegMessage(tmpPath: String, finalPath: String)
+  extends WriterCommitMessage
+
 /** Task-side segment writer: stream lines to a tmp file unique to THIS
   * attempt (`tmpTag` carries the taskId — concurrent speculative/zombie
   * attempts of the same task must never share an inode or delete each
-  * other's staging file), rename to the stable `.log` name on commit
-  * (atomic on a POSIX dir; on an object store this becomes the usual
-  * staged-multipart + manifest commit). Empty tasks publish nothing.
-  * Bodies are newline-escaped on write (GraftLog.escapeBody) so arbitrary
-  * DataFrame content cannot corrupt the line framing.
+  * other's staging file). The task does NOT publish: its commit message
+  * names the staged file, and the job-level commit renames everything at
+  * once (atomic per file on a POSIX dir; on an object store this becomes
+  * the usual staged-multipart + manifest commit). Empty tasks publish
+  * nothing. Bodies are newline-escaped on write (GraftLog.escapeBody) so
+  * arbitrary DataFrame content cannot corrupt the line framing. Null
+  * ordinals/timestamps are data errors and fail loudly — getLong on a
+  * null field would silently fabricate ordinal 0 and corrupt the log's
+  * replay-cursor contract.
   */
 private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
     extends DataWriter[InternalRow] {
@@ -275,6 +287,8 @@ private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
   private var first = true
 
   override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(1) && !row.isNullAt(2),
+      "graft-log sink: ordinal and ts_ms must be non-null")
     if (out == null) {
       Files.createDirectories(Paths.get(dir))
       out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
@@ -288,14 +302,8 @@ private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
   override def commit(): WriterCommitMessage = {
     if (out != null) {
       out.close()
-      // REPLACE so a replayed streaming epoch overwrites its own segment
-      // (idempotent) instead of failing or duplicating; batch segment
-      // names embed a per-job tag, so REPLACE can only ever hit this job's
-      // own earlier attempt, never another run's data
-      Files.move(tmp, Paths.get(dir, s"$segName.log"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    new WriterCommitMessage {}
+      GraftLogSegMessage(tmp.toString, Paths.get(dir, s"$segName.log").toString)
+    } else GraftLogSegMessage("", "")
   }
 
   override def abort(): Unit = {
@@ -303,6 +311,28 @@ private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
   }
 
   override def close(): Unit = ()
+}
+
+/** Driver-side publish shared by batch and streaming commit: rename every
+  * staged file to its final name. REPLACE is safe — batch names embed a
+  * per-job tag (only this job's own earlier attempt can collide) and
+  * streaming names are (query, epoch, partition)-stable (a replayed epoch
+  * REPLACES its own segment — idempotent).
+  */
+private object GraftLogPublish {
+  def commitAll(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSegMessage(tmp, fin) if tmp.nonEmpty =>
+        Files.move(Paths.get(tmp), Paths.get(fin),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ => ()
+    }
+  def abortAll(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSegMessage(tmp, _) if tmp.nonEmpty =>
+        Files.deleteIfExists(Paths.get(tmp))
+      case _ => ()
+    }
 }
 
 /** Serializable factory shipped to executors (must not capture the Write). */
@@ -327,8 +357,12 @@ private class GraftLogBatchWrite(dir: String) extends BatchWrite {
   private val jobTag = "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftLogWriterFactory(dir, jobTag)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // two-phase: segments become visible only if the whole JOB commits — a
+  // task that failed after others succeeded leaves nothing published
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogPublish.commitAll(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftLogPublish.abortAll(messages)
 }
 
 /** Streaming epochs name segments by (queryId, epochId, partition), so a
@@ -340,8 +374,10 @@ private class GraftLogBatchWrite(dir: String) extends BatchWrite {
 private class GraftLogStreamingWrite(dir: String, queryTag: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftLogWriterFactory(dir, queryTag)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLogPublish.commitAll(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftLogPublish.abortAll(messages)
 }
 
 object GraftLogReaderFactory extends PartitionReaderFactory {
