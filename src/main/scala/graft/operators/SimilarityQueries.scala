@@ -35,11 +35,18 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val best = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"),
+    // upper triangle only — each pair's dot is computed ONCE (the project
+    // below materializes `c` before the explode duplicates it to both
+    // endpoints), halving the n² inner-loop work of the audit
+    val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
         floorRound(cosineFromNorms(dot(col("x.v"), col("y.v")),
           col("x.nrm"), col("y.nrm")), 4).as("c"))
-      .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+    val best = pairs
+      .select(explode(array(
+        struct(col("va").as("vec_id"), col("c")),
+        struct(col("vb").as("vec_id"), col("c")))).as("p"))
+      .groupBy(col("p.vec_id").as("vec_id")).agg(max(col("p.c")).as("best"))
     if (materialize) best.localCheckpoint() else best
   }
 
