@@ -40,11 +40,13 @@ import scala.jdk.CollectionConverters._
   *     lives across streams (one query per stream), exactly like the
   *     reference's one-consumer-per-stream model.
   *
-  * Scale note: `latestOffset` scans segment files on the driver per
-  * trigger; a production deployment fronts this with segment metadata
-  * (max ordinal per file name) exactly like Kafka's index — the file
-  * format here keeps the demo dependency-free while the OFFSET semantics
-  * (the part under test) are production-shaped.
+  * Scale notes: sink-written segments carry their ordinal bounds in the
+  * FILE NAME (`.o<min>-<max>.log`, Kafka-index style), and every bounded
+  * read — pushed batch predicates (GraftLogScanBuilder) and streaming
+  * micro-batch ranges alike — skips non-intersecting segments without
+  * opening them (GraftLog.readRange). `latestOffset` still scans on the
+  * driver per trigger; fronting it with the same name metadata is the
+  * remaining production step.
   */
 object GraftLog {
   val Schema: StructType = StructType(Seq(
@@ -102,16 +104,46 @@ object GraftLog {
     }
   }
 
+  /** Segment-name metadata: the SINK embeds each segment's ordinal bounds
+    * in the file name (`…​.o<min>-<max>.log`) — the Kafka-index analog that
+    * lets a bounded read SKIP whole segments without opening them.
+    * Segments without the marker (e.g. plain writeSegment fixtures) have
+    * unknown bounds and are always read.
+    */
+  private val BoundsRe = """.*\.o(-?\d+)-(-?\d+)\.log$""".r
+
+  /** Observability hook for specs: counts segment FILES actually opened. */
+  private[graft] val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def parseSegment(f: Path): Seq[(Long, Long, String)] = {
+    filesOpened.incrementAndGet()
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(ord, ts, body) = line.split("\t", 3)
+        (ord.toLong, ts.toLong, unescapeBody(body))
+      }
+  }
+
   /** (ordinal, ts_ms, body) of every record currently in the log. */
   private[sources] def readAll(dir: String): Seq[(Long, Long, String)] =
-    segmentFiles(dir).flatMap { f =>
-      Files.readAllLines(f, StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty)
-        .map { line =>
-          val Array(ord, ts, body) = line.split("\t", 3)
-          (ord.toLong, ts.toLong, unescapeBody(body))
-        }
-    }
+    segmentFiles(dir).flatMap(parseSegment)
+
+  /** Range read with segment skipping: segments whose name-embedded bounds
+    * fall outside (fromExclusive, toInclusive] are never opened; unmarked
+    * segments are read and row-filtered. At 100 TB this is the difference
+    * between touching the replay window and touching the whole retention
+    * archive.
+    */
+  private[sources] def readRange(dir: String, fromExclusive: Long,
+                                 toInclusive: Long): Seq[(Long, Long, String)] =
+    segmentFiles(dir).filter { f =>
+      f.toString match {
+        case BoundsRe(mn, mx) => mx.toLong > fromExclusive && mn.toLong <= toInclusive
+        case _ => true // no metadata — must read
+      }
+    }.flatMap(parseSegment)
+      .filter(t => t._1 > fromExclusive && t._1 <= toInclusive)
 
   private[sources] def maxOrdinal(dir: String): Long = {
     val all = readAll(dir)
@@ -173,20 +205,59 @@ class GraftLogTable extends Table with SupportsRead with SupportsWrite {
     }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
-      override def readSchema(): StructType = GraftLog.Schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GraftLogMicroBatch(options)
-      // dual-mode like Kafka: the same log is a bounded batch table (the
-      // retention-archive replay twin, SURVEY.md §2.1 S10)
-      override def toBatch: Batch = new Batch {
-        private val dir = Option(options.get("path")).getOrElse(
-          throw new IllegalArgumentException("graft-log source needs option 'path'"))
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(GraftLogRange(dir, Long.MinValue, Long.MaxValue))
-        override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
-      }
+    new GraftLogScanBuilder(options)
+}
+
+/** Batch-scan builder with ORDINAL predicate pushdown (the replay-window
+  * seek, S2-S5, as a DSv2 `SupportsPushDownFilters`): range/equality
+  * filters on `ordinal` tighten the scan's (fromExclusive, toInclusive]
+  * window, which both row-filters exactly (the accepted filters need no
+  * re-evaluation) and SKIPS whole segments via the name-embedded bounds —
+  * the custom-source twin of parquet min/max row-group pruning. Filters on
+  * other columns are left to Spark (returned as residuals).
+  */
+class GraftLogScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var fromEx = Long.MinValue
+  private var toInc = Long.MaxValue
+  private var accepted = Array.empty[Filter]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def handle(f: Filter): Boolean = f match {
+      case GreaterThan("ordinal", v: Long)        => fromEx = math.max(fromEx, v); true
+      case GreaterThanOrEqual("ordinal", v: Long) => fromEx = math.max(fromEx, v - 1); true
+      case LessThan("ordinal", v: Long)           => toInc = math.min(toInc, v - 1); true
+      case LessThanOrEqual("ordinal", v: Long)    => toInc = math.min(toInc, v); true
+      case EqualTo("ordinal", v: Long) =>
+        fromEx = math.max(fromEx, v - 1); toInc = math.min(toInc, v); true
+      case _ => false
     }
+    val (ok, residual) = filters.partition(handle)
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = GraftLog.Schema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GraftLogMicroBatch(options)
+    // dual-mode like Kafka: the same log is a bounded batch table (the
+    // retention-archive replay twin, SURVEY.md §2.1 S10)
+    override def toBatch: Batch = new Batch {
+      private val dir = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-log source needs option 'path'"))
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(GraftLogRange(dir, fromEx, toInc))
+      override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
+    }
+    override def description(): String =
+      s"graft-log PushedOrdinalRange: ($fromEx, $toInc]"
+  }
 }
 
 class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
@@ -285,6 +356,8 @@ private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
   private val tmp = Paths.get(dir, s"$segName.log.$tmpTag.tmp")
   private var out: java.io.BufferedWriter = _
   private var first = true
+  private var mn = Long.MaxValue
+  private var mx = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(1) && !row.isNullAt(2),
@@ -295,14 +368,21 @@ private class GraftLogDataWriter(dir: String, segName: String, tmpTag: String)
     }
     if (!first) out.write("\n")
     first = false
+    val ord = row.getLong(1)
+    if (ord < mn) mn = ord
+    if (ord > mx) mx = ord
     val body = if (row.isNullAt(0)) "" else row.getUTF8String(0).toString
-    out.write(s"${row.getLong(1)}\t${row.getLong(2)}\t${GraftLog.escapeBody(body)}")
+    out.write(s"$ord\t${row.getLong(2)}\t${GraftLog.escapeBody(body)}")
   }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) {
       out.close()
-      GraftLogSegMessage(tmp.toString, Paths.get(dir, s"$segName.log").toString)
+      // segment bounds ride in the FINAL name (`.o<min>-<max>.log`) — the
+      // Kafka-index analog GraftLog.readRange prunes on; a replayed
+      // streaming epoch rewrites identical data, hence the identical name
+      GraftLogSegMessage(tmp.toString,
+        Paths.get(dir, s"$segName.o$mn-$mx.log").toString)
     } else GraftLogSegMessage("", "")
   }
 
@@ -383,8 +463,10 @@ private class GraftLogStreamingWrite(dir: String, queryTag: String) extends Stre
 object GraftLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[GraftLogRange]
-    val rows = GraftLog.readAll(r.dir)
-      .filter(t => t._1 > r.fromExclusive && t._1 <= r.toInclusive)
+    // readRange skips whole segments via name-embedded bounds before
+    // row-filtering — streaming micro-batches and pushed batch predicates
+    // both benefit
+    val rows = GraftLog.readRange(r.dir, r.fromExclusive, r.toInclusive)
       .sortBy(_._1) // ordinal order within the single partition (T1)
       .iterator
     new PartitionReader[InternalRow] {

@@ -213,6 +213,29 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(after.toSeq === (0L until 18L))
   }
 
+  test("S10: ordinal pushdown prunes whole segments via name-embedded bounds") {
+    val src = newLog("graftlog-prune-src")
+    val dst = newLog("graftlog-prune") + "/out"
+    GraftLog.writeSegment(src, "seg-0",
+      (0L until 400L).map(i => (i, 1000 + i, s"m$i")))
+    // route through the sink with a range partitioning so the four output
+    // segments carry disjoint ordinal bounds in their names
+    val df = spark.read.format(fmt).option("path", src).load()
+    df.repartitionByRange(4, org.apache.spark.sql.functions.col("ordinal"))
+      .write.format(fmt).option("path", dst).mode("append").save()
+    val segs = new java.io.File(dst).listFiles().map(_.getName).filter(_.endsWith(".log"))
+    assert(segs.length === 4 && segs.forall(_.matches(""".*\.o-?\d+--?\d+\.log""")), segs.toSeq)
+    // a bounded read must open ONLY the one covering segment (local-mode
+    // counter: reader runs in this JVM)
+    val before = GraftLog.filesOpened.get()
+    val got = spark.read.format(fmt).option("path", dst).load()
+      .filter(org.apache.spark.sql.functions.col("ordinal").between(310, 330))
+      .select("ordinal").as[Long].collect().sorted
+    val opened = GraftLog.filesOpened.get() - before
+    assert(got.toSeq === (310L to 330L))
+    assert(opened === 1L, s"opened $opened segments, expected 1")
+  }
+
   test("S1 end-to-end: the service pipeline runs on the custom source") {
     val dir = newLog("graftlog-svc")
     // JSON bodies + one POISON + one empty, like real traffic
