@@ -44,9 +44,9 @@ import scala.jdk.CollectionConverters._
   * FILE NAME (`.o<min>-<max>.log`, Kafka-index style), and every bounded
   * read — pushed batch predicates (GraftLogScanBuilder) and streaming
   * micro-batch ranges alike — skips non-intersecting segments without
-  * opening them (GraftLog.readRange). `latestOffset` still scans on the
-  * driver per trigger; fronting it with the same name metadata is the
-  * remaining production step.
+  * opening them (GraftLog.readRange). `latestOffset` reduces to a
+  * directory listing when every segment carries name bounds, and falls
+  * back to a scan when any is unmarked.
   */
 object GraftLog {
   val Schema: StructType = StructType(Seq(
@@ -146,8 +146,21 @@ object GraftLog {
       .filter(t => t._1 > fromExclusive && t._1 <= toInclusive)
 
   private[sources] def maxOrdinal(dir: String): Long = {
-    val all = readAll(dir)
-    if (all.isEmpty) -1L else all.map(_._1).max
+    // latestOffset runs on the driver EVERY trigger: when all segments
+    // carry name bounds, the head position is a directory listing, not a
+    // full log read; one unmarked segment forces the fallback scan
+    val files = segmentFiles(dir)
+    val bounds = files.map { f =>
+      f.toString match {
+        case BoundsRe(_, mx) => Some(mx.toLong)
+        case _ => None
+      }
+    }
+    if (files.nonEmpty && bounds.forall(_.isDefined)) bounds.flatten.max
+    else {
+      val all = files.flatMap(parseSegment)
+      if (all.isEmpty) -1L else all.map(_._1).max
+    }
   }
 }
 
