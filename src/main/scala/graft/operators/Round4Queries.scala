@@ -112,6 +112,55 @@ object Round4Queries {
         .orderBy("lang", "rk")
     }),
 
+    // CAPSTONE — the end-to-end corpus build, composed from the proven
+    // operators as ONE pipeline: quality gate (t_quality_score blend ≥
+    // 0.52) → exact dedup (min doc_id per text survives) → near-dup
+    // representative selection (docs that are the higher side of an
+    // adjacent J ≥ 0.5 edge drop, leaving each run's min — the
+    // d_dedup_cluster representative without running the full CC loop) →
+    // GPT-style sequence packing of the survivors (t_pack_sequences
+    // arithmetic). This is the query a user actually runs before training:
+    // every stage is a keyed shuffle or a per-shard window, nothing
+    // quadratic, and the whole composition is DuckDB-oracled end-to-end.
+    "d_corpus_build" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+      val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+      val diversity = size(array_distinct(toks)).cast("double") / nTok
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        floorRound(lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
+          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("quality"))
+      val qualified = scored.filter(col("quality") >= 0.52)
+      // exact dedup: min doc_id per text among the qualified
+      val exactKept = qualified
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1).drop("__rk", "text")
+      // Near-dup drop: run the REAL near-dup operator — the full
+      // MinHash+LSH pipeline (shingle → sign → band → verify) — and drop
+      // the higher side of every verified J ≥ 0.5 pair. Shingle Jaccard,
+      // not token Jaccard: on a small shared vocabulary every doc shares
+      // most TOKENS with its neighbor (369 of 499 adjacent pairs clear 0.5
+      // on unigrams at sf0.01) while shingle overlap isolates the genuine
+      // near-duplicates. Composing the registered operator is the point of
+      // the capstone: its own oracle already proved the pair set equals
+      // the all-pairs ground truth.
+      val dupped = DedupQueries.defs("d_minhash_lsh")(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept = exactKept.join(dupped, Seq("doc_id"), "left_anti")
+      // pack survivors: per-shard prefix sums into 512-token bins
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept.withColumn("shard", col("doc_id") % 32)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"), col("quality"), col("shard"),
+          ((col("cum") - col("n_tokens")) / 512).cast("long").as("start_bin"))
+        .orderBy("doc_id")
+    }),
+
     // R20 — collocation mining: top bigrams by pointwise mutual information
     // over adjacent token pairs, the standard corpus-statistics pass for
     // tokenizer/vocabulary work. Exact integer counts (bigram + unigram
@@ -175,6 +224,53 @@ object Round4Queries {
          GROUP BY asset_a, asset_b
          HAVING sum(abs(fa.u - fb.u)) <= 500
          ORDER BY asset_a, asset_b""",
+    // the composed pipeline, mirrored stage by stage: quality blend →
+    // exact-dedup survivor → adjacent near-dup drop → per-shard packing
+    "d_corpus_build" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  floor((0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                / len(string_split(text, ' ')))
+                       + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the', 'a'))) AS DOUBLE)
+                                / len(string_split(text, ' ')))
+                       + 0.2 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                                / len(string_split(text, ' '))) / 10.0, 1.0)) * 10000 + 0.5) / 10000
+                    AS quality
+           FROM documents),
+         qualified AS (SELECT * FROM scored WHERE quality >= 0.52),
+         exact_kept AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+             FROM qualified) WHERE rk = 1),
+         toks3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh3 AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+           FROM toks3 WHERE len(t) >= 3),
+         shsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh3 GROUP BY doc_id),
+         shint AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+           FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dup_b AS (
+           SELECT DISTINCT doc_b AS doc_id FROM shint
+             JOIN shsz sa ON sa.doc_id = doc_a
+             JOIN shsz sb ON sb.doc_id = doc_b
+           WHERE floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.5),
+         kept AS (
+           SELECT doc_id, n_tokens, quality, doc_id % 32 AS shard
+           FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)),
+         packed AS (
+           SELECT doc_id, n_tokens, quality, shard,
+                  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM kept)
+         SELECT doc_id, n_tokens, quality, shard,
+                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS start_bin
+         FROM packed ORDER BY doc_id""",
     "t_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 32 AS shard,
