@@ -51,8 +51,10 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       // Failed queries get a NEGATED timing so they are unmistakable in both
       // bench_full.json and the metric line (a -1.23 can never be confused
-      // with a passing elapsed time).
-      name -> (if (ok) secs else -secs)
+      // with a passing elapsed time). Floor at 10ms so a failure faster
+      // than the 2-decimal rendering (an immediate AnalysisException) can't
+      // round to a passing-looking "0".
+      name -> (if (ok) secs else -math.max(secs, 0.01))
     }.toMap
     // The driver tail-captures ~2000 chars of the run log, so the printed
     // line must stay well under that (round 1's full-precision line got

@@ -28,7 +28,15 @@ object Round4Queries {
     // Scale: one groupBy on the 8-bit hash, Σ bucket² ≪ n², same shape as
     // every other blocked near-dup path here.
     "m_phash_neardup" -> ((s, d) => {
-      val feats = Multimodal.decodeStub(s, Multimodal.assets(s, d))
+      // Domain guard, mirrored in the oracle: payloads must fill all 8
+      // histogram slots (≥ 8 bytes) and be single-byte text (the decode
+      // stub hashes BYTES; the SQL twin models characters — they agree
+      // exactly on ASCII, so multi-byte payloads are excluded from the
+      // oracled domain rather than silently diverging).
+      val assets = Multimodal.assets(s, d)
+        .filter(col("meta.n_bytes") >= 8 &&
+          col("meta.n_bytes") === length(col("payload").cast("string")))
+      val feats = Multimodal.decodeStub(s, assets)
         // integer 1e-4 units of the (already 4-dp-rounded) feature slots
         .select(col("asset_id"),
           expr("transform(feature, x -> CAST(round(x * 10000) AS BIGINT))").as("u"))
@@ -203,10 +211,14 @@ object Round4Queries {
     // feature units per (doc, slot) exactly as the m_decode_features twin,
     // then integer phash + integer L1 — mirrors the Spark arithmetic 1:1
     "m_phash_neardup" ->
-      """WITH b AS (
+      """WITH dom AS (
+           SELECT doc_id, text FROM documents
+           WHERE length(text) >= 8
+             AND length(text) = octet_length(CAST(text AS BLOB))),
+         b AS (
            SELECT doc_id, length(text) AS n, t.i % 8 AS slot,
                   ascii(substring(text, CAST(t.i + 1 AS INT), 1)) / 255.0 AS v
-           FROM documents, unnest(generate_series(0, length(text) - 1)) AS t(i)),
+           FROM dom, unnest(generate_series(0, length(text) - 1)) AS t(i)),
          f AS (SELECT doc_id, slot,
                       CAST(round(round(sum(v) / max(n) * 10000) / 10000 * 10000) AS BIGINT) AS u
                FROM b GROUP BY doc_id, slot),

@@ -158,7 +158,7 @@ object GraftLog {
     }
     if (files.nonEmpty && bounds.forall(_.isDefined)) bounds.flatten.max
     else {
-      val all = files.flatMap(parseSegment)
+      val all = readAll(dir)
       if (all.isEmpty) -1L else all.map(_._1).max
     }
   }
@@ -206,9 +206,10 @@ class GraftLogTable extends Table with SupportsRead with SupportsWrite {
     require(names == Seq("body", "ordinal", "ts_ms"),
       s"graft-log sink needs columns (body, ordinal, ts_ms); got $names")
     // queryId is stable across restarts of the SAME streaming query (it
-    // lives in the checkpoint), so epoch-replay replaces its own segments,
-    // while a different query writing to the same dir can never collide.
-    val qid = Option(info.queryId()).map(_.replaceAll("[^0-9a-zA-Z]", "").take(8))
+    // lives in the checkpoint), so epoch-replay replaces its own segments;
+    // 16 sanitized chars of the UUID (64 bits) keep distinct queries
+    // sharing a dir from colliding.
+    val qid = Option(info.queryId()).map(_.replaceAll("[^0-9a-zA-Z]", "").take(16))
       .filter(_.nonEmpty).getOrElse("q")
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -239,12 +240,19 @@ class GraftLogScanBuilder(options: CaseInsensitiveStringMap)
   private var accepted = Array.empty[Filter]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v - 1 must not wrap: GreaterThanOrEqual(Long.MinValue) is a
+    // tautology (accept, no bound change), LessThan(Long.MinValue) is
+    // always-false (empty range: (MinValue, MinValue] admits nothing),
+    // and EqualTo(Long.MinValue) cannot be expressed with an exclusive
+    // lower bound — leave it to Spark as a residual.
     def handle(f: Filter): Boolean = f match {
       case GreaterThan("ordinal", v: Long)        => fromEx = math.max(fromEx, v); true
-      case GreaterThanOrEqual("ordinal", v: Long) => fromEx = math.max(fromEx, v - 1); true
-      case LessThan("ordinal", v: Long)           => toInc = math.min(toInc, v - 1); true
+      case GreaterThanOrEqual("ordinal", v: Long) =>
+        if (v != Long.MinValue) fromEx = math.max(fromEx, v - 1); true
+      case LessThan("ordinal", v: Long) =>
+        toInc = math.min(toInc, if (v == Long.MinValue) Long.MinValue else v - 1); true
       case LessThanOrEqual("ordinal", v: Long)    => toInc = math.min(toInc, v); true
-      case EqualTo("ordinal", v: Long) =>
+      case EqualTo("ordinal", v: Long) if v != Long.MinValue =>
         fromEx = math.max(fromEx, v - 1); toInc = math.min(toInc, v); true
       case _ => false
     }
@@ -467,8 +475,24 @@ private class GraftLogBatchWrite(dir: String) extends BatchWrite {
 private class GraftLogStreamingWrite(dir: String, queryTag: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftLogWriterFactory(dir, queryTag)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // Epoch-replay idempotence must not depend on the replay using the
+    // SAME partitioning (a restart can repartition the same offset range
+    // differently, producing different segment names): before publishing,
+    // drop every previously-published segment of THIS query+epoch that the
+    // committed set does not supersede — the epoch's content is then
+    // exactly this commit's files, replayed or not.
+    val finals = messages.collect {
+      case GraftLogSegMessage(tmp, fin) if tmp.nonEmpty =>
+        Paths.get(fin).getFileName.toString
+    }.toSet
+    val prefix = s"seg-$queryTag-e$epochId-"
+    GraftLog.segmentFiles(dir)
+      .filter(f => f.getFileName.toString.startsWith(prefix) &&
+        !finals.contains(f.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
     GraftLogPublish.commitAll(messages)
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftLogPublish.abortAll(messages)
 }
