@@ -356,7 +356,7 @@ case class GraftLogRange(dir: String, fromExclusive: Long, toInclusive: Long)
   * in BatchWrite/StreamingWrite.commit — two-phase commit, so a failed job
   * leaves no visible segments and abort can clean every staged file.
   */
-private case class GraftLogSegMessage(tmpPath: String, finalPath: String)
+private[graft] case class GraftLogSegMessage(tmpPath: String, finalPath: String)
   extends WriterCommitMessage
 
 /** Task-side segment writer: stream lines to a tmp file unique to THIS
@@ -472,7 +472,7 @@ private class GraftLogBatchWrite(dir: String) extends BatchWrite {
   * file-sink epoch manifests — and distinct queries sharing a dir never
   * collide.
   */
-private class GraftLogStreamingWrite(dir: String, queryTag: String) extends StreamingWrite {
+private[graft] class GraftLogStreamingWrite(dir: String, queryTag: String) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftLogWriterFactory(dir, queryTag)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

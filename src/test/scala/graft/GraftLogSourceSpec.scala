@@ -236,6 +236,29 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(opened === 1L, s"opened $opened segments, expected 1")
   }
 
+  test("S8 streaming: epoch commit supersedes stale same-epoch segments (repartitioned replay)") {
+    // simulate: epoch 3 was published as two segments, the query crashed
+    // before recording the batch, and the replay produced ONE segment with
+    // a different partitioning — commit must remove the stale pair
+    val dir = newLog("graftlog-replay")
+    GraftLog.writeSegment(dir, "seg-qabc-e3-0.o0-49", (0L until 50L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-qabc-e3-1.o50-99", (50L until 100L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-qabc-e2-0.o-10--1", Seq((-10L, 1L, "older-epoch"))) // untouched
+    // the replayed epoch's single staged segment
+    val staged = java.nio.file.Paths.get(dir, "seg-qabc-e3-0.o0-99.log.7.tmp")
+    java.nio.file.Files.writeString(staged,
+      (0L until 100L).map(i => s"$i\t${1000 + i}\tm$i").mkString("\n"))
+    val write = new graft.sources.GraftLogStreamingWrite(dir, "qabc")
+    write.commit(3L, Array(graft.sources.GraftLogSegMessage(
+      staged.toString, java.nio.file.Paths.get(dir, "seg-qabc-e3-0.o0-99.log").toString)))
+    val names = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".log")).sorted
+    assert(names.toSeq === Seq("seg-qabc-e2-0.o-10--1.log", "seg-qabc-e3-0.o0-99.log"), names.toSeq)
+    // and the log still reads exactly once per ordinal
+    val back = spark.read.format(fmt).option("path", dir).load()
+      .select("ordinal").as[Long].collect().sorted
+    assert(back.toSeq === (-10L +: (0L until 100L)))
+  }
+
   test("S1 end-to-end: the service pipeline runs on the custom source") {
     val dir = newLog("graftlog-svc")
     // JSON bodies + one POISON + one empty, like real traffic
