@@ -82,6 +82,10 @@ object EventStreamPipeline {
     // received/sent counters (reference stats dict, app.py:425-426,499-501;
     // emitted every 800 msgs there) — here observe() metrics surfaced per
     // micro-batch through StreamingQueryProgress.observedMetrics("ess_stats").
+    // NOTE the metric semantics: `sent` counts FORWARDABLE rows in the
+    // batch (a declarative pre-sink aggregate); in a batch truncated by
+    // POISON the sink delivers fewer. Per-delivery counting — the
+    // reference's exact semantics — is StreamingAggs.statsEveryN's job.
     val pipeline = enrich(seek(source, spec))
       .observe("ess_stats",
         count(lit(1)).as("received"),
@@ -91,6 +95,12 @@ object EventStreamPipeline {
     // its own socket UUID (app.py:332-344), and the displaced predecessor is
     // still alive for a moment — two "es-<key>" queries may overlap briefly.
     val consumerId = java.util.UUID.randomUUID().toString.take(8)
+    val queryName = s"es-$routingKey-$consumerId" // ONE definition: sink + reaper must agree
+    // POISON is a query-lifetime latch, not a batch-local one: the stop is
+    // asynchronous (reaper thread), so a micro-batch scheduled between the
+    // POISON batch and the stop landing must deliver NOTHING — the
+    // reference stops inline and never forwards past POISON.
+    val poisonLatch = new java.util.concurrent.atomic.AtomicBoolean(false)
     // With a checkpoint, a restarted consumer resumes from the committed
     // source offsets — the durable twin of the reference's broker-side
     // replay (README.md:187-220); at-most-once to the socket becomes
@@ -100,32 +110,39 @@ object EventStreamPipeline {
     val writer0 = pipeline.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
-      .queryName(s"es-$routingKey-$consumerId")
-    val query = checkpointDir.fold(writer0)(
-      dir => writer0.option("checkpointLocation", dir))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Per-stream delivery is inherently serial (one socket per stream in
-        // the reference), so the tiny per-batch collect is the faithful (and
-        // only) shape; parallelism lives ACROSS streams, not within one.
-        // Sort driver-side: a DataFrame orderBy would add a range-partition
-        // sampling pass that executes the batch plan twice (double-firing
-        // the observe() counters).
-        val rows = batch
-          .select(col("body"), col("forward"), col("wire"), col("ordinal"))
-          .collect().sortBy(_.getLong(3))
-        var poisoned = false
-        val it = rows.iterator
-        while (!poisoned && it.hasNext) {
-          val r = it.next()
-          if (r.getString(0) == Envelope.Poison) poisoned = true // stop; do not forward (app.py:463-467)
-          else if (r.getBoolean(1)) send(r.getString(2))
+      .queryName(queryName)
+    // claim-start-attach runs under the coordinator's per-key lock so two
+    // racing consumers for one key cannot invert the last-connect-wins
+    // fencing (stop-old and insert-new are atomic per key)
+    coordinator.registerWith(routingKey) { () =>
+      checkpointDir.fold(writer0)(
+        dir => writer0.option("checkpointLocation", dir))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!poisonLatch.get()) {
+            // Per-stream delivery is inherently serial (one socket per
+            // stream in the reference), so the tiny per-batch collect is
+            // the faithful (and only) shape; parallelism lives ACROSS
+            // streams, not within one. Sort driver-side: a DataFrame
+            // orderBy would add a range-partition sampling pass that
+            // executes the batch plan twice (double-firing the observe()
+            // counters). Rows with a null ordinal are malformed — dropped
+            // like the body guards drop undecodable bodies, never a query-
+            // killing NPE in the sort.
+            val rows = batch
+              .select(col("body"), col("forward"), col("wire"), col("ordinal"))
+              .collect().filter(!_.isNullAt(3)).sortBy(_.getLong(3))
+            val it = rows.iterator
+            while (!poisonLatch.get() && it.hasNext) {
+              val r = it.next()
+              if (r.getString(0) == Envelope.Poison) poisonLatch.set(true) // stop; do not forward (app.py:463-467)
+              else if (r.getBoolean(1)) send(r.getString(2))
+            }
+            if (poisonLatch.get()) coordinator.requestStop(routingKey, queryName, spark)
+          }
+          ()
         }
-        if (poisoned) coordinator.requestStop(routingKey, s"es-$routingKey-$consumerId", spark)
-        ()
-      }
-      .start()
-    coordinator.register(routingKey, query)
-    query
+        .start()
+    }
   }
 }
 
@@ -142,6 +159,26 @@ final class StreamCoordinator {
   def register(routingKey: String, q: StreamingQuery): Unit = {
     val prev = active.put(routingKey, q)
     if (prev != null && prev.isActive) prev.stop()
+  }
+
+  /** Fence-start-attach under the per-key lock (ConcurrentHashMap.compute
+    * serializes per key): the previous holder is stopped, THEN the new
+    * query starts, THEN it becomes the holder — all atomically per key, so
+    * two racing connects cannot leave the older consumer holding the key
+    * (the reference's last-connect-wins memcached fencing,
+    * app.py:320-344). If the new query died before attach completed (a
+    * POISON in its very first batch can beat the map insertion), the stale
+    * entry is removed immediately after.
+    */
+  def registerWith(routingKey: String)(startQ: () => StreamingQuery): StreamingQuery = {
+    var started: StreamingQuery = null
+    active.compute(routingKey, (_, prev) => {
+      if (prev != null && prev.isActive) prev.stop()
+      started = startQ()
+      started
+    })
+    if (!started.isActive) active.remove(routingKey, started)
+    started
   }
 
   def activeQuery(routingKey: String): Option[StreamingQuery] =
@@ -223,9 +260,16 @@ final class EventStreamRegistry(secure: Boolean = false, host: String = "localho
     * (app.py:684-715); caller routes the fence through the coordinator.
     */
   def delete(id: Long, coordinator: StreamCoordinator): Boolean =
-    byId.remove(id) match {
-      case Some(rec) => coordinator.release(rec.routingKey); true
-      case None      => false
+    byId.get(id) match {
+      case Some(rec) =>
+        // fence FIRST, then the registry row (the reference's DELETE
+        // ordering, app.py:684-715): no window where the stream is
+        // unlisted but its consumer still delivers, and a crash between
+        // the two steps leaves a listed stream (retryable), never an
+        // orphaned live query
+        coordinator.release(rec.routingKey)
+        byId.remove(id).isDefined
+      case None => false
     }
 
   /** shortuuid analog (app.py:619): 22-char base62 of a random UUID. */

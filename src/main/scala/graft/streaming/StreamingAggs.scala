@@ -50,20 +50,34 @@ object StreamingAggs {
     * crosses a multiple of `every`. Input: (routing_key, forward) rows from
     * the enrich() pipeline.
     */
-  def statsEveryN(keyed: Dataset[(String, Boolean)], every: Int): Dataset[StreamStats] = {
+  def statsEveryN(keyed: Dataset[(String, Boolean)], every: Int,
+                  idleTtlMs: Long = 0L): Dataset[StreamStats] = {
     import keyed.sparkSession.implicits._
+    // Idle-TTL reclamation (idleTtlMs > 0) keeps state O(#live streams),
+    // not O(#streams ever): a routing key silent for idleTtlMs drops its
+    // counters — faithful to the reference, whose stats dict lives and
+    // dies with the consumer connection (app.py:545-548). OPT-IN because
+    // processing-time timeouts make the engine schedule timeout-check
+    // batches forever, which blocks processAllAvailable()-style test
+    // drains; production queries (which never call it) should pass a TTL.
+    val timeoutConf = if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     keyed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, rows: Iterator[(String, Boolean)], state: GroupState[(Long, Long)]) =>
-          var (received, sent) = state.getOption.getOrElse((0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[StreamStats]
-          rows.foreach { case (_, forward) =>
-            received += 1
-            if (forward) sent += 1
-            if (received % every == 0) out += StreamStats(key, received, sent)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (received, sent) = state.getOption.getOrElse((0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StreamStats]
+            rows.foreach { case (_, forward) =>
+              received += 1
+              if (forward) sent += 1
+              if (received % every == 0) out += StreamStats(key, received, sent)
+            }
+            state.update((received, sent))
+            if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            out.iterator
           }
-          state.update((received, sent))
-          out.iterator
       }
   }
 
@@ -83,29 +97,44 @@ object StreamingAggs {
     * emitting (NEXT semantics — a consumer joining mid-stream is not "a
     * gap"). Input: (routing_key, ordinal) rows.
     */
-  def gapDetect(keyed: Dataset[(String, Long)]): Dataset[GapEvent] = {
+  def gapDetect(keyed: Dataset[(String, Long)],
+                idleTtlMs: Long = 0L): Dataset[GapEvent] = {
     import keyed.sparkSession.implicits._
+    // Idle-TTL reclamation (idleTtlMs > 0; opt-in for the same
+    // processAllAvailable reason as statsEveryN) keeps state O(#live
+    // streams): dropping an idle key's cursor means its next message
+    // re-enters with NEXT semantics — no gap emitted for the idle period,
+    // the same contract as a consumer (re)joining mid-stream.
+    val timeoutConf = if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     keyed.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          // The shuffle into flatMapGroupsWithState sorts on the KEY only —
-          // within-key arrival order is arbitrary with a multi-partition
-          // upstream, so sort this batch's ordinals before walking them
-          // (bounded by the micro-batch's per-key row count). Ordinals at
-          // or below the cursor (redelivery) are skipped, not re-gapped.
-          val ords = rows.map(_._2).toArray
-          java.util.Arrays.sort(ords)
-          val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
-          var last = state.getOption.getOrElse(Long.MinValue)
-          ords.foreach { ord =>
-            if (ord > last) {
-              if (last != Long.MinValue && ord > last + 1)
-                out += GapEvent(key, last, ord, ord - last - 1)
-              last = ord
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // The shuffle into flatMapGroupsWithState sorts on the KEY
+            // only — within-key arrival order is arbitrary with a
+            // multi-partition upstream, so sort this batch's ordinals
+            // before walking them (bounded by the micro-batch's per-key
+            // row count). Ordinals at or below the cursor (redelivery)
+            // are skipped, not re-gapped.
+            val ords = rows.map(_._2).toArray
+            java.util.Arrays.sort(ords)
+            val out = scala.collection.mutable.ArrayBuffer.empty[GapEvent]
+            var last = state.getOption.getOrElse(Long.MinValue)
+            ords.foreach { ord =>
+              if (ord > last) {
+                if (last != Long.MinValue && ord > last + 1)
+                  out += GapEvent(key, last, ord, ord - last - 1)
+                last = ord
+              }
             }
+            if (last != Long.MinValue) {
+              state.update(last)
+              if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            }
+            out.iterator
           }
-          if (last != Long.MinValue) state.update(last)
-          out.iterator
       }
   }
 

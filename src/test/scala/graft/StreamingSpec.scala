@@ -67,6 +67,28 @@ class StreamingSpec extends SparkSpec {
     assert(coord.activeQuery("rk-poison").isEmpty)
   }
 
+  test("T5: a batch AFTER the POISON batch delivers nothing (latch outlives the batch)") {
+    val coord = new StreamCoordinator
+    val sent = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[Msg](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-poison2", Replay.FromOrdinal(0), coord, sent.add(_))
+    stream.addData(Msg("ok|1", 1, 10L), Msg("POISON", 2, 20L))
+    drain(q)
+    // the stop is asynchronous: race a SECOND batch in before it lands —
+    // the query-lifetime poison latch must suppress its delivery even if
+    // the reaper has not stopped the query yet
+    if (q.isActive) {
+      stream.addData(Msg("late|3", 3, 30L))
+      try drain(q) catch { case _: Exception => () } // query may stop mid-drain
+    }
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+    while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!q.isActive)
+    val out = sent.toArray(new Array[String](0)).toSeq
+    assert(out === Seq("ok|1|ordinal: 1|timestamp: 10"), out)
+  }
+
   test("P8: second consumer displaces the first (memcached-fencing analog)") {
     val coord = new StreamCoordinator
     val s1 = MemoryStream[Msg](spark)
