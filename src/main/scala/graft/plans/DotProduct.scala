@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over ARRAY<DOUBLE> (SURVEY.md §2.3 R19, §2.5).
   *
@@ -25,8 +26,24 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  // Length mismatch yields null even for non-null inputs, so the result is
-  // always potentially nullable (keeps ev.isNull a real variable in codegen).
+  // Type-check makes the SQL-registered form SAFE: anything but
+  // ARRAY<DOUBLE> inputs is an ANALYSIS error (callers cast with
+  // asDouble) — without this, getDouble() would read 8-byte slots out of
+  // differently-packed int/float array data and return plausible-looking
+  // garbage. (ImplicitCastInputTypes would auto-cast, but its
+  // AbstractDataType signature is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  // Length mismatch and null ELEMENTS yield null even for non-null inputs,
+  // so the result is always potentially nullable (keeps ev.isNull a real
+  // variable in codegen).
   override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -34,12 +51,14 @@ case class DotProduct(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     // Length mismatch is a data error: return null (the HOF form's
     // zip_with null-padding makes the aggregate null too), never a
-    // plausible-looking partial sum.
+    // plausible-looking partial sum. A null ELEMENT likewise nulls the
+    // HOF aggregate, so it nulls this result — not a silent 0.0 term.
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -58,9 +77,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -21,26 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans the node it produces)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => TopKStrategy)
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      info("graft_minhash", "graft_minhash(shingles) - 32-element MinHash signature"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head, 32)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      info("graft_shingles", "graft_shingles(text, n) - distinct n-word shingles"),
-      (exprs: Seq[Expression]) => Shingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash"),
-      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash_union"),
-      info("graft_minhash_union", "graft_minhash_union(sig) - group-level MinHash union"),
-      (exprs: Seq[Expression]) => MinHashUnionAgg(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of double arrays"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // the function list is GraftFunctions.builders — one source of truth
+    // shared with the per-session registration path
+    GraftFunctions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
   }
 }

@@ -32,11 +32,19 @@ case class MinHashSig(child: Expression, k: Int)
     Array.fill(k)(((rnd.nextLong() | 1L), rnd.nextLong()))
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    val n0 = arr.numElements()
+    // Empty shingle set ⇒ NULL, matching the HOF form (array_min over an
+    // empty transform is null). The old all-MaxValue sentinel made every
+    // too-short doc IDENTICAL in signature space — one unfiltered caller
+    // away from pairing all of them as estimated-Jaccard-1.0 near-dups.
+    if (n0 == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
-    val n = arr.numElements()
+    val n = n0
     while (i < n) {
       val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var j = 0
@@ -56,21 +64,43 @@ case class MinHashSig(child: Expression, k: Int)
 
 /** Session registration for graft's native expressions — callable from SQL
   * and from expr("...") column code. Idempotent per session.
+  *
+  * `builders` is the SINGLE source of truth consumed by both registration
+  * paths (this per-session register and the cluster-wide GraftExtensions):
+  * the function list, arities, and the signature width k cannot drift
+  * between them. Builders validate arity and literal arguments with clear
+  * messages instead of leaking IndexOutOfBounds / eval-on-attribute
+  * internals at analysis time.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinHashSig(exprs.head, 32), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles",
-      exprs => Shingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHashSig(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_union", exprs => MinHashUnionAgg(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.length == n,
+      s"$name expects $n argument(s), got ${exprs.length}")
+
+  private def literalInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: the n argument must be an integer literal")
+    val v = e.eval(null)
+    require(v != null, s"$name: the n argument must be a non-null integer literal")
+    v.asInstanceOf[Number].intValue()
   }
+
+  /** (name, usage, builder) for every native function. */
+  private[plans] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash", "graft_minhash(shingles) - 32-element MinHash signature",
+      exprs => { arity("graft_minhash", exprs, 1); MinHashSig(exprs.head, 32) }),
+    ("graft_shingles", "graft_shingles(text, n) - distinct n-word shingles",
+      exprs => { arity("graft_shingles", exprs, 2)
+        Shingles(exprs.head, literalInt("graft_shingles", exprs(1))) }),
+    ("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash",
+      exprs => { arity("graft_simhash", exprs, 1); SimHashSig(exprs.head) }),
+    ("graft_minhash_union", "graft_minhash_union(sig) - group-level MinHash union",
+      exprs => { arity("graft_minhash_union", exprs, 1); MinHashUnionAgg(exprs.head) }),
+    ("graft_dot", "graft_dot(a, b) - dot product of double arrays",
+      exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

@@ -38,7 +38,12 @@ case class MinHashUnionAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(arr.numElements(), k)
+      // width mismatch is a caller bug (a signature built with a different
+      // k): truncating or leaving MaxValue sentinels would silently bias
+      // the downstream equal-position Jaccard estimate — fail loudly
+      require(arr.numElements() == k,
+        s"graft_minhash_union: signature width ${arr.numElements()} != expected $k")
+      val n = k
       var i = 0
       while (i < n) {
         val x = arr.getLong(i)

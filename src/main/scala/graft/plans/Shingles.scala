@@ -24,7 +24,11 @@ case class Shingles(child: Expression, n: Int)
   override def prettyName: String = "graft_shingles"
 
   override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    // limit -1 keeps trailing empty tokens, matching Spark SQL's
+    // split(text, ' ') and DuckDB string_split — String.split(' ') drops
+    // them and would silently diverge from the SQL/oracle formulation on
+    // trailing whitespace
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)

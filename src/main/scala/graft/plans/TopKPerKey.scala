@@ -67,8 +67,11 @@ private[plans] object TopKHeaps {
         heap = new java.util.PriorityQueue[UnsafeRow](k + 1, ord.reverse.asInstanceOf[Ordering[UnsafeRow]])
         heaps.put(key.copy(), heap)
       }
+      // compare on the RAW row (ord is bound to childOutput ordinals, and
+      // the heap's UnsafeRows share that layout) — projecting just to
+      // compare would run the full-row projection up to twice per input
       if (heap.size() < k) heap.add(rowProj(row).copy())
-      else if (ord.lt(rowProj(row), heap.peek())) { heap.poll(); heap.add(rowProj(row).copy()) }
+      else if (ord.lt(row, heap.peek())) { heap.poll(); heap.add(rowProj(row).copy()) }
     }
     heaps
   }

@@ -19,10 +19,13 @@ class NativeExprSpec extends SparkSpec {
     assert(out(2).getSeq[String](0).isEmpty)
   }
 
-  test("graft_minhash: empty shingle array yields all-MaxValue signature; null in, null out") {
+  test("graft_minhash: empty shingle array yields NULL (not a shared sentinel); null in, null out") {
+    // the old all-MaxValue sentinel gave every too-short doc an IDENTICAL
+    // signature — estimated-Jaccard-1.0 near-dups for unfiltered callers;
+    // null matches the HOF array_min-over-empty semantics
     val df = Seq(Some(Seq.empty[String]), None).toDF("sh")
     val rows = df.select(expr("graft_minhash(sh)").as("sig")).collect()
-    assert(rows(0).getSeq[Long](0).forall(_ == Long.MaxValue))
+    assert(rows(0).isNullAt(0))
     assert(rows(1).isNullAt(0))
   }
 
