@@ -21,33 +21,103 @@ object SimilarityQueries {
 
   private val KDim = 64
 
-  /** Exact best cosine per vector (self excluded), floor-rounded to 4 dp —
-    * the brute-force audit twin the ANN oracles compare against. All-pairs
-    * via a nested-loop join: affordable at verification scale; at 100 TB
-    * the recall audit runs on a sample of probes, never the full corpus.
-    * `materialize` when the caller consumes the result more than once —
-    * each unmaterialized consumer re-runs the full n² nested-loop join,
-    * the dominant cost of the audit; single-use callers skip the
-    * checkpoint (it would only add an extra materialization pass).
+  /** Recall-audit probe sample: every 20th vec_id, deterministic so the
+    * DuckDB oracle can mirror the exact predicate. The audit must NEVER be
+    * full-corpus all-pairs — that is the textbook O(n²) scale-killer inside
+    * a query a user actually runs. Sampling keeps the audit O(n·|sample|)
+    * with a broadcastable probe side while the statistical story (coverage,
+    * boundedness) is unchanged; at 100 TB the modulus simply grows.
     */
-  private def exactBestPerVector(s: SparkSession, d: String,
-                                 materialize: Boolean = false): DataFrame = {
+  private val AuditSampleMod = 20
+
+  /** Exact best cosine per SAMPLED probe vector (self excluded),
+    * floor-rounded to 4 dp — the brute-force audit twin the ANN oracles
+    * compare against. The probe side (1-in-[[AuditSampleMod]]) is broadcast
+    * against one full corpus scan: O(n·n/20) work, no full-corpus
+    * nested-loop join anywhere (PlanSpec pins this). `cache` when the
+    * caller consumes the result more than once — each uncached consumer
+    * re-runs the audit join, its dominant cost (persist, not checkpoint:
+    * the tiny result is computed once and the lineage stays inspectable).
+    */
+  private def exactBestForProbes(s: SparkSession, d: String,
+                                 cache: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    // upper triangle only — each pair's dot is computed ONCE (the project
-    // below materializes `c` before the explode duplicates it to both
-    // endpoints), halving the n² inner-loop work of the audit
-    val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+    val probes = e.filter(col("vec_id") % AuditSampleMod === 0)
+    val best = broadcast(probes.as("x"))
+      .join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
         floorRound(cosineFromNorms(dot(col("x.v"), col("y.v")),
           col("x.nrm"), col("y.nrm")), 4).as("c"))
-    val best = pairs
-      .select(explode(array(
-        struct(col("va").as("vec_id"), col("c")),
-        struct(col("vb").as("vec_id"), col("c")))).as("p"))
-      .groupBy(col("p.vec_id").as("vec_id")).agg(max(col("p.c")).as("best"))
-    if (materialize) best.localCheckpoint() else best
+      .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+    if (cache) best.persist() else best
+  }
+
+  /** Sign-LSH ANN core: best approximate neighbor per vector via nPlanes
+    * deterministic hyperplanes → bucket id, hamming-1 multiprobe (home
+    * bucket plus every one-bit flip), equi-join within buckets only, best
+    * match per vector by floor-rounded cosine. Input needs columns
+    * `vec_id: BIGINT`, `v: ARRAY<DOUBLE>`. Cost Σ bucket² ≪ n²; one
+    * shuffle on the bucket id. Public so specs can run it over a planted
+    * fixture (recall@1 is only meaningful on data with neighbor structure).
+    */
+  def annLshBest(e0: DataFrame, nPlanes: Int = 12, dim: Int = KDim): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val e = e0.select(col("vec_id"), col("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("nrm", l2Norm(col("v"))) // norm once per vector, not per pair
+    // multiprobe: home bucket + hamming-1 neighbors, as probe keys
+    val probes = e.select(col("vec_id"), col("v"), col("nrm"), col("bucket"),
+      explode(array((lit(-1L) +: (0 until nPlanes).map(i => lit(i.toLong))): _*)).as("flip"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        when(col("flip") === -1L, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, flip)")).as("probe_bucket"))
+      .dropDuplicates("vec_id", "probe_bucket")
+    val pairs = probes.as("a")
+      .join(e.as("b"), col("a.probe_bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
+        floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4).as("cosine"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn"), col("cosine"))
+  }
+
+  /** IVF ANN core: deterministic coarse quantizer (every `centroidStride`th
+    * vector is a centroid), members live in their nearest cell, probes
+    * search their best `nprobe` cells. Centroids broadcast; one shuffle on
+    * cell id; cost Σ cell² ≪ n². Input as in [[annLshBest]]. Public for the
+    * planted-fixture recall spec.
+    */
+  def annIvfBest(e0: DataFrame, centroidStride: Int = 13, nprobe: Int = 2): DataFrame = {
+    val e = e0.select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val centroids = e.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    // rank cells per vector by cosine; keep best `nprobe`
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_cos").desc, col("cell"))
+    val assigned = e.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        cosine(col("v"), col("cv")).as("cell_cos"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+    // members live in their best cell; probes search their best `nprobe` cells
+    val members = assigned.filter(col("cell_rank") === 1)
+      .select(col("cell"), col("vec_id").as("m_id"), col("v").as("m_v"),
+        col("nrm").as("m_nrm"))
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn"))
+    assigned.as("p")
+      .join(members.as("m"),
+        col("p.cell") === col("m.cell") && col("p.vec_id") =!= col("m.m_id"))
+      .select(col("p.vec_id").as("vec_id"), col("m.m_id").as("nn"),
+        floorRound(cosineFromNorms(dot(col("p.v"), col("m.m_v")), col("p.nrm"), col("m.m_nrm")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn"), col("cosine"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -79,47 +149,27 @@ object SimilarityQueries {
         .limit(20)
     }),
 
-    // R19 scale path — approximate nearest neighbor per vector via sign-LSH:
-    // 12 deterministic hyperplanes → bucket id; hamming-1 multiprobe (emit
-    // the home bucket plus all 12 one-bit flips) so near neighbors split by
-    // one plane are still found; join within buckets only; best match per
-    // vector by rounded cosine.
+    // R19 scale path — approximate nearest neighbor per vector via sign-LSH
+    // (12 deterministic hyperplanes, hamming-1 multiprobe, bucketed join —
+    // see [[annLshBest]]).
     //
-    // Oracled as a one-row recall audit: which vectors get a candidate (and
-    // which candidate) is bucket-specific, so the hashed columns are the
-    // DuckDB-mirrorable corpus facts — vector count and the integer-unit
-    // sum of every vector's EXACT best cosine (integer sum ⇒ no float
-    // summation-order wobble) — plus two invariant booleans: ANN coverage
-    // ≥ half the corpus (measured 0.82 on data with no neighbor structure)
-    // and every ANN result bounded by the exact best. The exact side is a
-    // brute-force audit twin (all-pairs — affordable as the verification
-    // harness; the ANN path itself stays sublinear). Per-vector recall on
-    // THIS synthetic table is inherently noise (near-random vectors, see
-    // SCALE.md "ANN recall, honestly measured"), which is why the oracle
-    // pins coverage and boundedness, not top-1 agreement.
+    // Oracled as a one-row recall audit over the SAMPLED probe set
+    // (vec_id % 20 = 0, mirrored verbatim in the oracle): which vectors get
+    // a candidate (and which candidate) is bucket-specific, so the hashed
+    // columns are the DuckDB-mirrorable corpus facts — sampled-probe count
+    // and the integer-unit sum of each probe's EXACT best cosine (integer
+    // sum ⇒ no float summation-order wobble) — plus two invariant booleans:
+    // ANN coverage ≥ half the probe set (measured 0.82 on data with no
+    // neighbor structure) and every ANN result bounded by the exact best.
+    // The ANN side stays full-corpus; only the audit twin samples. Per-
+    // vector recall on THIS synthetic table is inherently noise (near-
+    // random vectors, see SCALE.md "ANN recall, honestly measured") — the
+    // planted-fixture recall@1 spec lives in SimilaritySpec.
     "v_ann_lsh" -> ((s, d) => {
-      val planes = hyperplanes(12, KDim)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("bucket", lshBucket(col("v"), planes))
-        .withColumn("nrm", l2Norm(col("v"))) // norm once per vector, not per pair
-      // multiprobe: home bucket + hamming-1 neighbors, as probe keys
-      val probes = e.select(col("vec_id"), col("v"), col("nrm"), col("bucket"),
-        explode(array((lit(-1L) +: (0 until 12).map(i => lit(i.toLong))): _*)).as("flip"))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          when(col("flip") === -1L, col("bucket"))
-            .otherwise(expr("bucket ^ shiftleft(1L, flip)")).as("probe_bucket"))
-        .dropDuplicates("vec_id", "probe_bucket")
-      val pairs = probes.as("a")
-        .join(e.as("b"), col("a.probe_bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
-          floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 4).as("cosine"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("nn"))
-      val ann = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("nn"), col("cosine"))
-      val best = exactBestPerVector(s, d, materialize = true)
+      val ann = annLshBest(e)
+      val best = exactBestForProbes(s, d, cache = true)
       val exactAgg = best.agg(
         count(lit(1)).as("n_vectors"),
         sum(expr("CAST(floor(best * 10000 + 0.5) AS BIGINT)")).as("sum_best_1e4"))
@@ -156,50 +206,24 @@ object SimilarityQueries {
         .limit(10)
     }),
 
-    // R19 scale path #2 — IVF (inverted-file) ANN: a deterministic coarse
-    // quantizer (every 13th vector is a centroid), each vector assigned to
-    // its nearest centroid cell (nprobe=2 at query time: best two cells),
-    // neighbors searched within probed cells only. Centroids broadcast;
-    // one shuffle on cell id; cost Σ cell² ≪ n². Complements v_ann_lsh —
-    // IVF adapts to the data distribution where LSH is data-oblivious.
-    // Rows-only check; recall spec in SimilaritySpec.
+    // R19 scale path #2 — IVF (inverted-file) ANN: deterministic coarse
+    // quantizer, nprobe=2 cell search — see [[annIvfBest]]. Complements
+    // v_ann_lsh — IVF adapts to the data distribution where LSH is
+    // data-oblivious.
+    //
+    // Oracled per SAMPLED probe vector (vec_id % 20 = 0, mirrored in the
+    // oracle) against the exact brute-force best (audit twin): IVF coverage
+    // is structurally total — every probed cell contains its own centroid
+    // as a member, and the two probed cells can't both be {self} — so the
+    // sampled row set and the exact-best column are DuckDB-mirrorable, and
+    // the ANN result is pinned by the bounded-by-exact invariant. The ANN
+    // side stays full-corpus; only the audit samples. Top-1 agreement on
+    // this near-random table is noise (SCALE.md); the planted-fixture
+    // recall@1 spec lives in SimilaritySpec.
     "v_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", l2Norm(col("v")))
-      val centroids = e.filter(col("vec_id") % 13 === 0)
-        .select(col("vec_id").as("cell"), col("v").as("cv"))
-      // rank cells per vector by cosine; keep best 2 (nprobe)
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cell_cos").desc, col("cell"))
-      val assigned = e.join(broadcast(centroids))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-          cosine(col("v"), col("cv")).as("cell_cos"))
-        .withColumn("cell_rank", row_number().over(wCell))
-        .filter(col("cell_rank") <= 2)
-      // members live in their best cell; probes search their best 2 cells
-      val members = assigned.filter(col("cell_rank") === 1)
-        .select(col("cell"), col("vec_id").as("m_id"), col("v").as("m_v"),
-          col("nrm").as("m_nrm"))
-      val wBest = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("nn"))
-      val ann = assigned.as("p")
-        .join(members.as("m"),
-          col("p.cell") === col("m.cell") && col("p.vec_id") =!= col("m.m_id"))
-        .select(col("p.vec_id").as("vec_id"), col("m.m_id").as("nn"),
-          floorRound(cosineFromNorms(dot(col("p.v"), col("m.m_v")), col("p.nrm"), col("m.m_nrm")), 4).as("cosine"))
-        .withColumn("rk", row_number().over(wBest))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("nn"), col("cosine"))
-      // Oracled per vector against the exact brute-force best (audit twin):
-      // IVF coverage is structurally total — every probed cell contains its
-      // own centroid as a member, and the two probed cells can't both be
-      // {self} — so the row set (all vec_ids) and the exact-best column are
-      // DuckDB-mirrorable, and the ANN result is pinned by the
-      // bounded-by-exact invariant. Top-1 agreement stays unasserted: on
-      // these near-random vectors it is noise (SCALE.md), and IVF's
-      // measured 0.30 recall@1 is documented there, not oracled.
-      ann.join(exactBestPerVector(s, d), "vec_id")
+      annIvfBest(e).join(exactBestForProbes(s, d), "vec_id")
         .select(col("vec_id"), col("best").as("exact_best"),
           (col("cosine") <= col("best") + 1e-9).as("ann_le_exact"))
         .orderBy("vec_id")
@@ -262,7 +286,8 @@ object SimilarityQueries {
     })
   )
 
-  // exact best cosine per vector, shared by the ANN-audit oracles
+  // exact best cosine per SAMPLED probe vector (vec_id % 20 = 0 — the
+  // verbatim mirror of AuditSampleMod), shared by the ANN-audit oracles
   private val ExactBestCte =
     """ex AS (
          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
@@ -272,6 +297,7 @@ object SimilarityQueries {
        dots AS (
          SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.e * b.e) AS dp
          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+         WHERE a.vec_id % 20 = 0
          GROUP BY 1, 2),
        best AS (
          SELECT va AS vec_id,

@@ -104,6 +104,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("v_ann_lsh / v_ann_ivf: no full-corpus nested-loop join — audit side is sampled") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def physical(name: String): SparkPlan =
+      SparkEntry.queries(name)(spark, d).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+    var audits = 0
+    for (q <- Seq("v_ann_lsh", "v_ann_ivf")) {
+      val exec = physical(q)
+      val bnljs = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+      // a nested-loop join is only allowed when one side is provably small:
+      // the 1-in-20 audit probe sample, the 1-in-13 centroid pick, or a
+      // side that never scans the corpus (single-row aggregates, cached
+      // audit results). Two unfiltered corpus scans meeting in a BNLJ is
+      // the O(n²) scale-killer this pin exists to prevent.
+      bnljs.foreach { j =>
+        val smallSide = j.children.exists { c =>
+          val s = c.toString
+          s.contains("% 20") || s.contains("% 13") || !s.contains("Scan parquet")
+        }
+        assert(smallSide,
+          s"$q: full-corpus BroadcastNestedLoopJoin:\n${j.toString.take(1500)}")
+        if (j.toString.contains("% 20")) audits += 1
+      }
+      assert(!exec.toString.contains("CartesianProduct"))
+    }
+    // the sampled exact-audit join itself must be present in at least one
+    // inspectable plan (v_ann_lsh caches it; v_ann_ivf keeps lineage)
+    assert(audits >= 1, "sampled exact-audit nested-loop join not found in either plan")
+  }
+
   test("d_dedup_incremental: one shuffle join keyed on the content sha") {
     val p = plan("d_dedup_incremental")
     assert(p.contains("content_sha"), p.take(800))

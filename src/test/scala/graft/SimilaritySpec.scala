@@ -79,6 +79,40 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${sameCluster.toDouble / 560}")
   }
 
+  test("R19: ANN recall@1 >= 0.9 on planted neighbors — both LSH and IVF") {
+    // The testdata embeddings are near-random (max pairwise cos ≈ 0.5), so
+    // top-1 agreement there is noise. THIS fixture has real neighbor
+    // structure — 20 clusters × 8 members at cos ≈ 0.99 to their center,
+    // the regime ANN exists for — so recall@1 is a meaningful, assertable
+    // number for the exact operator cores the registered queries run.
+    val rnd = new scala.util.Random(11)
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val data = (0 until 20).flatMap { c =>
+      val center = normalize(Array.fill(16)(rnd.nextGaussian()))
+      (0 until 8).map { m =>
+        val v = normalize(center.map(_ + 0.05 * rnd.nextGaussian()))
+        (c.toLong * 8 + m, c.toLong, v.toSeq)
+      }
+    }
+    val e = data.toDF("vec_id", "cluster", "v")
+    val clusters = e.select($"vec_id", $"cluster")
+    def recallAt1(ann: org.apache.spark.sql.DataFrame): Double = {
+      // ground truth: every vector's true nearest neighbor is in-cluster
+      val hits = ann
+        .join(clusters, "vec_id")
+        .join(clusters.select($"vec_id".as("nn"), $"cluster".as("nn_cluster")), "nn")
+        .select(($"cluster" === $"nn_cluster").cast("int").as("hit"))
+        .agg(avg($"hit")).head().getDouble(0)
+      hits
+    }
+    val lsh = recallAt1(graft.operators.SimilarityQueries.annLshBest(e, nPlanes = 10, dim = 16))
+    assert(lsh >= 0.9, s"LSH recall@1 on planted clusters: $lsh")
+    val ivf = recallAt1(graft.operators.SimilarityQueries.annIvfBest(e, centroidStride = 13, nprobe = 2))
+    assert(ivf >= 0.9, s"IVF recall@1 on planted clusters: $ivf")
+  }
+
   test("R19 regression: dot product of mismatched-length arrays is null, not a partial sum") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
     val r = df.select(dot($"a", $"b").as("d")).collect()
