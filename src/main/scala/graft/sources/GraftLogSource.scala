@@ -46,7 +46,11 @@ import scala.jdk.CollectionConverters._
   * micro-batch ranges alike — skips non-intersecting segments without
   * opening them (GraftLog.readRange). `latestOffset` reduces to a
   * directory listing when every segment carries name bounds, and falls
-  * back to a scan when any is unmarked.
+  * back to a scan when any is unmarked. BATCH scans additionally split
+  * one InputPartition per marked segment (pruned at plan time by the
+  * pushed ordinal window), so a retention-archive replay parallelizes
+  * across the cluster instead of running as one task; per-batch total
+  * order remains the streaming contract only.
   */
 object GraftLog {
   val Schema: StructType = StructType(Seq(
@@ -112,6 +116,13 @@ object GraftLog {
     */
   private val BoundsRe = """.*\.o(-?\d+)-(-?\d+)\.log$""".r
 
+  /** Name-embedded (min, max) ordinal bounds, if the segment carries them. */
+  private[sources] def nameBounds(f: Path): Option[(Long, Long)] =
+    f.toString match {
+      case BoundsRe(mn, mx) => Some((mn.toLong, mx.toLong))
+      case _ => None
+    }
+
   /** Observability hook for specs: counts segment FILES actually opened. */
   private[graft] val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -138,11 +149,20 @@ object GraftLog {
   private[sources] def readRange(dir: String, fromExclusive: Long,
                                  toInclusive: Long): Seq[(Long, Long, String)] =
     segmentFiles(dir).filter { f =>
-      f.toString match {
-        case BoundsRe(mn, mx) => mx.toLong > fromExclusive && mn.toLong <= toInclusive
-        case _ => true // no metadata — must read
+      nameBounds(f) match {
+        case Some((mn, mx)) => mx > fromExclusive && mn <= toInclusive
+        case None => true // no metadata — must read
       }
     }.flatMap(parseSegment)
+      .filter(t => t._1 > fromExclusive && t._1 <= toInclusive)
+
+  /** Read ONLY the named segment files, row-filtered to the range — the
+    * per-partition read for segment-split batch scans (each task touches
+    * exactly its own segments, never the whole directory).
+    */
+  private[sources] def readFiles(files: Seq[String], fromExclusive: Long,
+                                 toInclusive: Long): Seq[(Long, Long, String)] =
+    files.map(Paths.get(_)).filter(Files.exists(_)).flatMap(parseSegment)
       .filter(t => t._1 > fromExclusive && t._1 <= toInclusive)
 
   private[sources] def maxOrdinal(dir: String): Long = {
@@ -265,15 +285,43 @@ class GraftLogScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = GraftLog.Schema
+    // The streaming stream receives the pushed bounds too: Spark's pushdown
+    // rule runs before the scan knows its mode, and a builder that ACCEPTS a
+    // filter promises to apply it — silently ignoring it on one path would
+    // deliver rows the query filtered out (the micro-batch clamps its
+    // delivered range instead).
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new GraftLogMicroBatch(options)
+      new GraftLogMicroBatch(options, fromEx, toInc)
     // dual-mode like Kafka: the same log is a bounded batch table (the
     // retention-archive replay twin, SURVEY.md §2.1 S10)
     override def toBatch: Batch = new Batch {
       private val dir = Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException("graft-log source needs option 'path'"))
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(GraftLogRange(dir, fromEx, toInc))
+      /** One InputPartition PER bounds-marked segment intersecting the pushed
+        * ordinal window — a multi-TB retention-archive replay parallelizes
+        * across the cluster instead of running as one task. Non-intersecting
+        * marked segments are pruned at PLAN time (never opened); unmarked
+        * segments (plain writeSegment fixtures, unknown bounds) are grouped
+        * into one fallback partition since nothing orders them. Batch mode
+        * makes no ordering promise — T1's total order is the STREAMING
+        * contract (one partition per micro-batch); batch consumers re-order
+        * by `ordinal` when they need it, which Spark parallelizes as a
+        * range-partitioned sort.
+        */
+      override def planInputPartitions(): Array[InputPartition] = {
+        val files = GraftLog.segmentFiles(dir)
+        val (marked, unmarked) = files.partition(f => GraftLog.nameBounds(f).isDefined)
+        val perSegment: Seq[InputPartition] = marked
+          .filter { f =>
+            val (mn, mx) = GraftLog.nameBounds(f).get
+            mx > fromEx && mn <= toInc
+          }
+          .map(f => GraftLogSegments(Seq(f.toString), fromEx, toInc))
+        val fallback: Seq[InputPartition] =
+          if (unmarked.nonEmpty) Seq(GraftLogSegments(unmarked.map(_.toString), fromEx, toInc))
+          else Nil
+        (perSegment ++ fallback).toArray
+      }
       override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
     }
     override def description(): String =
@@ -281,7 +329,9 @@ class GraftLogScanBuilder(options: CaseInsensitiveStringMap)
   }
 }
 
-class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
+class GraftLogMicroBatch(options: CaseInsensitiveStringMap,
+                         pushedFromEx: Long = Long.MinValue,
+                         pushedToInc: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private val dir = Option(options.get("path")).getOrElse(
@@ -335,11 +385,15 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
     GraftLogOffset(math.max(from, capped))
   }
 
-  // ONE partition per batch: the stream's total-order contract (T1).
+  // ONE partition per batch: the stream's total-order contract (T1). The
+  // delivered range is CLAMPED to any ordinal bounds the scan builder
+  // accepted at pushdown time — offsets still track the log head (the
+  // cursor is the consumer's position, not the filter), but rows outside
+  // the accepted predicate are exactly the rows it promised to drop.
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     Array(GraftLogRange(dir,
-      start.asInstanceOf[GraftLogOffset].ord,
-      end.asInstanceOf[GraftLogOffset].ord))
+      math.max(start.asInstanceOf[GraftLogOffset].ord, pushedFromEx),
+      math.min(end.asInstanceOf[GraftLogOffset].ord, pushedToInc)))
 
   override def createReaderFactory(): PartitionReaderFactory = GraftLogReaderFactory
 
@@ -349,6 +403,13 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap)
 }
 
 case class GraftLogRange(dir: String, fromExclusive: Long, toInclusive: Long)
+  extends InputPartition
+
+/** Batch partition: an explicit segment-file list (usually ONE marked
+  * segment; the unmarked-fixture fallback carries several). The task reads
+  * only its own files — no per-task directory listing, no double-reads.
+  */
+case class GraftLogSegments(files: Seq[String], fromExclusive: Long, toInclusive: Long)
   extends InputPartition
 
 /** Commit message: where the task staged its lines and where the segment
@@ -499,12 +560,16 @@ private[graft] class GraftLogStreamingWrite(dir: String, queryTag: String) exten
 
 object GraftLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val r = partition.asInstanceOf[GraftLogRange]
-    // readRange skips whole segments via name-embedded bounds before
-    // row-filtering — streaming micro-batches and pushed batch predicates
-    // both benefit
-    val rows = GraftLog.readRange(r.dir, r.fromExclusive, r.toInclusive)
-      .sortBy(_._1) // ordinal order within the single partition (T1)
+    val rows = (partition match {
+      // streaming micro-batch: whole-directory range read with name-bounds
+      // segment skipping — ONE partition per batch (T1 total order)
+      case r: GraftLogRange =>
+        GraftLog.readRange(r.dir, r.fromExclusive, r.toInclusive)
+      // batch: this task's own segment file(s) only
+      case s: GraftLogSegments =>
+        GraftLog.readFiles(s.files, s.fromExclusive, s.toInclusive)
+    })
+      .sortBy(_._1) // ordinal order within the partition (T1 for streaming)
       .iterator
     new PartitionReader[InternalRow] {
       private var current: (Long, Long, String) = _
