@@ -236,6 +236,65 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(opened === 1L, s"opened $opened segments, expected 1")
   }
 
+  test("S10: batch scan plans one InputPartition per bounds-marked segment (+1 for unmarked)") {
+    val src = newLog("graftlog-split-src")
+    val dst = newLog("graftlog-split") + "/out"
+    GraftLog.writeSegment(src, "seg-0",
+      (0L until 400L).map(i => (i, 1000 + i, s"m$i")))
+    // 4 sink-written segments with disjoint name-embedded ordinal bounds
+    val df0 = spark.read.format(fmt).option("path", src).load()
+    df0.repartitionByRange(4, org.apache.spark.sql.functions.col("ordinal"))
+      .write.format(fmt).option("path", dst).mode("append").save()
+    // unfiltered: a retention-archive replay parallelizes one task per
+    // marked segment — a refactor collapsing this back to one task is the
+    // regression this spec exists to catch
+    val marked = spark.read.format(fmt).option("path", dst).load()
+    assert(marked.rdd.getNumPartitions === 4,
+      s"expected 4 partitions for 4 bounds-marked segments, got ${marked.rdd.getNumPartitions}")
+    assert(marked.count() === 400)
+    // pushed ordinal window prunes non-intersecting segments at PLAN time:
+    // a window inside one segment plans exactly one partition
+    val pruned = spark.read.format(fmt).option("path", dst).load()
+      .filter(org.apache.spark.sql.functions.col("ordinal").between(310, 330))
+    assert(pruned.rdd.getNumPartitions === 1,
+      s"expected 1 partition after plan-time pruning, got ${pruned.rdd.getNumPartitions}")
+    // an unmarked fixture segment (unknown bounds) adds exactly ONE
+    // fallback partition, grouped, not per-file
+    GraftLog.writeSegment(dst, "fixture-a", Seq((900L, 9000L, "u1")))
+    GraftLog.writeSegment(dst, "fixture-b", Seq((901L, 9001L, "u2")))
+    val mixed = spark.read.format(fmt).option("path", dst).load()
+    assert(mixed.rdd.getNumPartitions === 5,
+      s"expected 4 marked + 1 grouped-unmarked partitions, got ${mixed.rdd.getNumPartitions}")
+    assert(mixed.count() === 402)
+  }
+
+  test("S10 streaming: pushed ordinal filter clamps delivery while offsets track the head") {
+    val dir = newLog("graftlog-clamp")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 30L).map(i => (i, 1000 + i, s"m$i")))
+    // the scan builder ACCEPTS ordinal range filters (not residuals), so the
+    // micro-batch itself must clamp the delivered range — otherwise rows the
+    // query filtered out would reach the sink un-re-evaluated
+    val df = stream(dir)
+      .filter(org.apache.spark.sql.functions.col("ordinal").between(5, 12))
+    val q = df.writeStream.format("memory").queryName("gl_clamp").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gl_clamp").select("ordinal").as[Long].collect().sorted
+      assert(got.toSeq === (5L to 12L), s"clamped delivery wrong: ${got.toSeq}")
+      // the cursor is the consumer's POSITION, not the filter: the
+      // checkpointed offset must advance past the filter's upper bound to
+      // the log head (ordinal 29), or every later trigger would rescan
+      val end = q.lastProgress.sources.head.endOffset
+      assert(end.contains("29"), s"offset must track the head, got $end")
+      // and rows appended beyond the accepted range are dropped, not queued
+      GraftLog.writeSegment(dir, "seg-1", (30L until 35L).map(i => (i, 2000 + i, s"n$i")))
+      q.processAllAvailable()
+      val after = spark.table("gl_clamp").select("ordinal").as[Long].collect().sorted
+      assert(after.toSeq === (5L to 12L), s"out-of-range appends must not deliver: ${after.toSeq}")
+      assert(q.lastProgress.sources.head.endOffset.contains("34"))
+    } finally q.stop()
+  }
+
   test("S8 streaming: epoch commit supersedes stale same-epoch segments (repartitioned replay)") {
     // simulate: epoch 3 was published as two segments, the query crashed
     // before recording the batch, and the replay produced ONE segment with
