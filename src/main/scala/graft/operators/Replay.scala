@@ -129,9 +129,11 @@ object Replay {
     * gap as well). Identical results to the lag-window form on any stream
     * with unique ordinals per key — the algebra is exact, not approximate —
     * but survives a 100 TB stream where a global window cannot. Keyless call
-    * = one stream's audit (single output row); keyed call = one row per
-    * stream. Streams with zero observed messages produce no row (the
-    * windowed form agreed).
+    * = one stream's audit, ALWAYS a single output row — an empty stream
+    * audits as (n_gaps=0, lost=0), matching what any ungrouped SQL
+    * aggregate over the same sub-stream reports. Keyed call = one row per
+    * stream; streams with zero observed messages have no group and so no
+    * row (SQL GROUP BY agrees).
     */
   def gapStats(df: DataFrame, ordinal: String, keys: Seq[String] = Nil): DataFrame = {
     val e = df.select((keys :+ ordinal).map(col): _*)
@@ -143,12 +145,15 @@ object Replay {
       .agg(min(col(ordinal)).as("__mn"), max(col(ordinal)).as("__mx"),
         count(lit(1)).as("__cnt"))
     // keyless groupBy() emits one (cnt=0, null-span) row even on EMPTY
-    // input — drop it so "no observed messages ⇒ no row" holds in both
-    // the keyed and keyless forms
-    val joined = (if (keys.isEmpty) spans.crossJoin(runs) else spans.join(runs, keys))
-      .filter(col("__cnt") > 0)
+    // input: keep it and coalesce to the (0,0) audit row — greatest()
+    // absorbs runs−1 = −1 and coalesce() the null span, so the keyless
+    // form never disagrees with an ungrouped SQL aggregate on row count.
+    // Keyed groups only exist where rows do, so no guard is needed there.
+    val joined = if (keys.isEmpty) spans.crossJoin(runs)
+                 else spans.join(runs, keys)
     joined.select(keys.map(col) ++ Seq(
-      (col("__runs") - 1).cast("long").as("n_gaps"),
-      (col("__mx") - col("__mn") + 1 - col("__cnt")).cast("long").as("lost")): _*)
+      greatest(col("__runs") - 1, lit(0L)).cast("long").as("n_gaps"),
+      coalesce(col("__mx") - col("__mn") + 1 - col("__cnt"), lit(0L))
+        .cast("long").as("lost")): _*)
   }
 }

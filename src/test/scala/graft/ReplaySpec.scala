@@ -62,8 +62,16 @@ class ReplaySpec extends SparkSpec {
     val global = Replay.gapStats(df.filter($"k" === "A"), "ordinal")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(global.toSeq === Seq((2L, 15L)))
-    // empty input: no observed stream ⇒ no row (matches the windowed form)
-    assert(Replay.gapStats(df.filter($"k" === "Z"), "ordinal").collect().isEmpty)
+    // keyless audit of an EMPTY sub-stream: exactly one (0, 0) row — the
+    // same row count an ungrouped SQL aggregate (the DuckDB oracle shape)
+    // reports, so r_gap_detect cannot rows-mismatch at a scale factor
+    // where no event happens to match the sub-stream filter
+    val empty = Replay.gapStats(df.filter($"k" === "Z"), "ordinal")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(empty.toSeq === Seq((0L, 0L)))
+    // keyed form: no group ⇒ no row (SQL GROUP BY agrees)
+    assert(Replay.gapStats(df.filter($"k" === "Z"), "ordinal", Seq("k"))
+      .collect().isEmpty)
   }
 
   test("R6: latest per key, deterministic on ordinal ties") {
