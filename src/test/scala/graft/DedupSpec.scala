@@ -104,5 +104,27 @@ class DedupSpec extends SparkSpec {
     // determinism: the kept subset is the sorted prefix, not collect_list order
     val kept = pairs.filter($"doc_a" < 1000).agg(max($"doc_b")).as[Long].head()
     assert(kept === 63L)
+    // the cut is not silent: the observed metrics report the 200-64 = 136
+    // members the cap dropped and the raw size of the offending bucket
+    // (collect() runs pairs' own QueryExecution, where the metrics land)
+    pairs.collect()
+    val m = pairs.queryExecution.observedMetrics("minhash_bucket_overflow")
+    assert(m.getAs[Long]("members_cut") === 136L, m.toString)
+    assert(m.getAs[Int]("max_bucket") === 200, m.toString)
+  }
+
+  test("R18: bucket-cap overflow observations read ZERO on the healthy corpus") {
+    // healthy sf0.001: no bucket anywhere near either cap, so both
+    // observation counters must be exactly 0 — any nonzero here means the
+    // caps are silently eating recall on ordinary data
+    val lsh = SparkEntry.queries("d_minhash_lsh")(spark, "/root/testdata/sf0.001")
+    lsh.collect()
+    val ml = lsh.queryExecution.observedMetrics("minhash_bucket_overflow")
+    assert(ml.getAs[Long]("members_cut") === 0L, ml.toString)
+    val sim = SparkEntry.queries("d_simhash_pairs")(spark, "/root/testdata/sf0.001")
+    sim.collect()
+    val ms = sim.queryExecution.observedMetrics("simhash_bucket_overflow")
+    assert(ms.getAs[Long]("members_cut") === 0L, ms.toString)
+    assert(ms.getAs[Int]("max_bucket") <= 512, ms.toString)
   }
 }
