@@ -21,37 +21,40 @@ object SimilarityQueries {
 
   private val KDim = 64
 
-  /** Recall-audit probe sample: every 20th vec_id, deterministic so the
-    * DuckDB oracle can mirror the exact predicate. The audit must NEVER be
-    * full-corpus all-pairs — that is the textbook O(n²) scale-killer inside
-    * a query a user actually runs. Sampling keeps the audit O(n·|sample|)
-    * with a broadcastable probe side while the statistical story (coverage,
-    * boundedness) is unchanged; at 100 TB the modulus simply grows.
+  /** Recall-audit probe BUDGET: the audit samples ~this many probe vectors
+    * regardless of corpus size, via the modulus ceil(n / budget) — derived
+    * IN-PLAN from the corpus count with integer arithmetic (`div`), so the
+    * DuckDB oracle mirrors it verbatim and no driver-side action runs at
+    * plan-construction time. The audit must NEVER be full-corpus all-pairs —
+    * that is the textbook O(n²) scale-killer inside a query a user actually
+    * runs. A count-derived modulus keeps the audit O(n · budget) at ANY
+    * scale (a fixed modulus kept it Θ(n²/mod), which still blows up).
     */
-  private val AuditSampleMod = 20
+  private[operators] val AuditProbeBudget = 64L
 
   /** Exact best cosine per SAMPLED probe vector (self excluded),
     * floor-rounded to 4 dp — the brute-force audit twin the ANN oracles
-    * compare against. The probe side (1-in-[[AuditSampleMod]]) is broadcast
-    * against one full corpus scan: O(n·n/20) work, no full-corpus
-    * nested-loop join anywhere (PlanSpec pins this). `cache` when the
-    * caller consumes the result more than once — each uncached consumer
-    * re-runs the audit join, its dominant cost (persist, not checkpoint:
-    * the tiny result is computed once and the lineage stays inspectable).
+    * compare against. The probe side (≤ [[AuditProbeBudget]] rows by
+    * construction, vec_id % ceil(n/budget) = 0) is broadcast against one
+    * full corpus scan: O(n · budget) work, no full-corpus nested-loop join
+    * anywhere (PlanSpec pins this). Callers must reference the result
+    * exactly once per plan so no caching is needed.
     */
-  private def exactBestForProbes(s: SparkSession, d: String,
-                                 cache: Boolean = false): DataFrame = {
+  private def exactBestForProbes(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val probes = e.filter(col("vec_id") % AuditSampleMod === 0)
-    val best = broadcast(probes.as("x"))
+    // broadcast scalar: mod = ceil(n / budget) in integer arithmetic
+    val m = e.agg(expr(
+      s"(count(1) + ${AuditProbeBudget - 1}) div $AuditProbeBudget").as("mod"))
+    val probes = e.join(broadcast(m))
+      .filter(col("vec_id") % col("mod") === 0).drop("mod")
+    broadcast(probes).as("x")
       .join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"),
         floorRound(cosineFromNorms(dot(col("x.v"), col("y.v")),
           col("x.nrm"), col("y.nrm")), 4).as("c"))
       .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
-    if (cache) best.persist() else best
   }
 
   /** Sign-LSH ANN core: best approximate neighbor per vector via nPlanes
@@ -154,32 +157,35 @@ object SimilarityQueries {
     // see [[annLshBest]]).
     //
     // Oracled as a one-row recall audit over the SAMPLED probe set
-    // (vec_id % 20 = 0, mirrored verbatim in the oracle): which vectors get
-    // a candidate (and which candidate) is bucket-specific, so the hashed
-    // columns are the DuckDB-mirrorable corpus facts — sampled-probe count
-    // and the integer-unit sum of each probe's EXACT best cosine (integer
-    // sum ⇒ no float summation-order wobble) — plus two invariant booleans:
-    // ANN coverage ≥ half the probe set (measured 0.82 on data with no
-    // neighbor structure) and every ANN result bounded by the exact best.
-    // The ANN side stays full-corpus; only the audit twin samples. Per-
-    // vector recall on THIS synthetic table is inherently noise (near-
-    // random vectors, see SCALE.md "ANN recall, honestly measured") — the
+    // (vec_id % ceil(n/budget) = 0, mirrored verbatim in the oracle): which
+    // vectors get a candidate (and which candidate) is bucket-specific, so
+    // the hashed columns are the DuckDB-mirrorable corpus facts — sampled
+    // probe count and the integer-unit sum of each probe's EXACT best
+    // cosine (integer sum ⇒ no float summation-order wobble) — plus two
+    // invariant booleans: ANN coverage ≥ half the probe set and every ANN
+    // result bounded by the exact best. The ANN side stays full-corpus;
+    // only the audit twin samples. ONE left join + ONE aggregation pass:
+    // the audit subtree is referenced exactly once, so nothing persists
+    // (the old two-consumer shape pinned a session-lifetime cache entry as
+    // a side effect of merely constructing this DataFrame). Per-vector
+    // recall on THIS synthetic table is inherently noise (near-random
+    // vectors, see SCALE.md "ANN recall, honestly measured") — the
     // planted-fixture recall@1 spec lives in SimilaritySpec.
     "v_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val ann = annLshBest(e)
-      val best = exactBestForProbes(s, d, cache = true)
-      val exactAgg = best.agg(
-        count(lit(1)).as("n_vectors"),
-        sum(expr("CAST(floor(best * 10000 + 0.5) AS BIGINT)")).as("sum_best_1e4"))
-      val annAgg = ann.join(best, "vec_id")
-        .agg(count(lit(1)).as("n_found"),
+      exactBestForProbes(s, d)
+        .join(ann.select(col("vec_id"), col("cosine")), Seq("vec_id"), "left")
+        .agg(
+          count(lit(1)).as("n_probes"),
+          sum(expr("CAST(floor(best * 10000 + 0.5) AS BIGINT)")).as("sum_best_1e4"),
+          count(col("cosine")).as("n_found"),
           max(col("cosine") - col("best")).as("max_gap"))
-      exactAgg.crossJoin(annAgg)
-        .select(col("n_vectors"), col("sum_best_1e4"),
-          (col("n_found") * 2 >= col("n_vectors")).as("coverage_ge_half"),
-          (col("max_gap") <= 1e-9).as("bounded_by_exact"))
+        .select(col("n_probes"), col("sum_best_1e4"),
+          (col("n_found") * 2 >= col("n_probes")).as("coverage_ge_half"),
+          // no ANN match anywhere ⇒ vacuously bounded
+          coalesce(col("max_gap") <= 1e-9, lit(true)).as("bounded_by_exact"))
     }),
 
     // R19/R18 bridge — embedding-cosine near-duplicate candidates via
@@ -211,21 +217,25 @@ object SimilarityQueries {
     // v_ann_lsh — IVF adapts to the data distribution where LSH is
     // data-oblivious.
     //
-    // Oracled per SAMPLED probe vector (vec_id % 20 = 0, mirrored in the
-    // oracle) against the exact brute-force best (audit twin): IVF coverage
-    // is structurally total — every probed cell contains its own centroid
-    // as a member, and the two probed cells can't both be {self} — so the
-    // sampled row set and the exact-best column are DuckDB-mirrorable, and
-    // the ANN result is pinned by the bounded-by-exact invariant. The ANN
-    // side stays full-corpus; only the audit samples. Top-1 agreement on
-    // this near-random table is noise (SCALE.md); the planted-fixture
-    // recall@1 spec lives in SimilaritySpec.
+    // Oracled per SAMPLED probe vector (vec_id % ceil(n/budget) = 0,
+    // mirrored in the oracle) against the exact brute-force best (audit
+    // twin): the probe set drives a LEFT join into the ANN results, so the
+    // row set is exactly the sampled probes regardless of ANN coverage —
+    // a probe the ANN somehow missed (degenerate zero vector ⇒ null
+    // cosine) surfaces as a clean ann_le_exact=false against the oracle's
+    // TRUE, not as a confusing row-count mismatch. (Coverage is still
+    // structurally total on real data — every probed cell contains its own
+    // centroid as a member — so false never fires on the healthy corpus.)
+    // The ANN side stays full-corpus; only the audit samples. Top-1
+    // agreement on this near-random table is noise (SCALE.md); the
+    // planted-fixture recall@1 spec lives in SimilaritySpec.
     "v_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      annIvfBest(e).join(exactBestForProbes(s, d), "vec_id")
+      exactBestForProbes(s, d)
+        .join(annIvfBest(e).select(col("vec_id"), col("cosine")), Seq("vec_id"), "left")
         .select(col("vec_id"), col("best").as("exact_best"),
-          (col("cosine") <= col("best") + 1e-9).as("ann_le_exact"))
+          coalesce(col("cosine") <= col("best") + 1e-9, lit(false)).as("ann_le_exact"))
         .orderBy("vec_id")
     }),
 
@@ -286,10 +296,15 @@ object SimilarityQueries {
     })
   )
 
-  // exact best cosine per SAMPLED probe vector (vec_id % 20 = 0 — the
-  // verbatim mirror of AuditSampleMod), shared by the ANN-audit oracles
+  // exact best cosine per SAMPLED probe vector — the probe modulus is
+  // ceil(corpus_count / AuditProbeBudget) in the same integer arithmetic
+  // the Spark side computes in-plan ((n + budget-1) div budget), so the
+  // two engines pick the identical probe set at any scale factor
   private val ExactBestCte =
-    """ex AS (
+    s"""md AS (
+         SELECT (count(*) + ${AuditProbeBudget - 1}) // $AuditProbeBudget AS m
+         FROM embeddings),
+       ex AS (
          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
                 generate_subscripts(embedding, 1) AS i
          FROM embeddings),
@@ -297,7 +312,7 @@ object SimilarityQueries {
        dots AS (
          SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.e * b.e) AS dp
          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
-         WHERE a.vec_id % 20 = 0
+         WHERE a.vec_id % (SELECT m FROM md) = 0
          GROUP BY 1, 2),
        best AS (
          SELECT va AS vec_id,
@@ -308,7 +323,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "v_ann_lsh" ->
       s"""WITH $ExactBestCte
-         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         SELECT CAST(count(*) AS BIGINT) AS n_probes,
                 CAST(sum(CAST(floor(best * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_best_1e4,
                 TRUE AS coverage_ge_half, TRUE AS bounded_by_exact
          FROM best""",

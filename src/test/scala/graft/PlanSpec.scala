@@ -107,35 +107,45 @@ class PlanSpec extends SparkSpec {
   test("v_ann_lsh / v_ann_ivf: no full-corpus nested-loop join — audit side is sampled") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     def physical(name: String): SparkPlan =
       SparkEntry.queries(name)(spark, d).queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
         case p => p
       }
+    // BNLJs hidden inside cached subtrees count too — an InMemoryRelation
+    // would otherwise make this check pass vacuously for the plan it hides
+    def collectBnljs(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+      p.collect {
+        case j: BroadcastNestedLoopJoinExec => Seq(j)
+        case s: InMemoryTableScanExec => collectBnljs(s.relation.cachedPlan)
+      }.flatten
     var audits = 0
     for (q <- Seq("v_ann_lsh", "v_ann_ivf")) {
       val exec = physical(q)
-      val bnljs = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val bnljs = collectBnljs(exec)
       // a nested-loop join is only allowed when one side is provably small:
-      // the 1-in-20 audit probe sample, the 1-in-13 centroid pick, or a
-      // side that never scans the corpus (single-row aggregates, cached
-      // audit results). Two unfiltered corpus scans meeting in a BNLJ is
-      // the O(n²) scale-killer this pin exists to prevent.
+      // the budget-bounded audit probe sample (vec_id % mod = 0, mod from
+      // the corpus count), the 1-in-13 centroid pick, or a single-row
+      // scalar aggregate (the broadcast `mod` value itself). Two unfiltered
+      // corpus scans meeting in a BNLJ is the O(n²) scale-killer this pin
+      // exists to prevent.
       bnljs.foreach { j =>
         val smallSide = j.children.exists { c =>
           val s = c.toString
-          s.contains("% 20") || s.contains("% 13") || !s.contains("Scan parquet")
+          s.contains("% mod") || s.contains("% 13") || s.contains("count(1)") ||
+            !s.contains("Scan parquet")
         }
         assert(smallSide,
           s"$q: full-corpus BroadcastNestedLoopJoin:\n${j.toString.take(1500)}")
-        if (j.toString.contains("% 20")) audits += 1
+        if (j.toString.contains("% mod")) audits += 1
       }
       assert(!exec.toString.contains("CartesianProduct"))
     }
-    // the sampled exact-audit join itself must be present in at least one
-    // inspectable plan (v_ann_lsh caches it; v_ann_ivf keeps lineage)
-    assert(audits >= 1, "sampled exact-audit nested-loop join not found in either plan")
+    // the sampled exact-audit join must be visible in BOTH plans — neither
+    // query caches the audit subtree any more, so nothing can hide it
+    assert(audits >= 2, s"sampled exact-audit nested-loop join found in $audits of 2 plans")
   }
 
   test("d_dedup_incremental: one shuffle join keyed on the content sha") {
