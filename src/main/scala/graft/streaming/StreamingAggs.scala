@@ -235,4 +235,51 @@ object StreamingAggs {
       .transformWithState(new SessionTimeoutProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** R17 streaming twin of `d_dedup_incremental` — content-address dedup
+    * of an UNBOUNDED document stream against an appendable accepted-sha
+    * table: each micro-batch is the "new crawl", the parquet dir at
+    * `seenShaDir` is the accepted base corpus (the caller seeds it with
+    * the base shas before starting). Per batch: sha the texts, rank
+    * first-occurrence-within-batch (one window keyed on the sha — bounded
+    * by the micro-batch, never global), left-join the seen set, mark
+    * `is_new` = unseen AND first in batch, hand the marked batch to
+    * `onBatch`, then append the newly-accepted shas so later batches (and
+    * restarts) dedup against them. The big text never shuffles wide —
+    * only 32-byte shas join; at 100 TB `seenShaDir` is a sha-bucketed
+    * table and this exact plan holds (no broadcast assumption).
+    *
+    * Delivery is the file-sink contract: at-least-once on the sha APPEND —
+    * a micro-batch replayed after its append re-marks its docs as dupes.
+    * Membership itself stays correct (duplicate sha rows are absorbed by
+    * the join), and a production deployment makes the marked-output write
+    * and the sha append one transactional commit, the same two-phase
+    * pattern as the GraftLog sink.
+    */
+  def startIncrementalDedup(docs: DataFrame, seenShaDir: String,
+                            checkpointDir: String,
+                            onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.sha256Hex
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_sha")).orderBy(col("doc_id"))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val marked = batch
+          .withColumn("content_sha", sha256Hex(col("text")))
+          .withColumn("__rk", row_number().over(w))
+          .join(batch.sparkSession.read.parquet(seenShaDir)
+              .select(col("content_sha")).distinct()
+              .withColumn("__seen", lit(true)),
+            Seq("content_sha"), "left_outer")
+          .withColumn("is_new", col("__seen").isNull && col("__rk") === 1)
+          .drop("__seen", "__rk")
+        onBatch(marked)
+        marked.filter(col("is_new")).select(col("content_sha"))
+          .write.mode("append").parquet(seenShaDir)
+        ()
+      }
+      .start()
+  }
 }

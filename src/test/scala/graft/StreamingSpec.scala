@@ -144,4 +144,34 @@ class StreamingSpec extends SparkSpec {
       assert(out === Seq("""{"ess_ordinal": 2, "ess_timestamp": 20, "ok": 1}"""))
     } finally coord.release("rk-malformed")
   }
+
+  test("R17 streaming: incremental dedup marks only first-seen content across batches") {
+    import graft.functions.TextFunctions.sha256Hex
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("inc-dedup").toString
+    val seenDir = s"$dir/seen"
+    // seed the accepted base corpus, as d_dedup_incremental's base sha set
+    Seq("base-a", "base-b").toDF("text")
+      .select(sha256Hex(col("text")).as("content_sha")).write.parquet(seenDir)
+    val stream = MemoryStream[(Long, String)](spark)
+    val got = new ConcurrentLinkedQueue[(Long, Boolean)]()
+    val q = StreamingAggs.startIncrementalDedup(
+      stream.toDF().toDF("doc_id", "text"), seenDir, s"$dir/ckpt",
+      batch => batch.select("doc_id", "is_new").collect()
+        .foreach(r => got.add((r.getLong(0), r.getBoolean(1)))))
+    try {
+      // batch 1: base dup, a new doc, an intra-batch dup of it, another new
+      stream.addData((1L, "base-a"), (2L, "fresh-1"), (3L, "fresh-1"), (4L, "fresh-2"))
+      q.processAllAvailable()
+      // batch 2: dup of batch-1's accept, base dup, genuinely new
+      stream.addData((5L, "fresh-1"), (6L, "base-b"), (7L, "fresh-3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, Boolean)](0)).toMap
+    assert(byDoc === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false, 7L -> true), byDoc.toString)
+    // the accepted set now carries base + the three accepted shas
+    assert(spark.read.parquet(seenDir).distinct().count() === 5)
+  }
 }
