@@ -96,7 +96,9 @@ object GraftFunctions {
     ("graft_minhash_union", "graft_minhash_union(sig) - group-level MinHash union",
       exprs => { arity("graft_minhash_union", exprs, 1); MinHashUnionAgg(exprs.head) }),
     ("graft_dot", "graft_dot(a, b) - dot product of double arrays",
-      exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }))
+      exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }),
+    ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of distinct-element string arrays",
+      exprs => { arity("graft_jaccard", exprs, 2); JaccardSim(exprs.head, exprs(1)) }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

@@ -81,4 +81,27 @@ class NativeExprSpec extends SparkSpec {
     // a CodegenFallback expression would leave the Project unstarred
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")), plan)
   }
+
+  test("graft_jaccard equals the SQL array_intersect form on random distinct arrays") {
+    import org.apache.spark.sql.functions._
+    // random-ish distinct string arrays with overlap, plus the edge shapes:
+    // both empty, one empty, disjoint, identical
+    val rows = (0 until 200).map { i =>
+      val a = (0 until (i % 17)).map(k => s"w${(i * 7 + k * 3) % 40}").distinct
+      val b = (0 until (i % 13)).map(k => s"w${(i * 5 + k * 11) % 40}").distinct
+      (a, b)
+    } :+ ((Seq.empty[String], Seq.empty[String])) :+ ((Seq("x"), Seq.empty[String]))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val got = df.select(
+      expr("graft_jaccard(a, b)").as("native"),
+      expr("""CASE WHEN size(a) + size(b) - size(array_intersect(a, b)) > 0
+                THEN CAST(size(array_intersect(a, b)) AS DOUBLE)
+                     / (size(a) + size(b) - size(array_intersect(a, b)))
+                ELSE 0.0 END""").as("sql"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+  }
 }
