@@ -127,6 +127,63 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // R20/R18 — BENCHMARK DECONTAMINATION: the pre-training hygiene step
+    // that drops training documents sharing verbatim n-grams with a
+    // held-out eval set (src0 plays the benchmark here; 5-gram at this
+    // corpus's 10-100-token docs stands in for the usual 13-gram). Scale
+    // shape: the eval gram set is tiny relative to the corpus — it
+    // BROADCASTS, so the training side streams through a broadcast
+    // semi-probe at scan speed and the only shuffle is the per-doc count
+    // on doc_id. Every training doc appears in the output (clean docs
+    // carry n=0), so the result doubles as the keep/drop manifest.
+    "t_decontaminate" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val sh = docs(s, d).select(col("doc_id"), col("source"),
+        explode(shingles("text", 5)).as("g"))
+      val evalGrams = sh.filter(col("source") === "src0")
+        .select(col("g")).distinct()
+      val hits = sh.filter(col("source") =!= "src0")
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n")) // grams are distinct per doc
+      docs(s, d).filter(col("source") =!= "src0").select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_contaminated_grams"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // R20 — INTRA-DOCUMENT REPETITION (the Gopher/C4-style quality rule
+    // that drops looping generations and boilerplate): duplicate-2-gram
+    // fraction per doc plus the top-token dominance share. Pure per-row
+    // expressions + one (doc, token) count — linear, shuffle on doc_id
+    // only, no cross-doc interaction at all.
+    "t_repetition" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val grams = docs(s, d).select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 1, lit(0)).as("total_2grams"),
+        size(shingles("text", 2)).as("distinct_2grams"))
+      val top = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).cast(LongType).as("top_cnt"),
+          sum(col("c")).cast(LongType).as("n_tok"))
+      grams.join(top, "doc_id")
+        .select(col("doc_id"),
+          floorRound(when(col("total_2grams") > 0,
+            lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
+            .otherwise(lit(0.0)), 4).as("dup_2gram_frac"),
+          floorRound(col("top_cnt").cast("double") / col("n_tok"), 4).as("top_token_frac"),
+          // the Gopher-style gate: either signal past its dial ⇒ drop
+          (when(col("total_2grams") > 0,
+            lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
+            .otherwise(lit(0.0)) > 0.1 ||
+            col("top_cnt").cast("double") / col("n_tok") > 0.25).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // R20/R10 — corpus heavy hitters (boilerplate detection): top-10 tokens
     // by frequency through the GLOBAL TopKPerKey path (empty grouping →
     // AllTuples distribution: per-partition heaps, single k-row merge — the
@@ -212,6 +269,44 @@ object TextQueries {
                   list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')),
                   s -> md5(s))) AS fp
          FROM toks WHERE len(t) >= 5 ORDER BY doc_id""",
+    "t_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))) AS g
+           FROM toks WHERE len(t) >= 5),
+         ev AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+         hits AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh JOIN ev USING (g)
+           WHERE source <> 'src0' GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+                coalesce(hits.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits USING (doc_id)
+         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+    "t_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+                      greatest(len(t) - 1, 0) AS total_2grams,
+                      len(list_distinct(list_transform(
+                        range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS distinct_2grams
+               FROM toks),
+         tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+         top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_tok FROM tc GROUP BY doc_id),
+         f AS (SELECT g.doc_id,
+                      CASE WHEN total_2grams > 0
+                           THEN 1.0 - CAST(distinct_2grams AS DOUBLE) / total_2grams
+                           ELSE 0.0 END AS dup_f,
+                      CAST(top_cnt AS DOUBLE) / n_tok AS top_f
+               FROM g JOIN top ON g.doc_id = top.doc_id)
+         SELECT doc_id,
+                floor(dup_f * 10000 + 0.5) / 10000 AS dup_2gram_frac,
+                floor(top_f * 10000 + 0.5) / 10000 AS top_token_frac,
+                (dup_f > 0.1 OR top_f > 0.25) AS repetitive
+         FROM f ORDER BY doc_id""",
     "t_heavy_hitters" ->
       """WITH c AS (
            SELECT t AS term, CAST(count(*) AS BIGINT) AS n

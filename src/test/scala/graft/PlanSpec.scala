@@ -148,6 +148,14 @@ class PlanSpec extends SparkSpec {
     assert(audits >= 2, s"sampled exact-audit nested-loop join found in $audits of 2 plans")
   }
 
+  test("t_decontaminate: eval gram set broadcasts; training side never shuffles on grams") {
+    val p = plan("t_decontaminate")
+    // the semi-probe against the eval set must be a broadcast join — a
+    // shuffled semi join would move the full training gram stream
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d_dedup_incremental: one shuffle join keyed on the content sha") {
     val p = plan("d_dedup_incremental")
     assert(p.contains("content_sha"), p.take(800))
