@@ -22,6 +22,56 @@ object TextQueries {
     */
   private val EnMarkers = Seq("the", "a")
 
+  /** Core of `t_decontaminate`, reusable over any (doc_id, source, text)
+    * frame (spec-tested on planted fixtures): flag non-eval docs sharing
+    * any verbatim n-gram shingle with the eval source. Callers must have
+    * run GraftFunctions.register.
+    */
+  private[graft] def decontaminate(docsDf: DataFrame, evalSource: String,
+                                   n: Int = 5): DataFrame = {
+    val sh = docsDf.select(col("doc_id"), col("source"),
+      explode(shingles("text", n)).as("g"))
+    val evalGrams = sh.filter(col("source") === evalSource)
+      .select(col("g")).distinct()
+    val hits = sh.filter(col("source") =!= evalSource)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n")) // grams are distinct per doc
+    docsDf.filter(col("source") =!= evalSource).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Core of `t_repetition`, reusable over any (doc_id, text) frame
+    * (spec-tested on planted fixtures). Callers must have run
+    * GraftFunctions.register.
+    */
+  private[graft] def repetition(docsDf: DataFrame): DataFrame = {
+    val grams = docsDf.select(col("doc_id"),
+      greatest(size(split(col("text"), " ")) - 1, lit(0)).as("total_2grams"),
+      size(shingles("text", 2)).as("distinct_2grams"))
+    val top = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).cast(LongType).as("top_cnt"),
+        sum(col("c")).cast(LongType).as("n_tok"))
+    val dupFrac = when(col("total_2grams") > 0,
+      lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
+      .otherwise(lit(0.0))
+    val topFrac = col("top_cnt").cast("double") / col("n_tok")
+    grams.join(top, "doc_id")
+      .select(col("doc_id"),
+        floorRound(dupFrac, 4).as("dup_2gram_frac"),
+        floorRound(topFrac, 4).as("top_token_frac"),
+        // the Gopher-style gate: either signal past its dial ⇒ drop
+        (dupFrac > 0.1 || topFrac > 0.25).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R20 — per-document token statistics: whitespace tokens, distinct
     // tokens, lexical diversity, BPE-ish regex token count.
@@ -138,20 +188,7 @@ object TextQueries {
     // carry n=0), so the result doubles as the keep/drop manifest.
     "t_decontaminate" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val sh = docs(s, d).select(col("doc_id"), col("source"),
-        explode(shingles("text", 5)).as("g"))
-      val evalGrams = sh.filter(col("source") === "src0")
-        .select(col("g")).distinct()
-      val hits = sh.filter(col("source") =!= "src0")
-        .join(broadcast(evalGrams), Seq("g"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast(LongType).as("n")) // grams are distinct per doc
-      docs(s, d).filter(col("source") =!= "src0").select(col("doc_id"))
-        .join(hits, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n"), lit(0L)).as("n_contaminated_grams"),
-          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
-        .orderBy("doc_id")
+      decontaminate(docs(s, d), evalSource = "src0")
     }),
 
     // R20 — INTRA-DOCUMENT REPETITION (the Gopher/C4-style quality rule
@@ -161,27 +198,7 @@ object TextQueries {
     // only, no cross-doc interaction at all.
     "t_repetition" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val grams = docs(s, d).select(col("doc_id"),
-        greatest(size(split(col("text"), " ")) - 1, lit(0)).as("total_2grams"),
-        size(shingles("text", 2)).as("distinct_2grams"))
-      val top = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).cast(LongType).as("top_cnt"),
-          sum(col("c")).cast(LongType).as("n_tok"))
-      grams.join(top, "doc_id")
-        .select(col("doc_id"),
-          floorRound(when(col("total_2grams") > 0,
-            lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
-            .otherwise(lit(0.0)), 4).as("dup_2gram_frac"),
-          floorRound(col("top_cnt").cast("double") / col("n_tok"), 4).as("top_token_frac"),
-          // the Gopher-style gate: either signal past its dial ⇒ drop
-          (when(col("total_2grams") > 0,
-            lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
-            .otherwise(lit(0.0)) > 0.1 ||
-            col("top_cnt").cast("double") / col("n_tok") > 0.25).as("repetitive"))
-        .orderBy("doc_id")
+      repetition(docs(s, d))
     }),
 
     // R20/R10 — corpus heavy hitters (boilerplate detection): top-10 tokens

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.TextQueries
+import org.apache.spark.sql.functions.col
+
+/** Planted-fixture semantics for the round-7 text hygiene operators —
+  * independent of the synthetic corpus the oracles run over.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.plans.GraftFunctions.register(spark)
+
+  test("R20: decontaminate flags exactly the docs sharing an eval n-gram") {
+    val docsDf = Seq(
+      (0L, "eval", "a b c d e f"),            // eval doc: 5-grams "a b c d e", "b c d e f"
+      (1L, "train", "x b c d e f y"),         // carries eval 5-gram "b c d e f"
+      (2L, "train", "p q r s t u v"),         // clean
+      (3L, "train", "a b c d x e f"),         // shares words but NO verbatim 5-gram
+      (4L, "train", "q a b c d e f w")        // carries BOTH eval 5-grams
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.decontaminate(docsDf, evalSource = "eval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 0L, false), (3L, 0L, false), (4L, 2L, true)))
+  }
+
+  test("R20: repetition gate — looping text trips it, diverse text does not") {
+    val docsDf = Seq(
+      (0L, "x y x y x y x y"),     // 7 2-grams, 2 distinct → dup 0.7143; top token 4/8
+      (1L, "a b c d e f g h"),     // all distinct → dup 0, top 1/8
+      (2L, "z z z z z z z z"),     // total repetition: dup 1-1/7, top 1.0
+      (3L, "w")                    // single token: no 2-grams → dup 0, top 1.0 (dominance!)
+    ).toDF("doc_id", "text")
+    val got = TextQueries.repetition(docsDf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got(0) === ((0L, 0.7143, 0.5, true)))
+    assert(got(1) === ((1L, 0.0, 0.125, false)))
+    assert(got(2) === ((2L, 0.8571, 1.0, true)))
+    // a one-token doc has no repeated 2-grams but 100% token dominance —
+    // the dominance dial is what catches degenerate stubs
+    assert(got(3) === ((3L, 0.0, 1.0, true)))
+  }
+}
