@@ -16,22 +16,26 @@ object Bench {
   private def streamPipelineBench(spark: SparkSession, sfDir: String): (Long, Double) = {
     import org.apache.spark.sql.functions._
     val fmt = classOf[graft.sources.GraftLogProvider].getName
-    val rows = 100000
+    val target = 100000
     val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
     // publish the fixture through the sink itself: 10 range partitions →
     // 10 bounds-marked segments, so micro-batches prune instead of
     // re-reading the whole log every trigger
-    Tables.events(spark, sfDir).limit(rows)
+    Tables.events(spark, sfDir).limit(target)
       .select(
         to_json(struct(col("event_type"), col("user_id"), col("value"))).as("body"),
         col("event_id").cast("long").as("ordinal"),
         unix_millis(col("ts")).as("ts_ms"))
       .repartitionByRange(10, col("ordinal"))
       .write.format(fmt).option("path", src).mode("append").save()
+    // measure what the fixture actually holds — a smaller-SF events table
+    // caps the row count, and the delivered == rows check must compare
+    // against reality, not the target
+    val rows = spark.read.format(fmt).option("path", src).load().count()
     val t0 = System.nanoTime()
     val enriched = spark.readStream.format(fmt).option("path", src)
-      .option("maxOrdinalsPerTrigger", (rows / 10).toString).load()
+      .option("maxOrdinalsPerTrigger", math.max(1L, rows / 10).toString).load()
       .filter(graft.operators.Envelope.forwardable(col("body")))
       .select(
         graft.operators.Envelope.enrichJson(col("body"), col("ordinal"), col("ts_ms"))
