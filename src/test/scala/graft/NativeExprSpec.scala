@@ -103,5 +103,14 @@ class NativeExprSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
         java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
     }
+    // the verify loop must stay inside whole-stage codegen (the `*(n)`
+    // marker) — a CodegenFallback here costs a virtual call + boxing per
+    // candidate pair on the near-dup verify path. repartition keeps
+    // ConvertToLocalRelation from folding the projection away before it
+    // ever reaches the physical planner.
+    val df2 = df.repartition(2).select(expr("graft_jaccard(a, b)"))
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_jaccard")), plan)
   }
 }
