@@ -91,19 +91,19 @@ object ExtendedQueries {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
-    // R9 — approximate distinct (HLL++): implementation-specific counts ⇒
-    // rows-only check; the exact twin q_distinct_users is the oracled one.
     // R9 — HLL++ approximate distinct, oracled as an accuracy invariant:
     // the estimate itself is sketch-specific (not DuckDB-mirrorable), so
     // the hashed columns are the exact count plus a deterministic
-    // |approx − exact| / exact ≤ 0.05 bound (default rsd is 0.05; measured
-    // error on this data is 0.7%). A regression in the sketch path flips
-    // the boolean and fails the hash compare.
+    // |approx − exact| / exact ≤ 0.05 bound. rsd is configured to 0.01
+    // (NOT the 0.05 default): rsd is a STANDARD DEVIATION, not a bound —
+    // the default sketch measured a 6.7% miss at sf0.1 (1.3σ, entirely
+    // expected), which flipped the boolean. At rsd=0.01 the 5% bound is
+    // 5σ: a flip means a sketch-path regression, not sketch luck.
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users"))

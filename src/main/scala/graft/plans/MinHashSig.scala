@@ -86,15 +86,33 @@ object GraftFunctions {
 
   /** (name, usage, builder) for every native function. */
   private[plans] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("graft_minhash", "graft_minhash(shingles) - 32-element MinHash signature",
-      exprs => { arity("graft_minhash", exprs, 1); MinHashSig(exprs.head, 32) }),
+    ("graft_minhash", "graft_minhash(shingles[, k]) - k-element MinHash signature (default 32)",
+      exprs => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"graft_minhash expects 1 or 2 argument(s), got ${exprs.length}")
+        // k rides as a literal so sketch width is a plan-time choice: 32
+        // (LSH banding consumes exactly 8 bands × 4 rows) stays the
+        // default; estimate-quality callers widen it — the string hash is
+        // computed once per shingle regardless, so width costs only the
+        // multiply-add loop. Deterministic perms are prefix-stable: the
+        // first 32 of a k=128 signature equal the k=32 signature.
+        val k = if (exprs.length == 2) literalInt("graft_minhash", exprs(1)) else 32
+        MinHashSig(exprs.head, k)
+      }),
     ("graft_shingles", "graft_shingles(text, n) - distinct n-word shingles",
       exprs => { arity("graft_shingles", exprs, 2)
         Shingles(exprs.head, literalInt("graft_shingles", exprs(1))) }),
     ("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash",
       exprs => { arity("graft_simhash", exprs, 1); SimHashSig(exprs.head) }),
-    ("graft_minhash_union", "graft_minhash_union(sig) - group-level MinHash union",
-      exprs => { arity("graft_minhash_union", exprs, 1); MinHashUnionAgg(exprs.head) }),
+    ("graft_minhash_union", "graft_minhash_union(sig[, k]) - group-level MinHash union (default k=32)",
+      exprs => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"graft_minhash_union expects 1 or 2 argument(s), got ${exprs.length}")
+        // k must match the signatures being unioned (the agg fails loudly
+        // on a width mismatch) — widened callers pass it explicitly
+        val k = if (exprs.length == 2) literalInt("graft_minhash_union", exprs(1)) else 32
+        MinHashUnionAgg(exprs.head, k)
+      }),
     ("graft_dot", "graft_dot(a, b) - dot product of double arrays",
       exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }),
     ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of distinct-element string arrays",
