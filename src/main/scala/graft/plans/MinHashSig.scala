@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,10 +21,28 @@ import org.apache.spark.sql.types._
   * Single-pass scalar expression ⇒ embarrassingly parallel at 100 TB.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+
+  /** Public twin of nullSafeEval for generated code — called through a
+    * reference object so the enclosing WholeStageCodegen stage stays
+    * fused (a CodegenFallback splits it for every co-resident expression).
+    * May return null (empty shingle set), which the generated code maps
+    * back to SQL NULL.
+    */
+  def compute(v: ArrayData): GenericArrayData =
+    nullSafeEval(v).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
 
   // deterministic permutation parameters (seed fixed for reproducibility)
   @transient private lazy val perms: Array[(Long, Long)] = {

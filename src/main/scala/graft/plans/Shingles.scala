@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,12 +16,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * docs shorter than n tokens, like the SQL form.
   */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
+
+  /** Public twin of nullSafeEval for generated code: the body is
+    * set/StringBuilder work with nothing to gain from inlining, so the
+    * generated code calls back into THIS expression (shipped as a
+    * reference object) instead of falling back to interpreted eval — a
+    * CodegenFallback would split the enclosing WholeStageCodegen stage
+    * and cost every co-resident expression its fusion, not just this one.
+    */
+  def compute(v: UTF8String): GenericArrayData =
+    nullSafeEval(v).asInstanceOf[GenericArrayData]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[Shingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     // limit -1 keeps trailing empty tokens, matching Spark SQL's

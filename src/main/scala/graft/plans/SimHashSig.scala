@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
@@ -15,10 +15,22 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * token count (the ±1 majority vote, identical semantics to the HOF form).
   */
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
+
+  /** Public twin of nullSafeEval for generated code — called through a
+    * reference object so the enclosing WholeStageCodegen stage stays
+    * fused (a CodegenFallback splits it for every co-resident expression).
+    */
+  def compute(v: ArrayData): Long =
+    nullSafeEval(v).asInstanceOf[java.lang.Long].longValue()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

@@ -113,4 +113,25 @@ class NativeExprSpec extends SparkSpec {
     val plan = df2.queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_jaccard")), plan)
   }
+
+  test("shingles/simhash/minhash stay inside whole-stage codegen (no fallback split)") {
+    import org.apache.spark.sql.functions._
+    // a CodegenFallback on any of these would split the stage and cost
+    // every co-resident expression its fusion — the `*(n)` marker must
+    // cover the projection computing all three
+    val df = spark.createDataFrame(Seq(
+        (1L, "a b c d e"), (2L, "x y z"), (3L, "")))
+      .toDF("id", "text")
+      .repartition(2)
+      .selectExpr("id", "graft_shingles(text, 2) AS sh")
+      .selectExpr("id", "graft_simhash(sh) AS sim", "graft_minhash(sh) AS mh")
+    val rows = df.collect()
+    assert(rows.length === 3)
+    // empty text ⇒ empty shingles ⇒ null minhash (not a sentinel)
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(2))
+    val plan = df.queryExecution.executedPlan.toString
+    for (fn <- Seq("graft_shingles", "graft_simhash", "graft_minhash"))
+      assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains(fn)),
+        s"$fn not inside WholeStageCodegen:\n$plan")
+  }
 }
