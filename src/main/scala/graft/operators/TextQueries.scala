@@ -45,6 +45,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Core of `t_perplexity_proxy`, reusable over any (doc_id, text) frame
+    * (spec-tested on planted fixtures): per-document average negative log
+    * probability under the corpus's own unigram model — the cheap-LM
+    * stand-in for perplexity filtering. Per-token −ln p is floor-rounded
+    * to integer 1e-4 units BEFORE summing, so the per-doc total is an
+    * order-independent integer sum (float log-sums are partition-order
+    * dependent; integer units are the same parity trick as the revenue
+    * and ANN-audit sums). `unusualUnits` is the avg-nll dial in the same
+    * units.
+    */
+  private[graft] def perplexityProxy(docsDf: DataFrame,
+                                     unusualUnits: Long): DataFrame = {
+    val toks = docsDf.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t"))
+    // corpus unigram model: counts + total as broadcastable aggregates
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("double").as("total"))
+    toks.join(broadcast(uni), "t").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("CAST(floor(-ln(c / total) * 10000 + 0.5) AS BIGINT)").as("u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("u")).cast(LongType).as("nll_units"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_units"),
+        (col("nll_units") > col("n_tokens") * unusualUnits).as("unusual"))
+      .orderBy("doc_id")
+  }
+
   /** Core of `t_repetition`, reusable over any (doc_id, text) frame
     * (spec-tested on planted fixtures). Callers must have run
     * GraftFunctions.register.
@@ -201,6 +229,19 @@ object TextQueries {
       repetition(docs(s, d))
     }),
 
+    // R20 — PERPLEXITY-PROXY quality filter: per-doc average negative log
+    // probability under the corpus's own unigram model, the cheap-LM
+    // stand-in for perplexity filtering (docs far from the corpus
+    // distribution score high and get flagged). Integer 1e-4-unit
+    // arithmetic end-to-end, so the oracle replays it exactly and the
+    // per-doc sum is partition-order independent. Scale shape: the
+    // unigram model is two broadcastable aggregates; the token stream
+    // joins it broadcast and aggregates on doc_id — linear, one explode
+    // shuffle. The 34300-unit dial (avg nll ≈ 3.43 nats) sits just past
+    // this corpus's p95, so the flagged set is the genuine tail.
+    "t_perplexity_proxy" -> ((s, d) =>
+      perplexityProxy(docs(s, d), unusualUnits = 34300L)),
+
     // R20/R10 — corpus heavy hitters (boilerplate detection): top-10 tokens
     // by frequency through the GLOBAL TopKPerKey path (empty grouping →
     // AllTuples distribution: per-partition heaps, single k-row merge — the
@@ -324,6 +365,16 @@ object TextQueries {
                 floor(top_f * 10000 + 0.5) / 10000 AS top_token_frac,
                 (dup_f > 0.1 OR top_f > 0.25) AS repetitive
          FROM f ORDER BY doc_id""",
+    "t_perplexity_proxy" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+         u AS (SELECT doc_id, CAST(floor(-ln(c / total) * 10000 + 0.5) AS BIGINT) AS u
+               FROM toks JOIN uni USING (t) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(u) AS BIGINT) AS nll_units,
+                sum(u) > count(*) * 34300 AS unusual
+         FROM u GROUP BY doc_id ORDER BY doc_id""",
     "t_heavy_hitters" ->
       """WITH c AS (
            SELECT t AS term, CAST(count(*) AS BIGINT) AS n

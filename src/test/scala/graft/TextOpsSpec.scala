@@ -41,4 +41,22 @@ class TextOpsSpec extends SparkSpec {
     // the dominance dial is what catches degenerate stubs
     assert(got(3) === ((3L, 0.0, 1.0, true)))
   }
+
+  test("R20: perplexity proxy scores out-of-distribution docs higher, integer-exact") {
+    // corpus: "a" dominates (p=12/16), "b" common (3/16), "z" rare (1/16)
+    val docsDf = Seq(
+      (0L, "a a a a a a a a"),   // all high-probability tokens
+      (1L, "a a a b b b z a")    // carries the rare token + mid tokens
+    ).toDF("doc_id", "text")
+    val got = TextQueries.perplexityProxy(docsDf, unusualUnits = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    def u(p: Double): Long = math.floor(-math.log(p) * 10000 + 0.5).toLong
+    val doc0 = 8 * u(12.0 / 16)
+    val doc1 = 4 * u(12.0 / 16) + 3 * u(3.0 / 16) + u(1.0 / 16)
+    assert(got(0) === ((0L, 8L, doc0, doc0 > 8L * 10000)))
+    assert(got(1) === ((1L, 8L, doc1, doc1 > 8L * 10000)))
+    // same token count, strictly higher nll for the out-of-distribution doc
+    assert(doc1 > doc0)
+    assert(!got(0)._4 && got(1)._4, got.mkString(","))
+  }
 }
