@@ -239,6 +239,33 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // R19/R18 — SEMANTIC DEDUP (SemDeDup-style): drop every vector that
+    // has a more-canonical (lower vec_id) same-block neighbor above the
+    // cosine threshold — the embedding-space analog of near-dup text
+    // removal, used to prune semantically redundant training examples.
+    // Blocking is the stored `label` key (deterministic and
+    // DuckDB-mirrorable, like v_neardup_cosine; production swaps in IVF
+    // cells — same Σ block² ≪ n² shape). The θ compare runs on the
+    // 4-dp-floored cosine so both engines sit on the same side of the
+    // boundary. Every vector appears in the output with its kept flag, so
+    // the result doubles as the keep manifest.
+    "v_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", l2Norm(col("v")))
+      val dropped = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id") &&
+            floorRound(cosineFromNorms(dot(col("a.v"), col("b.v")),
+              col("a.nrm"), col("b.nrm")), 4) >= 0.40)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("__d", lit(true))
+      e.select(col("vec_id"), col("label"))
+        .join(dropped, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("label"),
+          coalesce(!col("__d"), lit(true)).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // R19 — int8 vector quantization with a VERIFIED reconstruction bound:
     // the standard 4× compression step before ANN serving at scale
     // (100 TB of float32 embeddings → 25 TB of int8 + per-vector scale).
@@ -356,6 +383,30 @@ object SimilarityQueries {
                 (max(mm.mx) = max(mm.mn) OR max(q.err) <= max(q.bound)) AS within_half_step
          FROM q JOIN mm ON q.vec_id = mm.vec_id
          GROUP BY q.vec_id ORDER BY q.vec_id""",
+    "v_semdedup" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS n FROM ex GROUP BY vec_id),
+         pairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT p.va, p.vb, sum(x.e * y.e) AS dp
+           FROM pairs p
+             JOIN ex x ON x.vec_id = p.va
+             JOIN ex y ON y.vec_id = p.vb AND y.i = x.i
+           GROUP BY 1, 2),
+         dropped AS (
+           SELECT DISTINCT vb AS vec_id FROM dots
+             JOIN nrm nx ON nx.vec_id = va
+             JOIN nrm ny ON ny.vec_id = vb
+           WHERE floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000 >= 0.40)
+         SELECT e.vec_id, e.label,
+                e.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         FROM embeddings e ORDER BY e.vec_id""",
     "v_neardup_cosine" ->
       """WITH ex AS (
            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
