@@ -18,6 +18,7 @@ object Bench {
     val fmt = classOf[graft.sources.GraftLogProvider].getName
     val target = 100000
     val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+    try {
     val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
     // publish the fixture through the sink itself: 10 range partitions →
     // 10 bounds-marked segments, so micro-batches prune instead of
@@ -48,6 +49,20 @@ object Bench {
     val delivered = spark.read.format(fmt).option("path", out).load().count()
     require(delivered == rows, s"stream pipeline delivered $delivered of $rows rows")
     (delivered, secs)
+    } finally deleteTree(base)
+  }
+
+  /** Bench fixtures are throwaway: two 100k-row logs plus a checkpoint per
+    * run would otherwise accumulate in the system temp dir forever.
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -403,7 +403,8 @@ object SimilarityQueries {
            SELECT DISTINCT vb AS vec_id FROM dots
              JOIN nrm nx ON nx.vec_id = va
              JOIN nrm ny ON ny.vec_id = vb
-           WHERE floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000 >= 0.40)
+           WHERE nx.n * ny.n > 0
+             AND floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000 >= 0.40)
          SELECT e.vec_id, e.label,
                 e.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
          FROM embeddings e ORDER BY e.vec_id""",

@@ -59,10 +59,14 @@ object TextQueries {
                                      unusualUnits: Long): DataFrame = {
     val toks = docsDf.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t"))
-    // corpus unigram model: counts + total as broadcastable aggregates
+    // corpus unigram model. `uni` has one row per distinct corpus token —
+    // vocabulary cardinality grows with corpus size, so it must NOT carry a
+    // broadcast hint: the token join shuffles on `t` (AQE may still pick a
+    // broadcast at runtime when the vocab actually fits). Only the 1-row
+    // `total` aggregate is hinted.
     val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = uni.agg(sum(col("c")).cast("double").as("total"))
-    toks.join(broadcast(uni), "t").crossJoin(broadcast(total))
+    toks.join(uni, "t").crossJoin(broadcast(total))
       .select(col("doc_id"),
         expr("CAST(floor(-ln(c / total) * 10000 + 0.5) AS BIGINT)").as("u"))
       .groupBy(col("doc_id"))

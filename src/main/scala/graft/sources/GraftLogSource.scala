@@ -165,6 +165,43 @@ object GraftLog {
     files.map(Paths.get(_)).filter(Files.exists(_)).flatMap(parseSegment)
       .filter(t => t._1 > fromExclusive && t._1 <= toInclusive)
 
+  /** Retention expiry (reference README.md:222-237: stream data expires
+    * after the retention window; consumers seeking below it get the first
+    * available message). Deletes segment FILES whose every record sits
+    * strictly below the ordinal watermark; a segment straddling the
+    * watermark is kept WHOLE — expiry never splits a segment, exactly a
+    * log broker's segment-granular retention. Reads that land below the
+    * new tail then deliver first-available via the ordinary range scan:
+    * no special clamp code path, the expired rows simply do not exist.
+    *
+    * Bounds come from the name when embedded (no file open); an unmarked
+    * segment is opened once to learn its max. An empty segment holds no
+    * records, so deleting it never loses data. Driver-side maintenance
+    * op: one directory listing plus one read per unmarked candidate —
+    * never a data-plane scan. Returns deleted segment file names.
+    */
+  def expireBelowOrdinal(dir: String, watermarkExclusive: Long): Seq[String] =
+    segmentFiles(dir).filter { f =>
+      nameBounds(f) match {
+        case Some((_, mx)) => mx < watermarkExclusive
+        case None =>
+          val rows = parseSegment(f)
+          rows.isEmpty || rows.map(_._1).max < watermarkExclusive
+      }
+    }.map { f => Files.delete(f); f.getFileName.toString }
+
+  /** Timestamp flavor of [[expireBelowOrdinal]] — "older than N days"
+    * retention. Segment names embed ordinal bounds only, so every segment
+    * is opened once to learn its newest broker timestamp; acceptable for
+    * a rarely-run maintenance sweep (embedding ts bounds in sink names is
+    * the optimization if expiry ever becomes hot).
+    */
+  def expireOlderThan(dir: String, tsWatermarkMs: Long): Seq[String] =
+    segmentFiles(dir).filter { f =>
+      val rows = parseSegment(f)
+      rows.isEmpty || rows.map(_._2).max < tsWatermarkMs
+    }.map { f => Files.delete(f); f.getFileName.toString }
+
   private[sources] def maxOrdinal(dir: String): Long = {
     // latestOffset runs on the driver EVERY trigger: when all segments
     // carry name bounds, the head position is a directory listing, not a

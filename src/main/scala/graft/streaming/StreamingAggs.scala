@@ -249,12 +249,15 @@ object StreamingAggs {
     * only 32-byte shas join; at 100 TB `seenShaDir` is a sha-bucketed
     * table and this exact plan holds (no broadcast assumption).
     *
-    * Delivery is the file-sink contract: at-least-once on the sha APPEND —
-    * a micro-batch replayed after its append re-marks its docs as dupes.
-    * Membership itself stays correct (duplicate sha rows are absorbed by
-    * the join), and a production deployment makes the marked-output write
-    * and the sha append one transactional commit, the same two-phase
-    * pattern as the GraftLog sink.
+    * The sha table is hive-partitioned by micro-batch (`batch=<id>`
+    * subdirs; the seed goes under `batch=-1`), which makes the commit
+    * IDEMPOTENT and the flags REPLAY-STABLE: each batch overwrites only
+    * its own partition (a replay rewrites identical content rather than
+    * appending duplicates), and the membership join excludes the current
+    * batchId's partition, so a batch replayed after a post-append crash
+    * sees exactly the seen-set its first attempt saw and emits identical
+    * `is_new` flags. The marked batch is persisted across its two
+    * consumers (onBatch + the sha write) so the plan executes once.
     */
   def startIncrementalDedup(docs: DataFrame, seenShaDir: String,
                             checkpointDir: String,
@@ -265,19 +268,23 @@ object StreamingAggs {
       .partitionBy(col("content_sha")).orderBy(col("doc_id"))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marked = batch
           .withColumn("content_sha", sha256Hex(col("text")))
           .withColumn("__rk", row_number().over(w))
           .join(batch.sparkSession.read.parquet(seenShaDir)
+              .filter(col("batch") =!= batchId) // replay: ignore own prior append
               .select(col("content_sha")).distinct()
               .withColumn("__seen", lit(true)),
             Seq("content_sha"), "left_outer")
           .withColumn("is_new", col("__seen").isNull && col("__rk") === 1)
           .drop("__seen", "__rk")
-        onBatch(marked)
-        marked.filter(col("is_new")).select(col("content_sha"))
-          .write.mode("append").parquet(seenShaDir)
+          .persist()
+        try {
+          onBatch(marked)
+          marked.filter(col("is_new")).select(col("content_sha"))
+            .write.mode("overwrite").parquet(s"$seenShaDir/batch=$batchId")
+        } finally marked.unpersist()
         ()
       }
       .start()

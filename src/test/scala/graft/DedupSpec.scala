@@ -127,4 +127,47 @@ class DedupSpec extends SparkSpec {
     assert(ms.getAs[Long]("members_cut") === 0L, ms.toString)
     assert(ms.getAs[Int]("max_bucket") <= 512, ms.toString)
   }
+
+  test("R18: adaptive simhash τ hits its documented boundary values") {
+    import graft.operators.DedupQueries.simhashTau
+    import spark.implicits._
+    // τ = min(15, 7 + ⌈24/√min_tokens⌉) at the three documented token
+    // counts — the recall dial the d_simhash_pairs comments promise; a
+    // formula drift (constant tweak, ceil→floor, missing min) breaks here
+    // with the offending count named, not as a silent recall change
+    val got = Seq(10L, 25L, 100L, 1L, 10000L).toDF("n")
+      .select(col("n"), simhashTau(col("n"), col("n")).as("tau"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) === 15L, s"n=10: ${got(10L)}")
+    assert(got(25L) === 12L, s"n=25: ${got(25L)}")
+    assert(got(100L) === 10L, s"n=100: ${got(100L)}")
+    assert(got(1L) === 15L, "single-token doc must clamp at the 15 ceiling")
+    assert(got(10000L) === 8L, "long docs converge to the tight 8-bit radius")
+    // and the pair form takes the MORE permissive side (min token count)
+    val pair = Seq((10L, 10000L)).toDF("na", "nb")
+      .select(simhashTau(col("na"), col("nb"))).as[Long].head()
+    assert(pair === 15L, s"pair τ must follow the shorter doc: $pair")
+  }
+
+  test("R17/R18: d_corpus_build_v2 survivors are a subset of d_corpus_build's") {
+    // Round7Queries documents v2 as strictly-additive gating over v1
+    // (repetition + decontamination on top of v1's quality gate), so every
+    // v2 survivor must also survive v1. All per-doc gates are functions of
+    // the text alone, so identical-text twins gate identically and exact
+    // dedup keeps the same min doc_id in both — this pins the claimed
+    // regression-pair invariant instead of trusting the comment.
+    // collected separately: one combined plan would instantiate the LSH
+    // subtree's observe() metric twice and fail DUPLICATED_METRICS_NAME
+    val d = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val v1 = SparkEntry.queries("d_corpus_build")(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    val v2 = SparkEntry.queries("d_corpus_build_v2")(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    val extras = v2 -- v1
+    assert(extras.isEmpty,
+      s"v2 kept ${extras.size} docs v1 dropped: ${extras.take(10).mkString(",")}")
+    // and the gating is real: v2 must drop at least one v1 survivor
+    assert((v1 -- v2).nonEmpty, "v2 == v1 — extra gates did nothing")
+  }
 }

@@ -339,4 +339,44 @@ class GraftLogSourceSpec extends SparkSpec {
       assert(out(1).contains("\"ess_ordinal\": 3"))
     } finally coord.release("graft-log-svc")
   }
+
+  test("T2: retention expiry drops whole segments; expired-then-read delivers first-available") {
+    val dir = newLog("graftlog-expire")
+    // three bounds-marked segments + one unmarked fixture below the watermark
+    GraftLog.writeSegment(dir, "seg-0.o0-9", (0L until 10L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-1.o10-19", (10L until 20L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-2.o20-29", (20L until 30L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "old-fixture", Seq((-5L, 900L, "ancient")))
+    // marked segments below the watermark are deleted WITHOUT being opened
+    val before = GraftLog.filesOpened.get()
+    val dropped = GraftLog.expireBelowOrdinal(dir, 15L)
+    val opened = GraftLog.filesOpened.get() - before
+    assert(dropped.sorted === Seq("old-fixture.log", "seg-0.o0-9.log"),
+      s"wrong expiry set: $dropped")
+    assert(opened === 1L, s"opened $opened segments; only the unmarked fixture needs a read")
+    // expiry never splits a segment: seg-1 straddles the watermark, so its
+    // below-watermark rows (10-14) survive — and a seek below retention now
+    // delivers first-available (ordinal 10), the reference's clamp semantics,
+    // through the ordinary scan with no special code path
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .filter(org.apache.spark.sql.functions.col("ordinal") >= 0)
+      .select("ordinal").as[Long].collect().sorted
+    assert(got.toSeq === (10L to 29L), s"post-expiry read wrong: ${got.toSeq}")
+    // streaming from the beginning clamps to first-available the same way
+    runToMemory(stream(dir, "startingOrdinal" -> "0"), "gl_expired")
+    val streamed = spark.table("gl_expired").select("ordinal").as[Long].collect().sorted
+    assert(streamed.toSeq === (10L to 29L))
+  }
+
+  test("T2: timestamp-watermark expiry keeps any segment with a new-enough record") {
+    val dir = newLog("graftlog-expire-ts")
+    GraftLog.writeSegment(dir, "seg-0.o0-4", (0L until 5L).map(i => (i, 1000 + i, s"m$i")))
+    // straddles the ts watermark: newest record (ts 2004) is young enough
+    GraftLog.writeSegment(dir, "seg-1.o5-9", (5L until 10L).map(i => (i, 2000 + (i - 5), s"m$i")))
+    val dropped = GraftLog.expireOlderThan(dir, 1500L)
+    assert(dropped === Seq("seg-0.o0-4.log"), s"wrong expiry set: $dropped")
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select("ordinal").as[Long].collect().sorted
+    assert(got.toSeq === (5L to 9L))
+  }
 }

@@ -156,6 +156,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t_perplexity_proxy: vocab-sized unigram table is never hint-forced to broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val qe = SparkEntry.queries("t_perplexity_proxy")(spark, d).queryExecution
+    // exactly ONE broadcast hint may exist: the 1-row corpus-total aggregate.
+    // The unigram table has one row per distinct corpus token — vocabulary
+    // grows with corpus size, so a forced broadcast OOMs at 100 TB. The token
+    // join must be left to the planner (AQE may still broadcast when it fits).
+    val hints = qe.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1,
+      s"expected exactly one broadcast hint (the 1-row total), got ${hints.size}")
+    assert(hints.head.toString.contains("total"),
+      s"the single hint must wrap the scalar total, not the vocab:\n${hints.head.toString.take(600)}")
+    // and the optimized token-key join itself carries no broadcast hint
+    val tokenJoins = qe.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.toString.contains("t#")) => j
+    }
+    assert(tokenJoins.nonEmpty, "token join not found in optimized plan")
+    tokenJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"token join is hint-forced:\n${j.toString.take(600)}")
+    }
+  }
+
   test("d_dedup_incremental: one shuffle join keyed on the content sha") {
     val p = plan("d_dedup_incremental")
     assert(p.contains("content_sha"), p.take(800))

@@ -152,8 +152,10 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("inc-dedup").toString
     val seenDir = s"$dir/seen"
     // seed the accepted base corpus, as d_dedup_incremental's base sha set
+    // (the sha table is batch-partitioned; the seed is the batch=-1 slice)
     Seq("base-a", "base-b").toDF("text")
-      .select(sha256Hex(col("text")).as("content_sha")).write.parquet(seenDir)
+      .select(sha256Hex(col("text")).as("content_sha"))
+      .write.parquet(s"$seenDir/batch=-1")
     val stream = MemoryStream[(Long, String)](spark)
     val got = new ConcurrentLinkedQueue[(Long, Boolean)]()
     val q = StreamingAggs.startIncrementalDedup(
@@ -171,7 +173,27 @@ class StreamingSpec extends SparkSpec {
     val byDoc = got.toArray(new Array[(Long, Boolean)](0)).toMap
     assert(byDoc === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
       5L -> false, 6L -> false, 7L -> true), byDoc.toString)
-    // the accepted set now carries base + the three accepted shas
-    assert(spark.read.parquet(seenDir).distinct().count() === 5)
+    // the accepted set now carries base + the three accepted shas, each
+    // exactly once — the per-batch partition commit never duplicates rows
+    assert(spark.read.parquet(seenDir).select("content_sha").distinct().count() === 5)
+    assert(spark.read.parquet(seenDir).count() === 5)
+    // replay stability: re-delivering batch 0's docs as batch 0 (fresh
+    // checkpoint, same sha table — the post-append-pre-commit crash shape)
+    // must reproduce the first attempt's flags, not flip them, and must
+    // leave the sha table unchanged (idempotent partition overwrite)
+    val stream2 = MemoryStream[(Long, String)](spark)
+    val got2 = new ConcurrentLinkedQueue[(Long, Boolean)]()
+    val q2 = StreamingAggs.startIncrementalDedup(
+      stream2.toDF().toDF("doc_id", "text"), seenDir, s"$dir/ckpt-replay",
+      batch => batch.select("doc_id", "is_new").collect()
+        .foreach(r => got2.add((r.getLong(0), r.getBoolean(1)))))
+    try {
+      stream2.addData((2L, "fresh-1"), (4L, "fresh-2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val replayed = got2.toArray(new Array[(Long, Boolean)](0)).toMap
+    assert(replayed === Map(2L -> true, 4L -> true),
+      s"replayed batch 0 must re-mark its accepts is_new=true: $replayed")
+    assert(spark.read.parquet(seenDir).count() === 5, "replay must not grow the sha table")
   }
 }
