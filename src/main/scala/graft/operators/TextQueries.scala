@@ -105,6 +105,37 @@ object TextQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R20 — source-mixing rebalance, the data-mixing pass every
+    // pre-training pipeline runs (Pile/DoReMi-style source weighting):
+    // compute each source's sampling weight to bring it down to a uniform
+    // per-source token budget (weight = min(1, budget/tokens_s)), then
+    // emit a DETERMINISTIC per-doc keep decision under that rate via the
+    // same LCG pseudo-hash as q_stratified_sample — reproducible across
+    // engines, scales, and partitionings (no rand()). The weights table is
+    // one row per SOURCE — bounded by the catalog, not the corpus — so
+    // broadcasting it is correct at any scale (contrast the unigram-vocab
+    // table in perplexityProxy, which must NOT broadcast). Two linear
+    // passes, one per-source aggregate shuffle.
+    "t_source_sample" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val bySrc = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast(LongType).as("src_tokens"))
+      val totals = bySrc.agg(
+        sum(col("src_tokens")).cast("double").as("total_tokens"),
+        count(lit(1)).cast("double").as("n_sources"))
+      val weighted = bySrc.crossJoin(broadcast(totals))
+        .select(col("source"),
+          least(lit(1.0), (col("total_tokens") / col("n_sources")) /
+            col("src_tokens").cast("double")).as("w"))
+      val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L))
+      base.join(broadcast(weighted), "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floorRound(col("w"), 4).as("weight"),
+          (h.cast("double") < col("w") * lit(2147483648.0)).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // R20 — per-document token statistics: whitespace tokens, distinct
     // tokens, lexical diversity, BPE-ish regex token count.
     "t_token_stats" -> ((s, d) =>
@@ -263,6 +294,28 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t_source_sample" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         bysrc AS (
+           SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+           FROM base GROUP BY source),
+         tot AS (
+           SELECT CAST(sum(src_tokens) AS DOUBLE) AS total_tokens,
+                  CAST(count(*) AS DOUBLE) AS n_sources
+           FROM bysrc),
+         wt AS (
+           SELECT source,
+                  least(1.0, (total_tokens / n_sources) / CAST(src_tokens AS DOUBLE)) AS w
+           FROM bysrc, tot)
+         SELECT b.doc_id, b.source, b.n_tokens,
+                floor(w * 10000 + 0.5) / 10000 AS weight,
+                CAST((b.doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                  < w * 2147483648.0 AS kept
+         FROM base b JOIN wt ON wt.source = b.source
+         ORDER BY b.doc_id""",
     "t_token_stats" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -128,6 +128,21 @@ class DedupSpec extends SparkSpec {
     assert(ms.getAs[Int]("max_bucket") <= 512, ms.toString)
   }
 
+  test("R17/R18: d_span_dedup flags a verbatim 8-token span shared across docs, nothing else") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d_span_dedup")(spark, d).collect()
+    assert(out.length === 500)
+    // the planted near-dup docs share long verbatim runs, so duplicated
+    // spans must exist — and docs shorter than 8 tokens must report 0/0
+    val dupTotal = out.map(_.getLong(2)).sum
+    assert(dupTotal > 0, "planted near-dups must share at least one 8-token span")
+    out.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dup <= n, s"doc ${r.getLong(0)}: $dup dup spans of $n")
+      assert(if (n == 0) frac == 0.0 else math.abs(frac - math.floor(dup.toDouble / n * 10000 + 0.5) / 10000) < 1e-12)
+    }
+  }
+
   test("R18: adaptive simhash τ hits its documented boundary values") {
     import graft.operators.DedupQueries.simhashTau
     import spark.implicits._

@@ -368,6 +368,33 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(streamed.toSeq === (10L to 29L))
   }
 
+  test("T2: restart after retention outran the checkpoint clamps to first-available") {
+    val dir = newLog("graftlog-expire-restart")
+    val ckpt = Files.createTempDirectory("graftlog-expire-ckpt").toString
+    def consumeOnce(): Seq[Long] = {
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = stream(dir).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("ordinal").collect().foreach(r => sink.add(r.getLong(0))); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      sink.toArray(new Array[java.lang.Long](0)).toSeq.map(_.longValue)
+    }
+    GraftLog.writeSegment(dir, "seg-0.o0-4", (0L until 5L).map(i => (i, 1000 + i, s"m$i")))
+    assert(consumeOnce() === (0L until 5L))
+    // while the consumer is down, two segments arrive and retention sweeps
+    // past records it never saw (ordinals 5-9) — the production shape of a
+    // consumer outage longer than the retention window
+    GraftLog.writeSegment(dir, "seg-1.o5-9", (5L until 10L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-2.o10-14", (10L until 15L).map(i => (i, 1000 + i, s"m$i")))
+    assert(GraftLog.expireBelowOrdinal(dir, 10L) === Seq("seg-0.o0-4.log", "seg-1.o5-9.log"))
+    // restart from the same checkpoint: the committed cursor (4) points
+    // below the new tail — delivery clamps to first-available (10), the
+    // reference's expired-seek semantics, with no error and no stall
+    assert(consumeOnce() === (10L until 15L))
+  }
+
   test("T2: timestamp-watermark expiry keeps any segment with a new-enough record") {
     val dir = newLog("graftlog-expire-ts")
     GraftLog.writeSegment(dir, "seg-0.o0-4", (0L until 5L).map(i => (i, 1000 + i, s"m$i")))

@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d_span_dedup: native shingles feed hashed-span shuffles, no cartesian") {
+    val p = plan("d_span_dedup")
+    assert(p.contains("graft_shingles"), "native shingles missing")
+    assert(p.contains("xxhash64"), "span-hash shuffle key missing — span strings would shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t_perplexity_proxy: vocab-sized unigram table is never hint-forced to broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
     val qe = SparkEntry.queries("t_perplexity_proxy")(spark, d).queryExecution
