@@ -259,6 +259,40 @@ object StreamingAggs {
     * `is_new` flags. The marked batch is persisted across its two
     * consumers (onBatch + the sha write) so the plan executes once.
     */
+  /** R20/T4 streaming twin of `t_decontaminate` — the ingest-time
+    * benchmark-decontamination gate: each arriving micro-batch of documents
+    * is probed against the held-out eval set's verbatim n-gram shingles and
+    * handed to `onBatch` with `contaminated` / `n_contaminated_grams`
+    * columns, the same output contract as the batch operator. The eval
+    * gram set is planned ONCE from the static frame and re-executed per
+    * batch as a broadcast semi-probe (eval sets are small by nature —
+    * identical plan shape to the batch twin, PlanSpec-pinned there); the
+    * arriving batch streams at scan speed with one per-doc shuffle.
+    * Stateless across batches, so delivery is exactly the sink's contract.
+    */
+  def startDecontamination(docs: DataFrame, evalDocs: DataFrame,
+                           checkpointDir: String,
+                           onBatch: DataFrame => Unit, n: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.shingles
+    val evalGrams = evalDocs
+      .select(explode(shingles("text", n)).as("g")).distinct()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = batch.select(col("doc_id"), explode(shingles("text", n)).as("g"))
+        val hits = sh.join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n")) // grams are distinct per doc
+        onBatch(batch.join(hits, Seq("doc_id"), "left_outer")
+          .withColumn("n_contaminated_grams", coalesce(col("n"), lit(0L)))
+          .withColumn("contaminated", col("n_contaminated_grams") > 0)
+          .drop("n"))
+        ()
+      }
+      .start()
+  }
+
   def startIncrementalDedup(docs: DataFrame, seenShaDir: String,
                             checkpointDir: String,
                             onBatch: DataFrame => Unit)

@@ -145,6 +145,36 @@ class StreamingSpec extends SparkSpec {
     } finally coord.release("rk-malformed")
   }
 
+  test("R20 streaming: ingest-time decontamination flags eval-overlapping docs per batch") {
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("stream-decon").toString
+    val evalDocs = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val stream = MemoryStream[(Long, String)](spark)
+    val got = new ConcurrentLinkedQueue[(Long, Boolean, Long)]()
+    val q = StreamingAggs.startDecontamination(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/ckpt",
+      batch => batch.select("doc_id", "contaminated", "n_contaminated_grams")
+        .collect().foreach(r => got.add((r.getLong(0), r.getBoolean(1), r.getLong(2)))))
+    try {
+      // doc 1 shares a verbatim 5-gram with the eval set; doc 2 is clean;
+      // doc 3 is too short to carry any 5-gram at all
+      stream.addData(
+        (1L, "x alpha beta gamma delta epsilon y"),
+        (2L, "totally unrelated words go here now"),
+        (3L, "tiny doc"))
+      q.processAllAvailable()
+      // a later batch is gated independently (stateless gate)
+      stream.addData((4L, "beta gamma delta epsilon zeta trailing"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, Boolean, Long)](0))
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc === Map(
+      1L -> ((true, 1L)), 2L -> ((false, 0L)), 3L -> ((false, 0L)),
+      4L -> ((true, 1L))), byDoc.toString)
+  }
+
   test("R17 streaming: incremental dedup marks only first-seen content across batches") {
     import graft.functions.TextFunctions.sha256Hex
     import graft.streaming.StreamingAggs
