@@ -236,6 +236,93 @@ object StreamingAggs {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** R18/T4 streaming twin of `d_minhash_lsh` — incremental NEAR-dup of an
+    * unbounded document stream against an accumulating accepted-corpus
+    * state: each micro-batch is the "new crawl"; arriving docs are
+    * shingled, MinHash-signed, and banded exactly like the batch operator,
+    * then (a) probed against the accepted docs' stored band buckets
+    * (cross-batch candidates) and (b) self-bucketed within the batch
+    * (intra-batch candidates, keep-lowest-doc_id convention, same as
+    * d_minhash_lsh's drop-higher). Every candidate is verified with the
+    * exact native `graft_jaccard` at ≥ 0.5 against stored shingle sets, so
+    * marks carry the batch operator's precision, not raw LSH precision.
+    *
+    * State (`<stateDir>/bands`, `<stateDir>/shingles`) is hive-partitioned
+    * by micro-batch like the incremental-dedup sha table: per-batch
+    * overwrite commits are idempotent and the probe excludes the current
+    * batchId's slice, so a replayed batch reproduces its first attempt's
+    * flags. Only ACCEPTED (non-dup) docs append state, so the accepted set
+    * stays dup-free and state growth tracks unique content, not traffic.
+    *
+    * 100 TB: band rows are the slim (band, h, doc_id) LSH shape and the
+    * probe is an equi-join on (band, h) — the stored side is a bucketed
+    * table and co-locates. Storing shingle ARRAYS is the exact-verify
+    * cost; a deployment that accepts LSH-precision marks stores only the
+    * 32×8-byte signatures instead.
+    */
+  def startIncrementalNearDup(docs: DataFrame, stateDir: String,
+                              checkpointDir: String,
+                              onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.{minhashBands, shingles}
+    import org.apache.spark.sql.types._
+    def readSlice(s: org.apache.spark.sql.SparkSession, dir: String,
+                  excludeBatch: Long, schema: StructType): DataFrame =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+        s.read.parquet(dir).filter(col("batch") =!= excludeBatch)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val bandSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("h", LongType)))
+    val shSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sh", ArrayType(StringType))))
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.plans.GraftFunctions.register(s)
+        val feat = batch.select(col("doc_id"), shingles("text", 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", expr("graft_minhash(sh)"))
+        val banded = feat
+          .select(col("doc_id"), explode(minhashBands("sig", 8, 4)).as("b"))
+          .select(col("doc_id"), col("b.band"), col("b.h"))
+          .persist()
+        val storedBands = readSlice(s, s"$stateDir/bands", batchId, bandSchema)
+        val storedSh = readSlice(s, s"$stateDir/shingles", batchId, shSchema)
+        // cross-batch: arriving band rows probe the accepted corpus's buckets
+        val crossDup = banded
+          .join(storedBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "h"))
+          .select(col("doc_id"), col("old_id")).distinct()
+          .join(feat.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
+          .join(storedSh.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
+          .filter(expr("graft_jaccard(sh_new, sh_old)") >= 0.5)
+          .select(col("doc_id"))
+        // intra-batch: the batch operator's bucket pair-gen + drop-higher
+        val intraDup = graft.operators.DedupQueries.bucketedCandidatePairs(banded)
+          .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .filter(expr("graft_jaccard(sh_a, sh_b)") >= 0.5)
+          .select(col("doc_b").as("doc_id"))
+        val dupIds = crossDup.union(intraDup).distinct()
+          .withColumn("__dup", lit(true))
+        val marked = batch.join(dupIds, Seq("doc_id"), "left_outer")
+          .withColumn("is_neardup", coalesce(col("__dup"), lit(false)))
+          .drop("__dup")
+          .persist()
+        try {
+          onBatch(marked)
+          val accepted = marked.filter(!col("is_neardup")).select(col("doc_id"))
+          feat.join(accepted, "doc_id").select(col("doc_id"), col("sh"))
+            .write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
+          banded.join(accepted, "doc_id")
+            .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+        } finally { marked.unpersist(); banded.unpersist() }
+        ()
+      }
+      .start()
+  }
+
   /** R17 streaming twin of `d_dedup_incremental` — content-address dedup
     * of an UNBOUNDED document stream against an appendable accepted-sha
     * table: each micro-batch is the "new crawl", the parquet dir at

@@ -175,6 +175,61 @@ class StreamingSpec extends SparkSpec {
       4L -> ((true, 1L))), byDoc.toString)
   }
 
+  test("R18 streaming: incremental near-dup gates the stream against the accepted corpus") {
+    import graft.streaming.StreamingAggs
+    val dir = java.nio.file.Files.createTempDirectory("inc-neardup").toString
+    val baseText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val dupOfBase = baseText.replace(" tango", " zulu")      // 1 tail token differs
+    val laterDup = baseText.replace("alpha ", "yankee ")     // 1 head token differs
+    val unrelated1 = "one two three four five six seven eight nine ten eleven twelve"
+    val unrelated2 = "red orange yellow green blue indigo violet umber ochre teal cyan navy"
+    // ONE query, one checkpoint lineage — batchIds 0, 1, 2 (batch
+    // partitions key on batchId, so a lineage owns its slices)
+    val stream = MemoryStream[(Long, String)](spark)
+    val got = new ConcurrentLinkedQueue[(Long, Boolean)]()
+    val q = StreamingAggs.startIncrementalNearDup(
+      stream.toDF().toDF("doc_id", "text"), s"$dir/state", s"$dir/ckpt",
+      batch => batch.select("doc_id", "is_neardup").collect()
+        .foreach(r => got.add((r.getLong(0), r.getBoolean(1)))))
+    try {
+      // batch 0: base accepted; its intra-batch near-dup (higher id)
+      // flagged; an unrelated doc accepted
+      stream.addData((1L, baseText), (2L, dupOfBase), (3L, unrelated1))
+      q.processAllAvailable()
+      // batch 1: a near-dup of the ACCEPTED base arriving later is flagged
+      // cross-batch; fresh content is accepted
+      stream.addData((4L, laterDup), (5L, unrelated2))
+      q.processAllAvailable()
+      // batch 2: near-dup of batch 1's accept is flagged; fresh passes
+      stream.addData((6L, unrelated2 + " extra"), (7L, "fresh words entirely new here today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flags = got.toArray(new Array[(Long, Boolean)](0)).toMap
+    assert(flags === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> true, 7L -> false), flags.toString)
+    // replay stability: re-delivering batch 0's docs as batch 0 (fresh
+    // checkpoint, same state — the post-write-pre-commit crash shape)
+    // excludes its own batch=0 slice from the probe, reproducing the first
+    // attempt's flags and rewriting identical state
+    val rStream = MemoryStream[(Long, String)](spark)
+    val rGot = new ConcurrentLinkedQueue[(Long, Boolean)]()
+    val rq = StreamingAggs.startIncrementalNearDup(
+      rStream.toDF().toDF("doc_id", "text"), s"$dir/state", s"$dir/ckpt-replay",
+      batch => batch.select("doc_id", "is_neardup").collect()
+        .foreach(r => rGot.add((r.getLong(0), r.getBoolean(1)))))
+    try {
+      rStream.addData((1L, baseText), (2L, dupOfBase), (3L, unrelated1))
+      rq.processAllAvailable()
+    } finally rq.stop()
+    val replay = rGot.toArray(new Array[(Long, Boolean)](0)).toMap
+    assert(replay === Map(1L -> false, 2L -> true, 3L -> false), replay.toString)
+    // accepted state: docs 1,3 (batch 0, rewritten identically), 5 (b1), 7 (b2)
+    val state = spark.read.parquet(s"$dir/state/shingles")
+      .select("doc_id").as[Long].collect().sorted
+    assert(state.toSeq === Seq(1L, 3L, 5L, 7L), state.toSeq.toString)
+  }
+
   test("R17 streaming: incremental dedup marks only first-seen content across batches") {
     import graft.functions.TextFunctions.sha256Hex
     import graft.streaming.StreamingAggs
