@@ -123,6 +123,53 @@ object SimilarityQueries {
       .select(col("vec_id"), col("nn"), col("cosine"))
   }
 
+  /** One Lloyd refinement step over strided seed centroids — the
+    * `v_kmeans_refine` core (public for the planted-fixture spec, like
+    * [[annLshBest]]/[[annIvfBest]]): E-step assignment by 4-dp-floored
+    * cosine (tie-break on cell id), M-step per-dim mean centroids, then the
+    * per-cell convergence readout (member count, mean cosine to the refined
+    * centroid, second-E-step switch count). Input as in [[annLshBest]].
+    * The assignment subtree feeds both steps through the same vec_id window
+    * exchange, so exchange reuse executes it once — no persist needed.
+    */
+  def kmeansRefine(e0: DataFrame, seedStride: Int = 50): DataFrame = {
+    val e = e0.select(col("vec_id"), col("v")).withColumn("nrm", l2Norm(col("v")))
+    val seeds = e.filter(col("vec_id") % seedStride === 0)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cell"))
+    val assigned = e.join(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        floorRound(cosineFromNorms(dot(col("v"), col("cv")),
+          col("nrm"), col("cnrm")), 4).as("c"))
+      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val refined = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cell2"), expr("transform(pm, p -> p.m)").as("rc"))
+      .withColumn("rnrm", l2Norm(col("rc")))
+    assigned.join(broadcast(refined))
+      .select(col("vec_id"), col("cell"), col("cell2"),
+        floorRound(cosineFromNorms(dot(col("v"), col("rc")),
+          col("nrm"), col("rnrm")), 4).as("c2"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(
+        // own-cell cosine: the member's cohesion to its refined centroid
+        max(when(col("cell2") === col("cell"), col("c2"))).as("own_c"),
+        // argmax by (c2 desc, cell2 asc) via lexicographic struct max —
+        // deterministic on ties, unlike max_by
+        max(struct(col("c2"), (-col("cell2")).as("nc"),
+          col("cell2").as("bc"))).getField("bc").as("best_cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        floorRound(avg(col("own_c")), 4).as("avg_cohesion"),
+        sum(when(col("best_cell") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_switch"))
+      .orderBy("cell")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R19 baseline — cosine of every vector against the vec_id=0 probe.
     // Broadcast the single probe row; the big side streams through a scalar
@@ -320,7 +367,27 @@ object SimilarityQueries {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), floorRound(avg(col("c")), 4).as("avg_cohesion"))
         .orderBy("label")
-    })
+    }),
+
+    // R19 — K-MEANS REFINEMENT step, the centroid-training path an IVF
+    // index build runs before `v_ann_ivf` can search it: E-step (assign
+    // every vector to its nearest strided seed by 4-dp-floored cosine,
+    // tie-break on cell id — the deterministic-argmax discipline all the
+    // ANN ops use), M-step (refined centroid = per-dim mean of members,
+    // the posexplode → groupBy(cell, pos) shape from v_label_cohesion),
+    // then the convergence readout: per cell, member count, mean cosine
+    // to the REFINED centroid, and how many members a second E-step would
+    // move (`n_switch` — the integer that goes to zero as Lloyd
+    // converges). The assignment subtree feeds both steps through the
+    // same vec_id window exchange, so exchange reuse executes it once (the
+    // d_simhash_pairs discipline — no persist, no localCheckpoint). Scale:
+    // centroids broadcast (k·dim doubles — the standard IVF coarse-quantizer
+    // table; production picks k ~ √n, the stride here is the test-scale
+    // stand-in) and everything else is linear with shuffles on vec_id /
+    // (cell, pos) only.
+    "v_kmeans_refine" -> ((s, d) =>
+      kmeansRefine(Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
   )
 
   // exact best cosine per SAMPLED probe vector — the probe modulus is
@@ -471,6 +538,53 @@ object SimilarityQueries {
          SELECT d.vec_id, emb.label, floor((d.dot / (sqrt(d.na) * sqrt(qn.nb))) * 10000 + 0.5) / 10000 AS cosine
          FROM dots d JOIN embeddings emb ON emb.vec_id = d.vec_id CROSS JOIN qn
          WHERE d.vec_id <> 0
-         ORDER BY cosine DESC, d.vec_id LIMIT 20"""
+         ORDER BY cosine DESC, d.vec_id LIMIT 20""",
+    // replays the E-step/M-step/E-step with the identical 4-dp-floored
+    // cosine and (c DESC, cell ASC) argmax discipline
+    "v_kmeans_refine" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS n FROM ex GROUP BY vec_id),
+         dots AS (
+           SELECT x.vec_id AS vid, y.vec_id AS cell, sum(x.e * y.e) AS dp
+           FROM ex x JOIN ex y ON y.i = x.i AND y.vec_id % 50 = 0
+           GROUP BY 1, 2),
+         a AS (
+           SELECT vid, cell,
+                  floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000 AS c
+           FROM dots JOIN nrm nx ON nx.vec_id = vid
+                     JOIN nrm ny ON ny.vec_id = cell),
+         assign AS (
+           SELECT vid, cell FROM (
+             SELECT vid, cell,
+                    row_number() OVER (PARTITION BY vid ORDER BY c DESC, cell) AS rk
+             FROM a) WHERE rk = 1),
+         cent AS (
+           SELECT ass.cell, x.i, avg(x.e) AS m
+           FROM assign ass JOIN ex x ON x.vec_id = ass.vid
+           GROUP BY 1, 2),
+         cnrm AS (SELECT cell, sqrt(sum(m * m)) AS n FROM cent GROUP BY cell),
+         d2 AS (
+           SELECT x.vec_id AS vid, c2.cell AS cell2, sum(x.e * c2.m) AS dp
+           FROM ex x JOIN cent c2 ON c2.i = x.i
+           GROUP BY 1, 2),
+         s2 AS (
+           SELECT d2.vid, a0.cell, d2.cell2,
+                  floor((d2.dp / (nx.n * cn.n)) * 10000 + 0.5) / 10000 AS c2
+           FROM d2 JOIN assign a0 ON a0.vid = d2.vid
+                   JOIN nrm nx ON nx.vec_id = d2.vid
+                   JOIN cnrm cn ON cn.cell = d2.cell2),
+         per AS (
+           SELECT vid, cell,
+                  max(CASE WHEN cell2 = cell THEN c2 END) AS own_c,
+                  (list(cell2 ORDER BY c2 DESC, cell2 ASC))[1] AS best_cell
+           FROM s2 GROUP BY vid, cell)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+                floor(avg(own_c) * 10000 + 0.5) / 10000 AS avg_cohesion,
+                CAST(sum(CASE WHEN best_cell <> cell THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_switch
+         FROM per GROUP BY cell ORDER BY cell"""
   )
 }

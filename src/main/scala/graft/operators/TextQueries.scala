@@ -77,6 +77,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Core of `t_char_entropy`, reusable over any (doc_id, text) frame
+    * (spec-tested on planted fixtures): per-document Shannon entropy over
+    * the character distribution in order-independent integer 1e-4 units —
+    * see the `t_char_entropy` def for the full scale rationale. Pure
+    * per-row higher-order functions: zero shuffle.
+    */
+  private[graft] def charEntropy(docsDf: DataFrame,
+                                 lowUnits: Long): DataFrame =
+    docsDf
+      .withColumn("chars", expr("regexp_extract_all(text, '.', 0)"))
+      .withColumn("n", size(col("chars")).cast(LongType))
+      .withColumn("s", expr(
+        """aggregate(
+             transform(array_distinct(chars),
+               c -> size(filter(chars, x -> x = c))),
+             0L,
+             (acc, cnt) -> acc + CAST(floor(CAST(cnt AS DOUBLE) * ln(cnt)
+                                             * 10000 + 0.5) AS BIGINT))"""))
+      .withColumn("entropy_units", expr(
+        """CASE WHEN n > 0
+             THEN CAST(floor((ln(n) - CAST(s AS DOUBLE) / (n * 10000.0))
+                             * 10000 + 0.5) AS BIGINT)
+             ELSE 0L END"""))
+      .select(col("doc_id"),
+        col("n").as("n_chars"),
+        size(array_distinct(col("chars"))).cast(LongType).as("n_distinct_chars"),
+        col("s").as("clogc_units"),
+        col("entropy_units"),
+        (col("entropy_units") < lowUnits).as("low_entropy"))
+      .orderBy("doc_id")
+
   /** Core of `t_repetition`, reusable over any (doc_id, text) frame
     * (spec-tested on planted fixtures). Callers must have run
     * GraftFunctions.register.
@@ -277,6 +308,21 @@ object TextQueries {
     "t_perplexity_proxy" -> ((s, d) =>
       perplexityProxy(docs(s, d), unusualUnits = 34300L)),
 
+    // R20 — CHARACTER-ENTROPY quality signal (the gibberish/garbage gate:
+    // mojibake, binary spills, and single-char floods all show up as an
+    // entropy outlier). Shannon entropy over the doc's character
+    // distribution, computed entirely PER ROW with higher-order functions —
+    // char histogram via filter-counts over the distinct alphabet (k ≈
+    // alphabet size, so O(k·n) per doc), Σ c·ln(c) floor-rounded to integer
+    // 1e-4 units term-by-term BEFORE the sum (the same order-independent
+    // integer-unit trick as t_perplexity_proxy), then
+    // H = ln(N) − S/(N·1e4) emitted in the same units. ZERO shuffle: a
+    // per-document function should never move data — this is the plan at
+    // any scale. The 27000-unit dial sits at this corpus's p05, so the
+    // flagged set is the genuine low tail.
+    "t_char_entropy" -> ((s, d) =>
+      charEntropy(docs(s, d), lowUnits = 27000L)),
+
     // R20/R10 — corpus heavy hitters (boilerplate detection): top-10 tokens
     // by frequency through the GLOBAL TopKPerKey path (empty grouping →
     // AllTuples distribution: per-partition heaps, single k-row merge — the
@@ -432,6 +478,28 @@ object TextQueries {
                 CAST(sum(u) AS BIGINT) AS nll_units,
                 sum(u) > count(*) * 34300 AS unusual
          FROM u GROUP BY doc_id ORDER BY doc_id""",
+    "t_char_entropy" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text, '.') AS chars
+                    FROM documents),
+         m AS (
+           SELECT doc_id, CAST(len(chars) AS BIGINT) AS n,
+                  CAST(len(list_distinct(chars)) AS BIGINT) AS k,
+                  list_sum(list_transform(list_distinct(chars),
+                    c -> CAST(floor(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                         * ln(len(list_filter(chars, x -> x = c)))
+                         * 10000 + 0.5) AS BIGINT))) AS s
+           FROM d),
+         e AS (
+           SELECT doc_id, n, k, s,
+                  CASE WHEN n > 0
+                    THEN CAST(floor((ln(n) - CAST(s AS DOUBLE) / (n * 10000.0))
+                                    * 10000 + 0.5) AS BIGINT)
+                    ELSE 0 END AS entropy_units
+           FROM m)
+         SELECT doc_id, n AS n_chars, k AS n_distinct_chars,
+                CAST(s AS BIGINT) AS clogc_units, entropy_units,
+                entropy_units < 27000 AS low_entropy
+         FROM e ORDER BY doc_id""",
     "t_heavy_hitters" ->
       """WITH c AS (
            SELECT t AS term, CAST(count(*) AS BIGINT) AS n

@@ -380,6 +380,92 @@ object StreamingAggs {
       .start()
   }
 
+  /** R17/R18/R20/T4 capstone — the COMPOSED ingest-time corpus gate, the
+    * streaming twin of `d_corpus_build_v2`'s gate sequence: every arriving
+    * micro-batch is scored and gated by quality (the same 0.52-dial blend),
+    * intra-doc repetition (Gopher dials, via the shared
+    * [[graft.operators.TextQueries.repetition]] core), benchmark
+    * decontamination (broadcast semi-probe against the static eval gram
+    * set), and exact dedup against the accumulating accepted-sha state —
+    * one `accepted` verdict per doc, with every per-gate signal alongside
+    * so downstream can audit WHICH gate dropped a doc. In production this
+    * runs AT INGEST so rejected documents never reach the data lake at
+    * all, instead of paying a full-corpus batch pass later.
+    *
+    * All four gates are functions of the text alone, so identical texts
+    * gate identically — the dedup rank within a sha therefore never
+    * crosses a gate boundary, and the accepted-sha state (batch-
+    * partitioned like [[startIncrementalDedup]]'s: idempotent per-batch
+    * overwrite commits, own-slice exclusion on probe ⇒ replay-stable
+    * flags) stays exactly the set of shas the gate ever accepted. Only
+    * ACCEPTED docs append state: a gated-out doc's later identical twin
+    * re-fails the same gates, so its sha is never needed.
+    *
+    * 100 TB: the stateless gates are per-row expressions plus one per-doc
+    * shuffle each (the repetition core's token count); the eval gram set
+    * broadcasts (small by nature); dedup joins 32-byte shas against a
+    * sha-bucketed table. Near-dup gating composes by chaining
+    * [[startIncrementalNearDup]] on this gate's accepted output — kept
+    * separate because its shingle-set state has a different storage
+    * contract.
+    */
+  def startCorpusGate(docs: DataFrame, evalDocs: DataFrame, seenShaDir: String,
+                      checkpointDir: String, onBatch: DataFrame => Unit,
+                      minQuality: Double = 0.52, n: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.{sha256Hex, shingles}
+    import graft.functions.ParityMath.floorRound
+    val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.plans.GraftFunctions.register(s)
+        // quality: the d_corpus_build_v2 blend, per-row
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+        val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+        val diversity = size(array_distinct(toks)).cast("double") / nTok
+        val quality = floorRound(lit(0.5) * diversity +
+          lit(0.3) * (lit(1.0) - stopHits / nTok) +
+          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4)
+        val rep = graft.operators.TextQueries.repetition(batch)
+          .select(col("doc_id"), col("repetitive"))
+        val contam = batch
+          .select(col("doc_id"), explode(shingles("text", n)).as("g"))
+          .join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct().withColumn("__c", lit(true))
+        val wSha = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_sha")).orderBy(col("doc_id"))
+        val marked = batch
+          .withColumn("quality", quality)
+          .join(rep, "doc_id")
+          .join(contam, Seq("doc_id"), "left_outer")
+          .withColumn("contaminated", coalesce(col("__c"), lit(false)))
+          .withColumn("content_sha", sha256Hex(col("text")))
+          .withColumn("__rk", row_number().over(wSha))
+          .join(s.read.parquet(seenShaDir)
+              .filter(col("batch") =!= batchId) // replay: ignore own prior append
+              .select(col("content_sha")).distinct()
+              .withColumn("__seen", lit(true)),
+            Seq("content_sha"), "left_outer")
+          .withColumn("is_new", col("__seen").isNull && col("__rk") === 1)
+          .withColumn("accepted",
+            col("quality") >= minQuality && !col("repetitive") &&
+              !col("contaminated") && col("is_new"))
+          .drop("__c", "__seen", "__rk")
+          .persist()
+        try {
+          onBatch(marked)
+          marked.filter(col("accepted")).select(col("content_sha"))
+            .write.mode("overwrite").parquet(s"$seenShaDir/batch=$batchId")
+        } finally marked.unpersist()
+        ()
+      }
+      .start()
+  }
+
   def startIncrementalDedup(docs: DataFrame, seenShaDir: String,
                             checkpointDir: String,
                             onBatch: DataFrame => Unit)

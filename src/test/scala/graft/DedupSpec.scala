@@ -164,6 +164,20 @@ class DedupSpec extends SparkSpec {
     assert(pair === 15L, s"pair τ must follow the shorter doc: $pair")
   }
 
+  test("R17: prefix dedup groups docs on the first k tokens, keep-lowest wins") {
+    import graft.operators.DedupQueries.prefixDedup
+    val docsDf = Seq(
+      (7L, "the quick fox ran far"),       // group "the quick fox" — member
+      (2L, "the quick fox sat down"),      // group "the quick fox" — keeper
+      (5L, "the quick fox"),               // exactly 3 tokens — same group
+      (9L, "a different opening here"),    // unique prefix — absent
+      (4L, "the quick dog sat down")       // differs at token 3 — absent
+    ).toDF("doc_id", "text")
+    val got = prefixDedup(docsDf, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq((2L, 3L, true), (5L, 3L, false), (7L, 3L, false)))
+  }
+
   test("R17/R18: d_corpus_build_v2 survivors are a subset of d_corpus_build's") {
     // Round7Queries documents v2 as strictly-additive gating over v1
     // (repetition + decontamination on top of v1's quality gate), so every

@@ -113,6 +113,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf >= 0.9, s"IVF recall@1 on planted clusters: $ivf")
   }
 
+  test("R19: kmeans refinement converges on planted clusters — tight cells, no churn") {
+    // 20 clusters × 8 members at cos ≈ 0.99 to their center; vec_ids are
+    // c*8+m so seedStride=8 makes each cluster's first member its seed —
+    // the E/M/E readout must then report 20 intact cells, near-perfect
+    // cohesion, and ZERO second-step reassignment (Lloyd has converged).
+    val rnd = new scala.util.Random(13)
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val data = (0 until 20).flatMap { c =>
+      val center = normalize(Array.fill(16)(rnd.nextGaussian()))
+      (0 until 8).map { m =>
+        val v = normalize(center.map(_ + 0.05 * rnd.nextGaussian()))
+        (c.toLong * 8 + m, v.toSeq)
+      }
+    }
+    val e = data.toDF("vec_id", "v")
+    val out = graft.operators.SimilarityQueries.kmeansRefine(e, seedStride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length === 20, s"expected 20 cells, got ${out.length}")
+    assert(out.map(_._2).sum === 160L, "every vector must land in exactly one cell")
+    assert(out.map(_._1).toSeq === (0 until 20).map(_.toLong * 8),
+      "cells must be the strided seeds")
+    out.foreach { case (cell, n, coh, switched) =>
+      assert(n === 8L, s"cell $cell: $n members — a cluster broke apart")
+      assert(coh > 0.95, s"cell $cell: cohesion $coh")
+      assert(switched === 0L, s"cell $cell: $switched members would switch")
+    }
+  }
+
   test("R19 regression: dot product of mismatched-length arrays is null, not a partial sum") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
     val r = df.select(dot($"a", $"b").as("d")).collect()

@@ -59,4 +59,26 @@ class TextOpsSpec extends SparkSpec {
     assert(doc1 > doc0)
     assert(!got(0)._4 && got(1)._4, got.mkString(","))
   }
+
+  test("R20: char entropy — single-char flood scores 0, diverse text higher, integer-exact") {
+    val docsDf = Seq(
+      (0L, "aaaaaaaa"),   // one symbol: H = 0 exactly
+      (1L, "abababab"),   // two symbols, uniform: H = ln 2
+      (2L, "abcdefgh")    // eight symbols, uniform: H = ln 8
+    ).toDF("doc_id", "text")
+    val got = TextQueries.charEntropy(docsDf, lowUnits = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    def u(c: Long): Long = math.floor(c * math.log(c.toDouble) * 10000 + 0.5).toLong
+    def h(n: Long, s: Long): Long =
+      math.floor((math.log(n.toDouble) - s.toDouble / (n * 10000.0)) * 10000 + 0.5).toLong
+    // hand-replay of the integer-unit pipeline, term by term
+    assert(got(0) === ((0L, 8L, 1L, u(8), h(8, u(8)), true)))
+    assert(got(0)._5 === 0L, "single-symbol doc must have exactly zero entropy")
+    assert(got(1) === ((1L, 8L, 2L, 2 * u(4), h(8, 2 * u(4)), false)))
+    assert(got(2) === ((2L, 8L, 8L, 0L, h(8, 0), false)))
+    // ln 2 ≈ 0.6931, ln 8 ≈ 2.0794 in 1e-4 units
+    assert(got(1)._5 === 6931L)
+    assert(got(2)._5 === 20794L)
+  }
 }
