@@ -281,4 +281,62 @@ class StreamingSpec extends SparkSpec {
       s"replayed batch 0 must re-mark its accepts is_new=true: $replayed")
     assert(spark.read.parquet(seenDir).count() === 5, "replay must not grow the sha table")
   }
+
+  test("R17/R18/R20 streaming capstone: composed corpus gate audits every drop reason") {
+    import graft.functions.TextFunctions.sha256Hex
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("corpus-gate").toString
+    val seenDir = s"$dir/seen"
+    val seedText = "seeded base document previously accepted fine"
+    Seq(seedText).toDF("text")
+      .select(sha256Hex(col("text")).as("content_sha"))
+      .write.parquet(s"$seenDir/batch=-1")
+    val evalDocs = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val goodText = "quick brown fox jumps over lazy dog tonight"
+    // fails ONLY quality: no dup 2-gram, top token exactly at (not past)
+    // the 0.25 dominance dial, but diversity 4/12 sinks the blend to ~0.41
+    val lowQuality = "a b c d a c b d b a d c"
+    // passes quality (diverse, long) but trips the dominance dial: 5/17
+    val repetitive = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima loop loop loop loop loop"
+    // carries the eval 5-gram "alpha beta gamma delta epsilon" verbatim
+    val contaminated = "xx alpha beta gamma delta epsilon yy"
+    val stream = MemoryStream[(Long, String)](spark)
+    type Flags = (Double, Boolean, Boolean, Boolean, Boolean)
+    val got = new ConcurrentLinkedQueue[(Long, Flags)]()
+    val q = StreamingAggs.startCorpusGate(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, seenDir, s"$dir/ckpt",
+      batch => batch.select("doc_id", "quality", "repetitive", "contaminated",
+          "is_new", "accepted").collect()
+        .foreach(r => got.add((r.getLong(0), (r.getDouble(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))))
+    try {
+      // batch 0: one doc per drop reason + one clean accept + an
+      // intra-batch twin of the accept (rank-2 on its sha)
+      stream.addData((1L, goodText), (2L, lowQuality), (3L, repetitive),
+        (4L, contaminated), (5L, seedText), (6L, goodText))
+      q.processAllAvailable()
+      // batch 1: the batch-0 accept arriving again is now state-rejected;
+      // fresh content passes
+      stream.addData((7L, goodText), (8L, "entirely fresh words arriving later today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, Flags)](0)).toMap
+    assert(byDoc(1L)._5 && byDoc(1L)._4, s"doc 1 must be accepted: ${byDoc(1L)}")
+    // each rejected doc names its gate — and trips ONLY that gate
+    assert(byDoc(2L)._1 < 0.52 && !byDoc(2L)._2 && !byDoc(2L)._3 && byDoc(2L)._4
+      && !byDoc(2L)._5, s"doc 2 must fail quality alone: ${byDoc(2L)}")
+    assert(byDoc(3L)._1 >= 0.52 && byDoc(3L)._2 && !byDoc(3L)._3 && !byDoc(3L)._5,
+      s"doc 3 must fail repetition: ${byDoc(3L)}")
+    assert(byDoc(4L)._1 >= 0.52 && !byDoc(4L)._2 && byDoc(4L)._3 && !byDoc(4L)._5,
+      s"doc 4 must fail decontamination: ${byDoc(4L)}")
+    assert(!byDoc(5L)._4 && !byDoc(5L)._5, s"doc 5 is a seed dup: ${byDoc(5L)}")
+    assert(!byDoc(6L)._4 && !byDoc(6L)._5, s"doc 6 is an intra-batch dup: ${byDoc(6L)}")
+    assert(!byDoc(7L)._4 && !byDoc(7L)._5, s"doc 7 dups batch 0's accept: ${byDoc(7L)}")
+    assert(byDoc(8L)._5, s"doc 8 must be accepted: ${byDoc(8L)}")
+    // state: seed + the two accepted shas, exactly once each — gated-out
+    // docs never enter the table
+    assert(spark.read.parquet(seenDir).count() === 3)
+  }
 }
