@@ -123,45 +123,79 @@ object SimilarityQueries {
       .select(col("vec_id"), col("nn"), col("cosine"))
   }
 
+  /** The 4-dp-floored null-safe cosine as a SQL fragment for use inside
+    * higher-order-function lambdas (same arithmetic as
+    * floorRound(cosineFromNorms(...), 4), where the lambda-variable
+    * operands rule out the Column form).
+    */
+  private def cosSql(v: String, n: String, cv: String, cn: String): String =
+    s"""CASE WHEN $n * $cn > 0D
+          THEN floor(graft_dot($v, $cv) / ($n * $cn) * 10000.0 + 0.5) / 10000.0
+        END"""
+
+  /** Argmax over an array of (cell, vector, norm) structs by 4-dp-floored
+    * cosine against the row's (v, nrm) — strict `>` over the cell-sorted
+    * array keeps the LOWEST cell on ties, the same (c DESC, cell ASC)
+    * argmax discipline the other ANN ops use; null cosines (zero norms)
+    * rank below everything via the -2 sentinel.
+    */
+  private def pickCellSql(arr: String, vecField: String, nrmField: String): String = {
+    val c = cosSql("v", "nrm", s"s.$vecField", s"s.$nrmField")
+    s"""aggregate($arr,
+          named_struct('best', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+          (acc, s) -> CASE WHEN coalesce($c, -2D) > acc.best
+            THEN named_struct('best', coalesce($c, -2D), 'cell', s.cell)
+            ELSE acc END,
+          acc -> acc.cell)"""
+  }
+
   /** One Lloyd refinement step over strided seed centroids — the
     * `v_kmeans_refine` core (public for the planted-fixture spec, like
     * [[annLshBest]]/[[annIvfBest]]): E-step assignment by 4-dp-floored
     * cosine (tie-break on cell id), M-step per-dim mean centroids, then the
     * per-cell convergence readout (member count, mean cosine to the refined
     * centroid, second-E-step switch count). Input as in [[annLshBest]].
-    * The assignment subtree feeds both steps through the same vec_id window
-    * exchange, so exchange reuse executes it once — no persist needed.
+    *
+    * Scale shape: both centroid tables are collapsed IN-PLAN to a single
+    * array row (k structs — the standard IVF coarse-quantizer size) and
+    * broadcast, so each E-step is a pure PER-ROW argmax over the array —
+    * no window, no vec_id shuffle, nothing corpus-wide ever exchanges.
+    * The only shuffles are the M-step's (cell, pos) / (cell) aggregates
+    * and the final per-cell readout. The assignment arithmetic runs twice
+    * (once feeding the M-step, once under the readout) — a deliberate
+    * recompute-over-cache: it is n·k codegen-adjacent dot products over a
+    * columnar scan, cheaper at any scale than persisting n vectors, and
+    * the earlier window-based form double-executed the SHUFFLE too (the
+    * two branches' pruned subtrees diverged, so exchange reuse never
+    * fired — plan-pinned now: zero corpus-wide exchanges at all).
     */
   def kmeansRefine(e0: DataFrame, seedStride: Int = 50): DataFrame = {
     val e = e0.select(col("vec_id"), col("v")).withColumn("nrm", l2Norm(col("v")))
-    val seeds = e.filter(col("vec_id") % seedStride === 0)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("cell"))
-    val assigned = e.join(broadcast(seeds))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        floorRound(cosineFromNorms(dot(col("v"), col("cv")),
-          col("nrm"), col("cnrm")), 4).as("c"))
-      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // seeds as ONE sorted array row (cell asc — the argmax tie order)
+    val seedArr = e.filter(col("vec_id") % seedStride === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
+    val assigned = e.crossJoin(broadcast(seedArr))
+      .select(col("v"), col("nrm"),
+        expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+    // M-step: refined centroid = per-dim mean of members, re-assembled and
+    // collapsed to one broadcastable array row like the seeds
     val refined = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell").as("cell2"), expr("transform(pm, p -> p.m)").as("rc"))
+      .select(col("cell"), expr("transform(pm, p -> p.m)").as("rc"))
       .withColumn("rnrm", l2Norm(col("rc")))
-    assigned.join(broadcast(refined))
-      .select(col("vec_id"), col("cell"), col("cell2"),
-        floorRound(cosineFromNorms(dot(col("v"), col("rc")),
-          col("nrm"), col("rnrm")), 4).as("c2"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(
+      .agg(array_sort(collect_list(struct(col("cell"), col("rc"),
+        col("rnrm")))).as("rcells"))
+    assigned.crossJoin(broadcast(refined))
+      .select(col("cell"),
         // own-cell cosine: the member's cohesion to its refined centroid
-        max(when(col("cell2") === col("cell"), col("c2"))).as("own_c"),
-        // argmax by (c2 desc, cell2 asc) via lexicographic struct max —
-        // deterministic on ties, unlike max_by
-        max(struct(col("c2"), (-col("cell2")).as("nc"),
-          col("cell2").as("bc"))).getField("bc").as("best_cell"))
+        expr(s"""element_at(transform(
+            filter(rcells, r -> r.cell = cell),
+            r -> ${cosSql("v", "nrm", "r.rc", "r.rnrm")}), 1)""").as("own_c"),
+        expr(pickCellSql("rcells", "rc", "rnrm")).as("best_cell"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         floorRound(avg(col("own_c")), 4).as("avg_cohesion"),
@@ -385,9 +419,11 @@ object SimilarityQueries {
     // table; production picks k ~ √n, the stride here is the test-scale
     // stand-in) and everything else is linear with shuffles on vec_id /
     // (cell, pos) only.
-    "v_kmeans_refine" -> ((s, d) =>
+    "v_kmeans_refine" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       kmeansRefine(Tables.embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
+        .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+    })
   )
 
   // exact best cosine per SAMPLED probe vector — the probe modulus is

@@ -191,4 +191,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("content_sha"), p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t_char_entropy: a per-document function never shuffles — zero exchanges") {
+    // entropy is computed entirely per-row with higher-order functions; the
+    // only legal exchange would come from the output orderBy's range
+    // partitioning — anything keyed (hash partitioning) means a groupBy
+    // crept back in and the operator stopped being embarrassingly parallel
+    val p = plan("t_char_entropy")
+    assert(!p.contains("hashpartitioning"),
+      s"per-doc entropy must not hash-shuffle:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d_prefix_dedup: every exchange keys on the prefix hash, strings never move") {
+    val p = plan("d_prefix_dedup")
+    assert(p.contains("xxhash64"), "prefix-hash shuffle key missing")
+    // no exchange may carry the text column: the 8-byte hash is the only
+    // wide-moving key (the d_span_dedup discipline)
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the group/join exchanges")
+    exchanges.foreach(e => assert(!e.contains("text"),
+      s"prefix strings shuffle:\n$e"))
+  }
+
+  test("v_kmeans_refine: per-row E-step — no window, nothing corpus-wide exchanges") {
+    val p = plan("v_kmeans_refine")
+    // assignment is a per-row argmax over the broadcast centroid array: a
+    // Window (or any vec_id exchange) means the corpus-wide shuffle crept
+    // back — the shape whose two pruned branches could never exchange-reuse
+    assert(!p.contains("Window"), s"corpus-wide window returned:\n${p.take(1200)}")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("vec_id")),
+      s"corpus shuffles on vec_id:\n${p.take(1200)}")
+    // both centroid tables reach the row side as single-row broadcasts
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
