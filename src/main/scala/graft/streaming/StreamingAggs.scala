@@ -260,68 +260,85 @@ object StreamingAggs {
     * cost; a deployment that accepts LSH-precision marks stores only the
     * 32×8-byte signatures instead.
     */
-  def startIncrementalNearDup(docs: DataFrame, stateDir: String,
-                              checkpointDir: String,
-                              onBatch: DataFrame => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
+  /** Per-batch core of [[startIncrementalNearDup]], shared with
+    * [[startCorpusPipeline]]: marks the batch's near-dups against the
+    * accumulating accepted state (cross-batch bucket probe + intra-batch
+    * self-bucketing, every candidate exact-verified), and returns the
+    * marked frame plus a commit function that appends the given accepted
+    * doc set's features to the batch's own state partitions. The caller
+    * persists/unpersists the marked frame around its consumers and decides
+    * WHICH docs count as accepted (the standalone gate accepts every
+    * non-dup; the composed pipeline accepts only docs that also passed
+    * the upstream gates — state must stay exactly the accepted corpus).
+    */
+  private def markNearDups(batch: DataFrame, stateDir: String, batchId: Long)
+      : (DataFrame, DataFrame, DataFrame => Unit) = {
     import graft.functions.TextFunctions.{minhashBands, shingles}
     import org.apache.spark.sql.types._
-    def readSlice(s: org.apache.spark.sql.SparkSession, dir: String,
-                  excludeBatch: Long, schema: StructType): DataFrame =
+    val s = batch.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    def readSlice(dir: String, schema: StructType): DataFrame =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-        s.read.parquet(dir).filter(col("batch") =!= excludeBatch)
+        s.read.parquet(dir).filter(col("batch") =!= batchId)
           .select(schema.fieldNames.map(col).toSeq: _*)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val bandSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("band", IntegerType), StructField("h", LongType)))
     val shSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("sh", ArrayType(StringType))))
+    val feat = batch.select(col("doc_id"), shingles("text", 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", expr("graft_minhash(sh)"))
+    val banded = feat
+      .select(col("doc_id"), explode(minhashBands("sig", 8, 4)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.h"))
+      .persist()
+    val storedBands = readSlice(s"$stateDir/bands", bandSchema)
+    val storedSh = readSlice(s"$stateDir/shingles", shSchema)
+    // cross-batch: arriving band rows probe the accepted corpus's buckets
+    val crossDup = banded
+      .join(storedBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "h"))
+      .select(col("doc_id"), col("old_id")).distinct()
+      .join(feat.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
+      .join(storedSh.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
+      .filter(expr("graft_jaccard(sh_new, sh_old)") >= 0.5)
+      .select(col("doc_id"))
+    // intra-batch: the batch operator's bucket pair-gen + drop-higher
+    val intraDup = graft.operators.DedupQueries.bucketedCandidatePairs(banded)
+      .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(expr("graft_jaccard(sh_a, sh_b)") >= 0.5)
+      .select(col("doc_b").as("doc_id"))
+    val dupIds = crossDup.union(intraDup).distinct()
+      .withColumn("__dup", lit(true))
+    val marked = batch.join(dupIds, Seq("doc_id"), "left_outer")
+      .withColumn("is_neardup", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
+    val commit = (accepted: DataFrame) => {
+      feat.join(accepted, "doc_id").select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
+      banded.join(accepted, "doc_id")
+        .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+    }
+    (marked, banded, commit)
+  }
+
+  def startIncrementalNearDup(docs: DataFrame, stateDir: String,
+                              checkpointDir: String,
+                              onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        graft.plans.GraftFunctions.register(s)
-        val feat = batch.select(col("doc_id"), shingles("text", 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .withColumn("sig", expr("graft_minhash(sh)"))
-        val banded = feat
-          .select(col("doc_id"), explode(minhashBands("sig", 8, 4)).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.h"))
-          .persist()
-        val storedBands = readSlice(s, s"$stateDir/bands", batchId, bandSchema)
-        val storedSh = readSlice(s, s"$stateDir/shingles", batchId, shSchema)
-        // cross-batch: arriving band rows probe the accepted corpus's buckets
-        val crossDup = banded
-          .join(storedBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "h"))
-          .select(col("doc_id"), col("old_id")).distinct()
-          .join(feat.select(col("doc_id"), col("sh").as("sh_new")), "doc_id")
-          .join(storedSh.select(col("doc_id").as("old_id"), col("sh").as("sh_old")), "old_id")
-          .filter(expr("graft_jaccard(sh_new, sh_old)") >= 0.5)
-          .select(col("doc_id"))
-        // intra-batch: the batch operator's bucket pair-gen + drop-higher
-        val intraDup = graft.operators.DedupQueries.bucketedCandidatePairs(banded)
-          .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .filter(expr("graft_jaccard(sh_a, sh_b)") >= 0.5)
-          .select(col("doc_b").as("doc_id"))
-        val dupIds = crossDup.union(intraDup).distinct()
-          .withColumn("__dup", lit(true))
-        val marked = batch.join(dupIds, Seq("doc_id"), "left_outer")
-          .withColumn("is_neardup", coalesce(col("__dup"), lit(false)))
-          .drop("__dup")
-          .persist()
+        val (marked0, banded, commit) = markNearDups(batch, stateDir, batchId)
+        val marked = marked0.persist()
         try {
           onBatch(marked)
-          val accepted = marked.filter(!col("is_neardup")).select(col("doc_id"))
-          feat.join(accepted, "doc_id").select(col("doc_id"), col("sh"))
-            .write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
-          banded.join(accepted, "doc_id")
-            .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+          commit(marked.filter(!col("is_neardup")).select(col("doc_id")))
         } finally { marked.unpersist(); banded.unpersist() }
         ()
       }
       .start()
-  }
 
   /** R17 streaming twin of `d_dedup_incremental` — content-address dedup
     * of an UNBOUNDED document stream against an appendable accepted-sha
@@ -409,58 +426,132 @@ object StreamingAggs {
     * separate because its shingle-set state has a different storage
     * contract.
     */
+  /** Per-batch core of [[startCorpusGate]] / [[startCorpusPipeline]]:
+    * annotates the batch with every stateless gate signal (quality blend,
+    * repetition, decontamination vs the broadcast eval gram set) plus the
+    * exact-dedup `is_new` against the batch-partitioned sha table
+    * (own-slice excluded ⇒ replay-stable). Returns the batch columns +
+    * quality / repetitive / contaminated / content_sha / is_new.
+    */
+  private def markGates(batch: DataFrame, evalGrams: DataFrame,
+                        seenShaDir: String, batchId: Long,
+                        n: Int): DataFrame = {
+    import graft.functions.TextFunctions.{sha256Hex, shingles}
+    import graft.functions.ParityMath.floorRound
+    val s = batch.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    // quality: the d_corpus_build_v2 blend, per-row
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+    val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val quality = floorRound(lit(0.5) * diversity +
+      lit(0.3) * (lit(1.0) - stopHits / nTok) +
+      lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4)
+    val rep = graft.operators.TextQueries.repetition(batch)
+      .select(col("doc_id"), col("repetitive"))
+    val contam = batch
+      .select(col("doc_id"), explode(shingles("text", n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("__c", lit(true))
+    val seen =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenShaDir)))
+        s.read.parquet(seenShaDir)
+          .filter(col("batch") =!= batchId) // replay: ignore own prior append
+          .select(col("content_sha")).distinct()
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content_sha",
+            org.apache.spark.sql.types.StringType))))
+    val wSha = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_sha")).orderBy(col("doc_id"))
+    batch
+      .withColumn("quality", quality)
+      .join(rep, "doc_id")
+      .join(contam, Seq("doc_id"), "left_outer")
+      .withColumn("contaminated", coalesce(col("__c"), lit(false)))
+      .withColumn("content_sha", sha256Hex(col("text")))
+      .withColumn("__rk", row_number().over(wSha))
+      .join(seen.withColumn("__seen", lit(true)), Seq("content_sha"), "left_outer")
+      .withColumn("is_new", col("__seen").isNull && col("__rk") === 1)
+      .drop("__c", "__seen", "__rk")
+  }
+
   def startCorpusGate(docs: DataFrame, evalDocs: DataFrame, seenShaDir: String,
                       checkpointDir: String, onBatch: DataFrame => Unit,
                       minQuality: Double = 0.52, n: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.functions.TextFunctions.{sha256Hex, shingles}
-    import graft.functions.ParityMath.floorRound
+    import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        graft.plans.GraftFunctions.register(s)
-        // quality: the d_corpus_build_v2 blend, per-row
-        val toks = split(col("text"), " ")
-        val nTok = size(toks).cast("double")
-        val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
-        val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-        val diversity = size(array_distinct(toks)).cast("double") / nTok
-        val quality = floorRound(lit(0.5) * diversity +
-          lit(0.3) * (lit(1.0) - stopHits / nTok) +
-          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4)
-        val rep = graft.operators.TextQueries.repetition(batch)
-          .select(col("doc_id"), col("repetitive"))
-        val contam = batch
-          .select(col("doc_id"), explode(shingles("text", n)).as("g"))
-          .join(broadcast(evalGrams), Seq("g"), "left_semi")
-          .select(col("doc_id")).distinct().withColumn("__c", lit(true))
-        val wSha = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("content_sha")).orderBy(col("doc_id"))
-        val marked = batch
-          .withColumn("quality", quality)
-          .join(rep, "doc_id")
-          .join(contam, Seq("doc_id"), "left_outer")
-          .withColumn("contaminated", coalesce(col("__c"), lit(false)))
-          .withColumn("content_sha", sha256Hex(col("text")))
-          .withColumn("__rk", row_number().over(wSha))
-          .join(s.read.parquet(seenShaDir)
-              .filter(col("batch") =!= batchId) // replay: ignore own prior append
-              .select(col("content_sha")).distinct()
-              .withColumn("__seen", lit(true)),
-            Seq("content_sha"), "left_outer")
-          .withColumn("is_new", col("__seen").isNull && col("__rk") === 1)
+        val marked = markGates(batch, evalGrams, seenShaDir, batchId, n)
           .withColumn("accepted",
             col("quality") >= minQuality && !col("repetitive") &&
               !col("contaminated") && col("is_new"))
-          .drop("__c", "__seen", "__rk")
           .persist()
         try {
           onBatch(marked)
           marked.filter(col("accepted")).select(col("content_sha"))
             .write.mode("overwrite").parquet(s"$seenShaDir/batch=$batchId")
         } finally marked.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** R17/R18/R20/T4 — the FULL streaming twin of `d_corpus_build_v2`'s
+    * hygiene sequence in ONE stream: [[markGates]] (quality + repetition +
+    * decontamination + exact dedup) and then [[markNearDups]] over the
+    * slice that survived those gates — MinHash-LSH against the accumulating
+    * ACCEPTED corpus, exact-verified — composing to a single `accepted`
+    * verdict with every per-gate signal alongside. State lives under one
+    * root (`<stateRoot>/sha`, `<stateRoot>/neardup/{bands,shingles}`), all
+    * of it batch-partitioned with own-slice exclusion on probe, so a
+    * replayed batch reproduces its first attempt's verdicts and rewrites
+    * identical state. Gate-failing docs never reach the near-dup probe
+    * (they are not corpus candidates), and only fully-accepted docs append
+    * EITHER state — the dedup reference is exactly the corpus a batch
+    * build over the accepted output would see. (One deliberate semantic
+    * difference vs the batch capstone: the batch near-dup drop consults
+    * corpus-WIDE pairs, eval and dropped docs included; at ingest the
+    * reference corpus is the accepted set, because only it is retained.)
+    */
+  def startCorpusPipeline(docs: DataFrame, evalDocs: DataFrame,
+                          stateRoot: String, checkpointDir: String,
+                          onBatch: DataFrame => Unit,
+                          minQuality: Double = 0.52, n: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.shingles
+    val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gatePass = col("quality") >= minQuality && !col("repetitive") &&
+          !col("contaminated") && col("is_new")
+        val gated = markGates(batch, evalGrams, s"$stateRoot/sha", batchId, n)
+          .persist()
+        try {
+          val (ndMarked, banded, commitNearDup) = markNearDups(
+            gated.filter(gatePass).select(col("doc_id"), col("text")),
+            s"$stateRoot/neardup", batchId)
+          val full = gated
+            .join(ndMarked.select(col("doc_id"), col("is_neardup")),
+              Seq("doc_id"), "left_outer")
+            .withColumn("is_neardup", coalesce(col("is_neardup"), lit(false)))
+            .withColumn("accepted", gatePass && !col("is_neardup"))
+            .persist()
+          try {
+            onBatch(full)
+            val accepted = full.filter(col("accepted"))
+            commitNearDup(accepted.select(col("doc_id")))
+            accepted.select(col("content_sha"))
+              .write.mode("overwrite").parquet(s"$stateRoot/sha/batch=$batchId")
+          } finally { full.unpersist(); banded.unpersist() }
+        } finally gated.unpersist()
         ()
       }
       .start()

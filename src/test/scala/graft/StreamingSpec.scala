@@ -339,4 +339,55 @@ class StreamingSpec extends SparkSpec {
     // docs never enter the table
     assert(spark.read.parquet(seenDir).count() === 3)
   }
+
+  test("R17/R18/R20 streaming: full corpus pipeline — gates then near-dup, one stream") {
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("corpus-pipeline").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    val baseText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val intraDup = baseText.replace(" tango", " zulu")   // near-dup, same batch
+    val crossDup = baseText.replace("alpha ", "yankee ") // near-dup, later batch
+    val repetitive = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima loop loop loop loop loop"
+    val unrelated1 = "one two three four five six seven eight nine ten eleven twelve"
+    val unrelated2 = "red orange yellow green blue indigo violet umber ochre teal cyan navy"
+    val stream = MemoryStream[(Long, String)](spark)
+    type V = (Boolean, Boolean, Boolean, Boolean) // repetitive, is_new, is_neardup, accepted
+    val got = new ConcurrentLinkedQueue[(Long, V)]()
+    val q = StreamingAggs.startCorpusPipeline(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/state", s"$dir/ckpt",
+      batch => batch.select("doc_id", "repetitive", "is_new", "is_neardup", "accepted")
+        .collect().foreach(r => got.add((r.getLong(0),
+          (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))))))
+    try {
+      // batch 0: an accept, its intra-batch near-dup, a repetition reject,
+      // an unrelated accept
+      stream.addData((1L, baseText), (2L, intraDup), (3L, repetitive), (4L, unrelated1))
+      q.processAllAvailable()
+      // batch 1: a cross-batch near-dup of the accepted base, an exact dup
+      // of an accepted doc (dedup gate — never reaches the near-dup probe),
+      // and fresh content
+      stream.addData((5L, crossDup), (6L, unrelated1), (7L, unrelated2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, V)](0)).toMap
+    assert(byDoc(1L) === ((false, true, false, true)), byDoc(1L).toString)
+    assert(byDoc(2L) === ((false, true, true, false)),
+      s"doc 2 must fall to the INTRA-batch near-dup probe: ${byDoc(2L)}")
+    assert(byDoc(3L) === ((true, true, false, false)),
+      s"doc 3 fails repetition and must never reach the near-dup probe: ${byDoc(3L)}")
+    assert(byDoc(4L) === ((false, true, false, true)), byDoc(4L).toString)
+    assert(byDoc(5L) === ((false, true, true, false)),
+      s"doc 5 must fall to the CROSS-batch near-dup probe: ${byDoc(5L)}")
+    assert(byDoc(6L) === ((false, false, false, false)),
+      s"doc 6 is an exact dup — dedup gate, not near-dup: ${byDoc(6L)}")
+    assert(byDoc(7L) === ((false, true, false, true)), byDoc(7L).toString)
+    // both state families carry exactly the fully-accepted docs (1, 4, 7)
+    assert(spark.read.parquet(s"$dir/state/sha").count() === 3)
+    val ndState = spark.read.parquet(s"$dir/state/neardup/shingles")
+      .select("doc_id").as[Long].collect().sorted
+    assert(ndState.toSeq === Seq(1L, 4L, 7L), ndState.toSeq.toString)
+  }
 }
