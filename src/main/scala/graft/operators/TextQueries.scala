@@ -323,6 +323,40 @@ object TextQueries {
     "t_char_entropy" -> ((s, d) =>
       charEntropy(docs(s, d), lowUnits = 27000L)),
 
+    // R20/R9 — heavy hitters through a COUNT-MIN SKETCH, the streaming/
+    // mergeable form of t_heavy_hitters and the fourth member of the
+    // sketch family (HLL: q_hll_union, MinHash: d_source_overlap, bitmap:
+    // q_bitmap_distinct): the corpus aggregates into ONE fixed-size CMS
+    // (Spark's count_min_sketch — map-side partial sketches merge, the
+    // shuffle carries sketches not rows), which the exact top-10 then
+    // probes via the native graft_cms_est (Spark ships the build side but
+    // no SQL probe — without it, reading an estimate means collecting the
+    // sketch to the driver). Oracled sketch-vs-exact like the others: the
+    // hashed columns are the exact counts plus the two CMS theory bounds
+    // (est ≥ true always; est ≤ true + eps·N at the sketch's confidence —
+    // eps·N ≈ 25 tokens here while a colliding counter needs all 7 rows
+    // to collide at ~2e-3 each, so the bound sits ~19 orders of magnitude
+    // above the failure odds). At 100 TB the sketch is the only state
+    // that moves: 20k×7 longs regardless of corpus size.
+    "t_cms_heavy_hitters" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val toks = docs(s, d).select(explode(split(col("text"), " ")).as("term"))
+      val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val sketch = toks.agg(
+        expr("count_min_sketch(term, 0.0001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("total"))
+      graft.plans.TopK.perKey(counts, keys = Seq(),
+          order = Seq(graft.plans.TopK.Ord("n", desc = true),
+                      graft.plans.TopK.Ord("term")), k = 10)
+        .crossJoin(broadcast(sketch))
+        .select(col("rk"), col("term"), col("n"),
+          (expr("graft_cms_est(cms, term)") >= col("n")).as("cms_ge_true"),
+          (expr("graft_cms_est(cms, term)") <=
+            col("n") + ceil(col("total") * lit(0.0001)).cast(LongType))
+            .as("cms_within_eps"))
+        .orderBy("rk")
+    }),
+
     // R20/R10 — corpus heavy hitters (boilerplate detection): top-10 tokens
     // by frequency through the GLOBAL TopKPerKey path (empty grouping →
     // AllTuples distribution: per-partition heaps, single k-row merge — the
@@ -506,6 +540,17 @@ object TextQueries {
            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
            GROUP BY t)
          SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk, term, n
+         FROM c ORDER BY n DESC, term LIMIT 10""",
+    // sketch-vs-exact: DuckDB derives the exact top-10 independently; the
+    // CMS estimate itself is engine-internal, so only its theory bounds
+    // are hashed (the d_source_overlap / q_hll_union discipline)
+    "t_cms_heavy_hitters" ->
+      """WITH c AS (
+           SELECT t AS term, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           GROUP BY t)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk, term, n,
+                TRUE AS cms_ge_true, TRUE AS cms_within_eps
          FROM c ORDER BY n DESC, term LIMIT 10"""
   )
 }

@@ -134,7 +134,9 @@ object GraftFunctions {
     ("graft_dot", "graft_dot(a, b) - dot product of double arrays",
       exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }),
     ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of distinct-element string arrays",
-      exprs => { arity("graft_jaccard", exprs, 2); JaccardSim(exprs.head, exprs(1)) }))
+      exprs => { arity("graft_jaccard", exprs, 2); JaccardSim(exprs.head, exprs(1)) }),
+    ("graft_cms_est", "graft_cms_est(sketch, item) - Count-Min sketch count estimate for a string item",
+      exprs => { arity("graft_cms_est", exprs, 2); CmsEstimate(exprs.head, exprs(1)) }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

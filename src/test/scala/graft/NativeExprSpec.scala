@@ -134,4 +134,19 @@ class NativeExprSpec extends SparkSpec {
       assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains(fn)),
         s"$fn not inside WholeStageCodegen:\n$plan")
   }
+
+  test("graft_cms_est: probes count_min_sketch binaries — exact on planted counts") {
+    import spark.implicits._
+    // 3 distinct items with known multiplicities, far apart so a counter
+    // collision (probability ~0 at width 20k) would be unmissable
+    val items = Seq.fill(100)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma")
+    val est = items.toDF("t")
+      .agg(expr("count_min_sketch(t, 0.0001d, 0.99d, 42)").as("cms"))
+      .crossJoin(Seq("alpha", "beta", "gamma", "absent").toDF("probe"))
+      .selectExpr("probe", "graft_cms_est(cms, probe) AS est")
+      .as[(String, Long)].collect().toMap
+    // CMS guarantee is est >= true; at this width/vocab it is exact
+    assert(est === Map("alpha" -> 100L, "beta" -> 7L, "gamma" -> 1L,
+      "absent" -> 0L), est.toString)
+  }
 }
