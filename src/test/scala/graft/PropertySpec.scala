@@ -92,4 +92,49 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"edges=$edges")
     }
   }
+
+  test("R20 ∀ texts: char entropy matches a driver-side replay and its bounds") {
+    // entropy laws over arbitrary word-soup: 0 ≤ H ≤ ln(n) (uniform max),
+    // H = 0 iff one distinct symbol, and the integer-unit pipeline equals
+    // a driver-side replay term for term — the whole computation, not a
+    // summary, ∀ inputs rather than the three planted docs
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("aa", "b", "cde", "f g", "zz z"))
+      .map(_.take(12).mkString(" "))
+    samples(textGen, 15).zipWithIndex.foreach { case (text, i) =>
+      val row = graft.operators.TextQueries
+        .charEntropy(Seq((i.toLong, text)).toDF("doc_id", "text"), lowUnits = 0L)
+        .collect().head
+      val (n, k, s, h) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      val chars = text.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      val expS = chars.values.map(c =>
+        math.floor(c * math.log(c.toDouble) * 10000 + 0.5).toLong).sum
+      val expH = math.floor(
+        (math.log(n.toDouble) - expS.toDouble / (n * 10000.0)) * 10000 + 0.5).toLong
+      assert(n === text.length.toLong && k === chars.size.toLong)
+      assert(s === expS, s"clogc units for '$text'")
+      assert(h === expH, s"entropy units for '$text'")
+      assert(h >= 0 && h <= math.ceil(math.log(n.toDouble) * 10000).toLong + 1)
+      assert((h == 0L) === (k == 1L), s"H=0 iff single symbol: '$text'")
+    }
+  }
+
+  test("R17 ∀ corpora: prefix-dedup groups partition the colliding docs, one keeper each") {
+    // ∀ random corpora: every emitted group's size matches the true prefix
+    // multiplicity, exactly one keeper per group (the min doc_id), and
+    // docs with unique prefixes never appear
+    val docGen = Gen.listOfN(10, Gen.listOfN(4,
+      Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    samples(docGen, 10).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val byPrefix = docs.groupBy(_._2.split(" ").take(3).mkString(" "))
+      val got = graft.operators.DedupQueries
+        .prefixDedup(docs.toDF("doc_id", "text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val expected = byPrefix.values.filter(_.size > 1).flatMap { grp =>
+        val keeper = grp.map(_._1).min
+        grp.map { case (id, _) => (id, grp.size.toLong, id == keeper) }
+      }.toSeq.sortBy(_._1)
+      assert(got.toSeq === expected, s"texts=$texts")
+    }
+  }
 }
