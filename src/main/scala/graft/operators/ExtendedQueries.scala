@@ -91,6 +91,31 @@ object ExtendedQueries {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    // R9 — APPROXIMATE quantiles (Greenwald-Khanna sketch) audited against
+    // the exact bracketing percentiles — the fifth sketch family member
+    // (HLL: distinct, CMS: frequency, MinHash: similarity, bitmap: exact
+    // distinct, GK: quantiles). At 100 TB the exact `percentile` sorts
+    // every group; approx_percentile keeps a fixed-size mergeable summary
+    // with a DETERMINISTIC worst-case rank error ≤ n/accuracy, which is
+    // what the audit boolean pins: the sketch's median must lie between
+    // the exact interpolated percentiles at 0.5 ∓ 4×(1/accuracy) (4× the
+    // guarantee, absorbing interpolation-vs-element rank slack — a
+    // worst-case bound, not a sigma gamble). The estimate itself is
+    // sketch-internal and stays out of the hashed columns; the exact
+    // median is the cross-engine fact (the q_hll_union discipline).
+    "q_approx_quantile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          floorRound(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"),
+          (expr("approx_percentile(o_totalprice, 0.5, 1000)") >=
+             expr("percentile(o_totalprice, 0.496)") - lit(1e-9) &&
+           expr("approx_percentile(o_totalprice, 0.5, 1000)") <=
+             expr("percentile(o_totalprice, 0.504)") + lit(1e-9))
+            .as("within_rank_bound"))
+        .orderBy("o_orderpriority")),
+
     // R9 — HLL++ approximate distinct, oracled as an accuracy invariant:
     // the estimate itself is sketch-specific (not DuckDB-mirrorable), so
     // the hashed columns are the exact count plus a deterministic
@@ -406,6 +431,13 @@ object ExtendedQueries {
                 floor((quantile_cont(c_acctbal, 0.9)) * 10000 + 0.5) / 10000 AS p90_bal,
                 CAST(count(*) AS BIGINT) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // sketch-vs-exact: the GK estimate is sketch-internal; DuckDB derives
+    // the exact median independently and the rank bound rides as a boolean
+    "q_approx_quantile" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                floor((quantile_cont(o_totalprice, 0.5)) * 100 + 0.5) / 100 AS exact_median,
+                TRUE AS within_rank_bound
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_grouping_sets" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n
          FROM customer JOIN nation ON c_nationkey = n_nationkey
