@@ -214,6 +214,19 @@ class PlanSpec extends SparkSpec {
       s"prefix strings shuffle:\n$e"))
   }
 
+  test("sketch aggregates combine map-side: partial CMS / GK before the exchange") {
+    // the scale claim for every sketch is that the shuffle carries
+    // fixed-size summaries, not rows — which requires the PARTIAL
+    // aggregate to run below the exchange; a final-only plan would move
+    // the whole token/row stream
+    val cms = plan("t_cms_heavy_hitters")
+    assert(cms.contains("partial_count_min_sketch"),
+      s"CMS not map-side combined:\n${cms.take(1200)}")
+    val gk = plan("q_approx_quantile")
+    assert(gk.contains("partial_approx_percentile"),
+      s"GK summary not map-side combined:\n${gk.take(1200)}")
+  }
+
   test("v_kmeans_refine: per-row E-step — no window, nothing corpus-wide exchanges") {
     val p = plan("v_kmeans_refine")
     // assignment is a per-row argmax over the broadcast centroid array: a
