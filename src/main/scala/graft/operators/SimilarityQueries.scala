@@ -423,8 +423,65 @@ object SimilarityQueries {
       graft.plans.GraftFunctions.register(s)
       kmeansRefine(Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v")))
-    })
+    }),
+
+    // R19 — PRODUCT QUANTIZATION codes, the compression step after the
+    // coarse quantizer in an IVF-PQ index build (the standard way 100 TB
+    // of float32 embeddings serve ANN from RAM: 64 dims × 4 bytes → 8
+    // one-byte codes + a shared codebook). Deterministic codebook (the
+    // first 16 vectors' subvectors per 8-dim subspace — the test-scale
+    // stand-in for a per-subspace k-means, exactly like v_ann_ivf's
+    // strided coarse quantizer), assignment by integer-unit squared
+    // distance with lowest-code tie-break, and the 8 codes packed into
+    // ONE base-17 integer (codes < 16 ⇒ injective), so the oracle hashes
+    // the ACTUAL codes, not a summary; `mse_units` is the integer-exact
+    // reconstruction-error sum. Same scale shape as v_kmeans_refine: the
+    // codebook collapses in-plan to a single broadcast array row and
+    // encoding is a pure per-row fold — no shuffle at all.
+    "v_pq_codes" -> ((s, d) => pqCodes(Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
   )
+
+  /** Core of `v_pq_codes` (public for the planted-fixture spec): PQ-encode
+    * 64-dim vectors with 8 subspaces × 16 codebook entries drawn from the
+    * first 16 vectors. Input as in [[annLshBest]]; vectors that are not
+    * exactly 64-dim are excluded (codebook geometry).
+    */
+  def pqCodes(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("v")).filter(size(col("v")) === 64)
+    // codebook as ONE sorted array row: (code, subspace, 8-dim subvector)
+    val cb = e.filter(col("vec_id") < 16)
+      .select(explode(expr(
+        """transform(sequence(0, 7), j ->
+             struct(CAST(vec_id AS INT) AS code, j AS ss,
+                    slice(v, j * 8 + 1, 8) AS sv))""")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cb"))
+    // per-row: for each subspace, argmin of the integer-unit squared
+    // distance over its 16 entries (strict < keeps the LOWEST code on
+    // ties), then fold the 8 winners into the packed code + error sum
+    val d2u = """CAST(floor(aggregate(
+                   zip_with(slice(v, c.ss * 8 + 1, 8), c.sv,
+                     (x, y) -> (x - y) * (x - y)),
+                   CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)"""
+    e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), expr(
+        s"""aggregate(
+              transform(sequence(0, 7), j ->
+                aggregate(filter(cb, c -> c.ss = j),
+                  named_struct('d2u', CAST(9223372036854775807 AS BIGINT),
+                               'code', -1),
+                  (acc, c) -> CASE WHEN $d2u < acc.d2u
+                    THEN named_struct('d2u', $d2u, 'code', CAST(c.code AS INT))
+                    ELSE acc END)),
+              named_struct('pq_code', 0L, 'mse_units', 0L, 'p', 1L),
+              (acc, s) -> named_struct(
+                'pq_code', acc.pq_code + CAST(s.code AS BIGINT) * acc.p,
+                'mse_units', acc.mse_units + s.d2u,
+                'p', acc.p * 17L),
+              acc -> struct(acc.pq_code, acc.mse_units))""").as("r"))
+      .select(col("vec_id"), col("r.pq_code"), col("r.mse_units"))
+      .orderBy("vec_id")
+  }
 
   // exact best cosine per SAMPLED probe vector — the probe modulus is
   // ceil(corpus_count / AuditProbeBudget) in the same integer arithmetic
@@ -621,6 +678,35 @@ object SimilarityQueries {
                 floor(avg(own_c) * 10000 + 0.5) / 10000 AS avg_cohesion,
                 CAST(sum(CASE WHEN best_cell <> cell THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_switch
-         FROM per GROUP BY cell ORDER BY cell"""
+         FROM per GROUP BY cell ORDER BY cell""",
+    // replays the subspace split, integer-unit distances, lowest-code
+    // argmin, and the base-17 packing — the actual codes are hashed
+    "v_pq_codes" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS d, e
+           FROM ex),
+         cb AS (
+           SELECT CAST(vec_id AS INT) AS code, ss, d, e AS c
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.ss, cb.code,
+                  CAST(floor(sum((s.e - cb.c) * (s.e - cb.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb ON cb.ss = s.ss AND cb.d = s.d
+           GROUP BY 1, 2, 3),
+         sel AS (
+           SELECT vec_id, ss, code, d2u FROM (
+             SELECT vec_id, ss, code, d2u,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist) WHERE rk = 1)
+         SELECT vec_id,
+                CAST(sum(code * CAST(power(17, ss) AS BIGINT)) AS BIGINT) AS pq_code,
+                CAST(sum(d2u) AS BIGINT) AS mse_units
+         FROM sel GROUP BY vec_id ORDER BY vec_id"""
   )
 }

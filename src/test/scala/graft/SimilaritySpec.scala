@@ -143,6 +143,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("R19: PQ codes — codebook members encode to themselves with zero error") {
+    // 16 codebook vectors (vec_id 0-15) + planted probes: a vector EQUAL
+    // to codebook entry 3 must pick code 3 in every subspace (pq_code =
+    // 3 * (17^8 - 1) / 16) with mse_units = 0; a mixed vector picks the
+    // per-subspace nearest independently
+    val rnd = new scala.util.Random(17)
+    val book = (0 until 16).map(c => (c.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    val data = book ++ Seq(
+      (100L, book(3)._2),                                 // exact copy of entry 3
+      (101L, book(7)._2.take(8) ++ book(2)._2.drop(8)))   // subspace 0 from 7, rest from 2
+    val out = graft.operators.SimilarityQueries
+      .pqCodes(data.toDF("vec_id", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rep = (0 until 8).map(j => math.pow(17, j).toLong)
+    assert(out(100L) === ((rep.map(_ * 3).sum, 0L)), out(100L).toString)
+    assert(out(101L) === ((7L + rep.drop(1).map(_ * 2).sum, 0L)), out(101L).toString)
+    // every codebook member encodes to itself, zero error
+    (0 until 16).foreach { c =>
+      assert(out(c.toLong) === ((rep.map(_ * c).sum, 0L)), s"code $c: ${out(c.toLong)}")
+    }
+  }
+
   test("R19 regression: dot product of mismatched-length arrays is null, not a partial sum") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
     val r = df.select(dot($"a", $"b").as("d")).collect()
