@@ -439,8 +439,66 @@ object SimilarityQueries {
     // codebook collapses in-plan to a single broadcast array row and
     // encoding is a pure per-row fold — no shuffle at all.
     "v_pq_codes" -> ((s, d) => pqCodes(Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))),
+
+    // R19 — ADC SEARCH over the PQ codes, the serving side of the IVF-PQ
+    // story: the probe (vec_id 0, as in v_knn_probe) precomputes one
+    // 8×16-entry distance LOOKUP TABLE against the codebook — after which
+    // scanning the compressed corpus costs 8 integer table lookups per
+    // vector instead of 64 float multiplies, the trick that makes
+    // billion-vector search RAM-resident. Every quantity is integer units
+    // derived from the same deterministic codebook as v_pq_codes, so the
+    // oracle replays the LUT, the per-vector ADC sums, and the top-10
+    // exactly — hashed values, not bounds. Scale shape: LUT and codebook
+    // are broadcast one-row arrays, the corpus side is a per-row fold +
+    // TakeOrderedAndProject — no shuffle, no join against the corpus.
+    "v_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(size(col("v")) === 64)
+      val cb = e.filter(col("vec_id") < 16)
+        .select(explode(expr(
+          """transform(sequence(0, 7), j ->
+               struct(CAST(vec_id AS INT) AS code, j AS ss,
+                      slice(v, j * 8 + 1, 8) AS sv))""")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("cb"))
+      // probe LUT: integer-unit squared distance from the probe's j-th
+      // subvector to every codebook entry — one row, 128 structs
+      val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
+        .select(expr(
+          s"""transform(cb, c -> struct(c.ss AS ss, c.code AS code,
+                ${pqD2u("v", "c")} AS d2u))""").as("lut"))
+      val d2u = pqD2u("v", "c")
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cb)).crossJoin(broadcast(lut))
+        .select(col("vec_id"), expr(
+          s"""aggregate(
+                transform(sequence(0, 7), j ->
+                  aggregate(filter(cb, c -> c.ss = j),
+                    named_struct('d2u', CAST(9223372036854775807 AS BIGINT),
+                                 'code', -1),
+                    (acc, c) -> CASE WHEN $d2u < acc.d2u
+                      THEN named_struct('d2u', $d2u, 'code', CAST(c.code AS INT))
+                      ELSE acc END,
+                    acc -> element_at(filter(lut, l ->
+                      l.ss = j AND l.code = acc.code), 1).d2u)),
+                0L, (a, b) -> a + b)""").as("adc_units"))
+        .orderBy(col("adc_units"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("adc_units"))
+    })
   )
+
+  /** Integer-unit squared distance between a vector's subspace `c.ss`
+    * slice and the codebook entry's subvector, as a SQL fragment (shared
+    * by the PQ encode and ADC search paths; `c` is the codebook lambda
+    * variable in scope).
+    */
+  private def pqD2u(v: String, c: String): String =
+    s"""CAST(floor(aggregate(
+          zip_with(slice($v, $c.ss * 8 + 1, 8), $c.sv,
+            (x, y) -> (x - y) * (x - y)),
+          CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)"""
 
   /** Core of `v_pq_codes` (public for the planted-fixture spec): PQ-encode
     * 64-dim vectors with 8 subspaces × 16 codebook entries drawn from the
@@ -459,10 +517,7 @@ object SimilarityQueries {
     // per-row: for each subspace, argmin of the integer-unit squared
     // distance over its 16 entries (strict < keeps the LOWEST code on
     // ties), then fold the 8 winners into the packed code + error sum
-    val d2u = """CAST(floor(aggregate(
-                   zip_with(slice(v, c.ss * 8 + 1, 8), c.sv,
-                     (x, y) -> (x - y) * (x - y)),
-                   CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)"""
+    val d2u = pqD2u("v", "c")
     e.crossJoin(broadcast(cb))
       .select(col("vec_id"), expr(
         s"""aggregate(
@@ -707,6 +762,39 @@ object SimilarityQueries {
          SELECT vec_id,
                 CAST(sum(code * CAST(power(17, ss) AS BIGINT)) AS BIGINT) AS pq_code,
                 CAST(sum(d2u) AS BIGINT) AS mse_units
-         FROM sel GROUP BY vec_id ORDER BY vec_id"""
+         FROM sel GROUP BY vec_id ORDER BY vec_id""",
+    // replays the code assignment, the probe's lookup table, the 8-lookup
+    // ADC sums, and the deterministic top-10 — all integer units
+    "v_pq_adc" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS d, e
+           FROM ex),
+         cb AS (
+           SELECT CAST(vec_id AS INT) AS code, ss, d, e AS c
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.ss, cb.code,
+                  CAST(floor(sum((s.e - cb.c) * (s.e - cb.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb ON cb.ss = s.ss AND cb.d = s.d
+           GROUP BY 1, 2, 3),
+         lut AS (SELECT ss, code, d2u FROM dist WHERE vec_id = 0),
+         sel AS (
+           SELECT vec_id, ss, code FROM (
+             SELECT vec_id, ss, code,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist) WHERE rk = 1),
+         adc AS (
+           SELECT sel.vec_id, CAST(sum(lut.d2u) AS BIGINT) AS adc_units
+           FROM sel JOIN lut ON lut.ss = sel.ss AND lut.code = sel.code
+           WHERE sel.vec_id <> 0
+           GROUP BY sel.vec_id)
+         SELECT vec_id, adc_units
+         FROM adc ORDER BY adc_units, vec_id LIMIT 10"""
   )
 }
