@@ -10,6 +10,15 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("every queries entry has an oracle — the ALL-oracled claim, pinned") {
+    // the driver records a weaker rows-only check for un-oracled queries;
+    // this repo's contract since round 4 is that EVERY registered query
+    // carries a DuckDB twin, so a new query landing without one fails
+    // here by name instead of silently degrading the correctness gate
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"query without oracle: $unoracled")
+  }
+
   test("query inventory is substantial and uniquely named") {
     assert(SparkEntry.queries.size >= 40)
     assert(SparkEntry.oracleSql.size >= 30)
