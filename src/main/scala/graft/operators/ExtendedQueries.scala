@@ -103,16 +103,24 @@ object ExtendedQueries {
     // worst-case bound, not a sigma gamble). The estimate itself is
     // sketch-internal and stays out of the hashed columns; the exact
     // median is the cross-engine fact (the q_hll_union discipline).
+    // Bracket precondition (the oracle hardcodes within_rank_bound TRUE):
+    // the GK rank slack 0.004n only provably exceeds the interpolation
+    // span for n ≳ 200 per group — below that, an element-valued sketch
+    // median can legitimately fall outside the INTERPOLATED 0.496/0.504
+    // percentiles (e.g. a 2-row group). Groups under 200 rows short-
+    // circuit to TRUE on the Spark side too: the audit is a sketch-bound
+    // regression gate, and under 200 rows there is no bound to audit.
     "q_approx_quantile" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
           floorRound(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_median"),
-          (expr("approx_percentile(o_totalprice, 0.5, 1000)") >=
-             expr("percentile(o_totalprice, 0.496)") - lit(1e-9) &&
-           expr("approx_percentile(o_totalprice, 0.5, 1000)") <=
-             expr("percentile(o_totalprice, 0.504)") + lit(1e-9))
+          (count(lit(1)) < 200 ||
+           (expr("approx_percentile(o_totalprice, 0.5, 1000)") >=
+              expr("percentile(o_totalprice, 0.496)") - lit(1e-9) &&
+            expr("approx_percentile(o_totalprice, 0.5, 1000)") <=
+              expr("percentile(o_totalprice, 0.504)") + lit(1e-9)))
             .as("within_rank_bound"))
         .orderBy("o_orderpriority")),
 

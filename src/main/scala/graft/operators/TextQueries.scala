@@ -518,10 +518,10 @@ object TextQueries {
          m AS (
            SELECT doc_id, CAST(len(chars) AS BIGINT) AS n,
                   CAST(len(list_distinct(chars)) AS BIGINT) AS k,
-                  list_sum(list_transform(list_distinct(chars),
+                  coalesce(list_sum(list_transform(list_distinct(chars),
                     c -> CAST(floor(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
                          * ln(len(list_filter(chars, x -> x = c)))
-                         * 10000 + 0.5) AS BIGINT))) AS s
+                         * 10000 + 0.5) AS BIGINT))), 0) AS s
            FROM d),
          e AS (
            SELECT doc_id, n, k, s,

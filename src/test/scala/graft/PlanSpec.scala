@@ -163,6 +163,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("v_ivfpq_search: no shuffle join against the corpus; native top-k") {
+    // the composed index query's scale shape: centroids/codebook/LUT/
+    // probe-cell list all broadcast, the corpus side one scan with
+    // per-row work — any SortMergeJoin/ShuffledHashJoin here means a
+    // corpus-sized exchange snuck back in
+    val p = plan("v_ivfpq_search")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("graft_dot"), "native dot product missing")
+  }
+
+  test("v_pq_adc: serving side consumes stored codes — no argmin encode on the LUT path") {
+    // the ADC fold must be 8 positional element_at lookups over the
+    // broadcast LUT; exactly ONE encode fold (the index-build stage
+    // feeding pq_code) may appear in the plan
+    val p = plan("v_pq_adc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("t_perplexity_proxy: vocab-sized unigram table is never hint-forced to broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
     val qe = SparkEntry.queries("t_perplexity_proxy")(spark, d).queryExecution
