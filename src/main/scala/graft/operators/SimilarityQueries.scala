@@ -464,26 +464,45 @@ object SimilarityQueries {
     // values, not bounds. Scale shape: LUT and codebook are broadcast
     // one-row arrays, the corpus side is a per-row unpack + 8 lookups +
     // TakeOrderedAndProject — no shuffle, no join against the corpus.
-    "v_pq_adc" -> ((s, d) => {
+    "v_pq_adc" -> ((s, d) => pqAdcTop(s, d)),
+
+    // R19 — PQ RECALL AUDIT: how much does 8-byte quantization distort
+    // the top-10? ADC approximates squared L2, so the truth twin is the
+    // exact integer-unit squared-L2 top-10 against the same probe (NOT
+    // cosine — that would conflate metric mismatch with PQ distortion;
+    // the cosine twins audit the ANN paths). Two observations, both
+    // deterministic integer arithmetic with vec_id tie-breaks so the
+    // oracle replays the COUNTS exactly — observed distortion, not an
+    // assumed bound (the `d_minhash_lsh` discipline applied to PQ):
+    // `n_overlap_top10` is the naive ADC@10 ∩ exact@10, and
+    // `n_shortlist_hits` is how many of the exact top-10 the ADC top-50
+    // SHORTLIST captures — the production serving shape (ADC shortlists,
+    // exact re-rank picks; recall is controlled by the 5× shortlist, and
+    // the deterministic first-16-vectors codebook — the test-scale
+    // stand-in for the per-subspace k-means v_kmeans_refine trains —
+    // is exactly what the gap between the two counts prices). Scale
+    // shape: both top-ks are TakeOrderedAndProject over per-row folds
+    // (probe vector broadcast); the overlap joins ≤50-row sets.
+    "v_pq_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .filter(size(col("v")) === 64)
-      val cb = pqCodebook(e)
-      // probe LUT as ONE POSITIONAL array: the 128 integer-unit squared
-      // distances sorted by (ss, code), so entry (ss, code) lives at
-      // index ss*16+code+1 — a flat BIGINT array, no struct matching
-      val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
-        .select(expr(pqLutSql).as("lut"))
-      // serving scan: stored codes only — the probe is excluded AFTER
-      // encoding so the codebook (vec_id < 16) matches v_pq_codes exactly
-      pqCodesCore(e)
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("pq_code"))
-        .crossJoin(broadcast(lut))
-        .select(col("vec_id"), expr(pqAdcSql).as("adc_units"))
-        .orderBy(col("adc_units"), col("vec_id"))
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val exact10 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), expr(
+          """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
+               CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
+          .as("d2u"))
+        .orderBy(col("d2u"), col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), col("adc_units"))
+        .select(col("vec_id"))
+      val adc50 = pqAdcTop(s, d, 50).select(col("vec_id"), col("adc_units"))
+      val adc10 = adc50.orderBy(col("adc_units"), col("vec_id")).limit(10)
+      val top10Hits = adc10.select(col("vec_id")).join(exact10, "vec_id")
+        .agg(count(lit(1)).as("n_overlap_top10"))
+      val shortlistHits = adc50.select(col("vec_id")).join(exact10, "vec_id")
+        .agg(count(lit(1)).as("n_shortlist_hits"))
+      top10Hits.crossJoin(shortlistHits)
     }),
 
     // R19 — IVF-PQ SEARCH, the composed end-to-end index query the pieces
@@ -543,6 +562,33 @@ object SimilarityQueries {
         .limit(10)
     })
   )
+
+  /** The `v_pq_adc` query body (shared with `v_pq_recall`, whose audit
+    * must rank with the identical ADC arithmetic): probe LUT as one
+    * positional broadcast array, serving scan over [[pqCodesCore]]'s
+    * stored codes, top-10 by integer ADC units.
+    */
+  private def pqAdcTop(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(size(col("v")) === 64)
+    val cb = pqCodebook(e)
+    // probe LUT as ONE POSITIONAL array: the 128 integer-unit squared
+    // distances sorted by (ss, code), so entry (ss, code) lives at
+    // index ss*16+code+1 — a flat BIGINT array, no struct matching
+    val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
+      .select(expr(pqLutSql).as("lut"))
+    // serving scan: stored codes only — the probe is excluded AFTER
+    // encoding so the codebook (vec_id < 16) matches v_pq_codes exactly
+    pqCodesCore(e)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("pq_code"))
+      .crossJoin(broadcast(lut))
+      .select(col("vec_id"), expr(pqAdcSql).as("adc_units"))
+      .orderBy(col("adc_units"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("adc_units"))
+  }
 
   /** PQ codebook as ONE sorted array row — (code, subspace, 8-dim
     * subvector) structs drawn from the first 16 vectors' subspace slices
@@ -954,6 +1000,53 @@ object SimilarityQueries {
          SELECT a.vec_id, h.cell, a.adc_units
          FROM adc a JOIN home h ON h.vid = a.vec_id
          WHERE h.cell IN (SELECT cell FROM probe_cells)
-         ORDER BY a.adc_units, a.vec_id LIMIT 10"""
+         ORDER BY a.adc_units, a.vec_id LIMIT 10""",
+    // replays BOTH top-10s (ADC over codes+LUT, exact integer-unit
+    // squared L2) and the overlap count — observed PQ distortion
+    "v_pq_recall" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS d, e
+           FROM ex),
+         cb AS (
+           SELECT CAST(vec_id AS INT) AS code, ss, d, e AS c
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.ss, cb.code,
+                  CAST(floor(sum((s.e - cb.c) * (s.e - cb.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb ON cb.ss = s.ss AND cb.d = s.d
+           GROUP BY 1, 2, 3),
+         lut AS (SELECT ss, code, d2u FROM dist WHERE vec_id = 0),
+         sel AS (
+           SELECT vec_id, ss, code FROM (
+             SELECT vec_id, ss, code,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist) WHERE rk = 1),
+         adc50 AS (
+           SELECT sel.vec_id, CAST(sum(lut.d2u) AS BIGINT) AS adc_units
+           FROM sel JOIN lut ON lut.ss = sel.ss AND lut.code = sel.code
+           WHERE sel.vec_id <> 0
+           GROUP BY sel.vec_id
+           ORDER BY CAST(sum(lut.d2u) AS BIGINT), sel.vec_id LIMIT 50),
+         adc10 AS (
+           SELECT vec_id FROM adc50 ORDER BY adc_units, vec_id LIMIT 10),
+         qx AS (SELECT e, i FROM ex WHERE vec_id = 0),
+         exact10 AS (
+           SELECT ex.vec_id
+           FROM ex JOIN qx ON ex.i = qx.i
+           WHERE ex.vec_id <> 0
+           GROUP BY ex.vec_id
+           ORDER BY CAST(floor(sum((ex.e - qx.e) * (ex.e - qx.e)) * 10000 + 0.5)
+                         AS BIGINT), ex.vec_id LIMIT 10)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM adc10 JOIN exact10 USING (vec_id)) AS n_overlap_top10,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM adc50 JOIN exact10 USING (vec_id)) AS n_shortlist_hits"""
   )
 }
