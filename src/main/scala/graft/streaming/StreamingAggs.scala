@@ -519,11 +519,28 @@ object StreamingAggs {
     * difference vs the batch capstone: the batch near-dup drop consults
     * corpus-WIDE pairs, eval and dropped docs included; at ingest the
     * reference corpus is the accepted set, because only it is retained.)
+    *
+    * With `sourceMix = true` (requires a `source` column) the
+    * `t_source_sample` budget rebalance runs as the LAST per-batch stage:
+    * per-source sampling weights w = min(1, budget/src_tokens) are
+    * derived from the ACCUMULATED accepted per-source token totals of all
+    * PRIOR batches (`<stateRoot>/mix`, batch-partitioned with own-slice
+    * exclusion like the sha table, so a replayed batch re-derives its
+    * first attempt's weights), the per-doc keep decision is the same
+    * deterministic LCG as the batch operator (no rand() — replay-stable),
+    * and only docs that clear EVERY gate AND the mix draw append any
+    * state. Batch 0 sees no totals and keeps everything — the stream
+    * learns its mixture as it accumulates, which is the only causal
+    * option at ingest (the batch operator sees final totals up front).
+    * Scale: the weights table is one row per SOURCE — catalog-bounded,
+    * broadcast-correct at any scale — and the mix state grows one row
+    * per (source, batch).
     */
   def startCorpusPipeline(docs: DataFrame, evalDocs: DataFrame,
                           stateRoot: String, checkpointDir: String,
                           onBatch: DataFrame => Unit,
-                          minQuality: Double = 0.52, n: Int = 5)
+                          minQuality: Double = 0.52, n: Int = 5,
+                          sourceMix: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
@@ -538,23 +555,67 @@ object StreamingAggs {
           val (ndMarked, banded, commitNearDup) = markNearDups(
             gated.filter(gatePass).select(col("doc_id"), col("text")),
             s"$stateRoot/neardup", batchId)
-          val full = gated
+          val ndFull = gated
             .join(ndMarked.select(col("doc_id"), col("is_neardup")),
               Seq("doc_id"), "left_outer")
             .withColumn("is_neardup", coalesce(col("is_neardup"), lit(false)))
             .withColumn("accepted", gatePass && !col("is_neardup"))
-            .persist()
+          val full = (if (sourceMix)
+            markSourceMix(ndFull, s"$stateRoot/mix", batchId)
+          else ndFull).persist()
           try {
             onBatch(full)
             val accepted = full.filter(col("accepted"))
             commitNearDup(accepted.select(col("doc_id")))
             accepted.select(col("content_sha"))
               .write.mode("overwrite").parquet(s"$stateRoot/sha/batch=$batchId")
+            if (sourceMix)
+              accepted.groupBy(col("source"))
+                .agg(sum(size(split(col("text"), " ")).cast("long"))
+                  .as("src_tokens"))
+                .write.mode("overwrite").parquet(s"$stateRoot/mix/batch=$batchId")
           } finally { full.unpersist(); banded.unpersist() }
         } finally gated.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Source-mixing stage of [[startCorpusPipeline]]: annotates the batch
+    * with `mix_weight` (min(1, budget/src_tokens) over the PRIOR batches'
+    * accepted per-source token totals; 1.0 for sources with no history)
+    * and `mix_kept` (the `t_source_sample` LCG draw), and folds the draw
+    * into `accepted`.
+    */
+  private def markSourceMix(ndFull: DataFrame, mixDir: String,
+                            batchId: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val s = ndFull.sparkSession
+    val mixSchema = StructType(Seq(StructField("source", StringType),
+      StructField("src_tokens", LongType)))
+    val prior =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(mixDir)))
+        s.read.parquet(mixDir).filter(col("batch") =!= batchId)
+          .select(mixSchema.fieldNames.map(col).toSeq: _*)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], mixSchema)
+    val bySrc = prior.groupBy(col("source"))
+      .agg(sum(col("src_tokens")).cast(LongType).as("src_tokens"))
+    val totals = bySrc.agg(
+      sum(col("src_tokens")).cast("double").as("total_tokens"),
+      count(lit(1)).cast("double").as("n_sources"))
+    val weights = bySrc.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0), (col("total_tokens") / col("n_sources")) /
+          col("src_tokens").cast("double")).as("__w"))
+    val h = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    ndFull.join(broadcast(weights), Seq("source"), "left_outer")
+      .withColumn("mix_weight", coalesce(col("__w"), lit(1.0)))
+      .withColumn("mix_kept",
+        h.cast("double") < col("mix_weight") * lit(2147483648.0))
+      .withColumn("accepted", col("accepted") && col("mix_kept"))
+      .drop("__w")
   }
 
   def startIncrementalDedup(docs: DataFrame, seenShaDir: String,

@@ -390,4 +390,61 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(ndState.toSeq === Seq(1L, 4L, 7L), ndState.toSeq.toString)
   }
+
+  test("R20/T4 streaming: source-mixing stage rebalances to the accumulated token budget") {
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("corpus-mix").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    // four 20-token all-distinct-token docs (quality >= 0.8, no shingle
+    // overlap, no repetition) — every upstream gate passes, so the mix
+    // draw is the only thing that can reject
+    def doc(i: Int): String =
+      (0 until 20).map(j => s"tok${i}x$j").mkString(" ")
+    val stream = MemoryStream[(Long, String, String)](spark)
+    type V = (Double, Boolean, Boolean) // mix_weight, mix_kept, accepted
+    val got = new ConcurrentLinkedQueue[(Long, V)]()
+    val q = StreamingAggs.startCorpusPipeline(
+      stream.toDF().toDF("doc_id", "text", "source"), evalDocs,
+      s"$dir/state", s"$dir/ckpt",
+      batch => batch.select("doc_id", "mix_weight", "mix_kept", "accepted")
+        .collect().foreach(r => got.add((r.getLong(0),
+          (r.getDouble(1), r.getBoolean(2), r.getBoolean(3))))),
+      sourceMix = true)
+    try {
+      // batch 0: NO prior totals — every weight 1.0, everything kept.
+      // Accepted totals after the batch: src0 = 60 tokens, src1 = 20.
+      stream.addData((1L, doc(1), "src0"), (2L, doc(2), "src0"),
+        (3L, doc(3), "src0"), (4L, doc(4), "src1"))
+      q.processAllAvailable()
+      // batch 1: budget = 80/2 = 40 ⇒ w(src0) = 40/60 = 0.6667,
+      // w(src1) = 1. The LCG draw (h/2^31): doc 10 → 0.1386 (kept),
+      // doc 13 → 0.6802 (> 2/3 ⇒ mix-DROPPED), doc 14 → src1, kept.
+      stream.addData((10L, doc(10), "src0"), (13L, doc(13), "src0"),
+        (14L, doc(14), "src1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, V)](0)).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(byDoc(id) === ((1.0, true, true)), s"batch 0 doc $id: ${byDoc(id)}")
+    }
+    assert(math.abs(byDoc(10L)._1 - 2.0 / 3.0) < 1e-9 && byDoc(10L)._2 &&
+      byDoc(10L)._3, s"doc 10 draws 0.1386 < 2/3 and stays: ${byDoc(10L)}")
+    assert(math.abs(byDoc(13L)._1 - 2.0 / 3.0) < 1e-9 && !byDoc(13L)._2 &&
+      !byDoc(13L)._3,
+      s"doc 13 draws 0.6802 > 2/3 — the ONLY gate that rejects it is the " +
+        s"mix draw: ${byDoc(13L)}")
+    assert(byDoc(14L) === ((1.0, true, true)),
+      s"src1 is under budget, weight 1: ${byDoc(14L)}")
+    // mix state accumulates per (source, batch) from FINAL accepted docs
+    // only: batch 0 = {src0: 60, src1: 20}, batch 1 = {src0: 20 (doc 13
+    // dropped), src1: 20}
+    val mix = spark.read.parquet(s"$dir/state/mix")
+      .select("source", "src_tokens", "batch")
+      .as[(String, Long, Int)].collect().toSet
+    assert(mix === Set(("src0", 60L, 0), ("src1", 20L, 0),
+      ("src0", 20L, 1), ("src1", 20L, 1)), mix.toString)
+    // every gate-rejected doc appends NO state anywhere
+    assert(spark.read.parquet(s"$dir/state/sha").count() === 6)
+  }
 }
