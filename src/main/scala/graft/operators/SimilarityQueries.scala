@@ -547,15 +547,21 @@ object SimilarityQueries {
                x -> x.cell)""").as("probe_cells"))
       val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
         .select(expr(pqLutSql).as("lut"))
-      // index build: home cell + stored code, one per-row pass
-      val indexed = e.crossJoin(broadcast(centArr)).crossJoin(broadcast(cb))
-        .select(col("vec_id"),
-          expr(pickCellSql("cells", "cv", "cnrm")).as("cell"),
-          expr(pqEncodeSql).as("r"))
-        .select(col("vec_id"), col("cell"), col("r.pq_code"))
-      indexed.filter(col("vec_id") =!= 0)
+      // coarse BEFORE fine — the IVF discipline: assign every vector its
+      // home cell (per-row argmax), filter to the probed cells, and only
+      // THEN do the fine work (encode fold + ADC) on the survivors. The
+      // cell filter prunes the encode from |corpus| to |probed cells| —
+      // in production the codes are precomputed ([[pqCodes]]) and this
+      // stage is a pure partition-pruned scan of them.
+      val assigned = e.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("v"),
+          expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+      assigned.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probeCells))
         .filter(array_contains(col("probe_cells"), col("cell")))
+        .crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
+        .select(col("vec_id"), col("cell"), col("r.pq_code"))
         .crossJoin(broadcast(lut))
         .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
         .orderBy(col("adc_units"), col("vec_id"))
