@@ -526,48 +526,60 @@ object SimilarityQueries {
     // codes, LUT, sums, and the top-10 exactly.
     "v_ivfpq_search" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
+      ivfpqSearch(Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .filter(size(col("v")) === 64)
-        .withColumn("nrm", l2Norm(col("v")))
-      val cb = pqCodebook(e)
-      // coarse quantizer: strided centroids as ONE sorted broadcast row
-      val centArr = e.filter(col("vec_id") % 13 === 0)
-        .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
-          col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
-      // probe's nprobe=2 best cells (cosine DESC, cell ASC — the shared
-      // argmax discipline), as one broadcast 2-element array
-      val probeCells = e.filter(col("vec_id") === 0)
-        .crossJoin(broadcast(centArr))
-        .select(expr(
-          s"""transform(slice(array_sort(transform(cells, s ->
-                 named_struct(
-                   'negc', -coalesce(${cosSql("v", "nrm", "s.cv", "s.cnrm")}, -2D),
-                   'cell', s.cell))), 1, 2),
-               x -> x.cell)""").as("probe_cells"))
-      val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
-        .select(expr(pqLutSql).as("lut"))
-      // coarse BEFORE fine — the IVF discipline: assign every vector its
-      // home cell (per-row argmax), filter to the probed cells, and only
-      // THEN do the fine work (encode fold + ADC) on the survivors. The
-      // cell filter prunes the encode from |corpus| to |probed cells| —
-      // in production the codes are precomputed ([[pqCodes]]) and this
-      // stage is a pure partition-pruned scan of them.
-      val assigned = e.crossJoin(broadcast(centArr))
-        .select(col("vec_id"), col("v"),
-          expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
-      assigned.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probeCells))
-        .filter(array_contains(col("probe_cells"), col("cell")))
-        .crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
-        .select(col("vec_id"), col("cell"), col("r.pq_code"))
-        .crossJoin(broadcast(lut))
-        .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
-        .orderBy(col("adc_units"), col("vec_id"))
-        .limit(10)
+        .filter(size(col("v")) === 64))
     })
   )
+
+  /** Core of `v_ivfpq_search` (public for the planted cell-probe spec,
+    * like [[annIvfBest]]): coarse quantizer from strided centroids, probe
+    * (vec_id 0) keeps its best `nprobe` cells, coarse-before-fine pruning,
+    * within-cell ADC over the stored codes, top-10. Input as in
+    * [[annLshBest]], 64-dim vectors; callers must have run
+    * GraftFunctions.register.
+    */
+  def ivfpqSearch(e0: DataFrame, centroidStride: Int = 13,
+                  nprobe: Int = 2): DataFrame = {
+    val e = e0.select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cb = pqCodebook(e)
+    // coarse quantizer: strided centroids as ONE sorted broadcast row
+    val centArr = e.filter(col("vec_id") % centroidStride === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
+    // probe's nprobe best cells (cosine DESC, cell ASC — the shared
+    // argmax discipline), as one broadcast nprobe-element array
+    val probeCells = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(centArr))
+      .select(expr(
+        s"""transform(slice(array_sort(transform(cells, s ->
+               named_struct(
+                 'negc', -coalesce(${cosSql("v", "nrm", "s.cv", "s.cnrm")}, -2D),
+                 'cell', s.cell))), 1, $nprobe),
+             x -> x.cell)""").as("probe_cells"))
+    val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
+      .select(expr(pqLutSql).as("lut"))
+    // coarse BEFORE fine — the IVF discipline: assign every vector its
+    // home cell (per-row argmax), filter to the probed cells, and only
+    // THEN do the fine work (encode fold + ADC) on the survivors. The
+    // cell filter prunes the encode from |corpus| to |probed cells| —
+    // in production the codes are precomputed ([[pqCodes]]) and this
+    // stage is a pure partition-pruned scan of them.
+    val assigned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"),
+        expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+    assigned.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probeCells))
+      .filter(array_contains(col("probe_cells"), col("cell")))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
+      .select(col("vec_id"), col("cell"), col("r.pq_code"))
+      .crossJoin(broadcast(lut))
+      .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
+      .orderBy(col("adc_units"), col("vec_id"))
+      .limit(10)
+  }
 
   /** The `v_pq_adc` query body (shared with `v_pq_recall`, whose audit
     * must rank with the identical ADC arithmetic): probe LUT as one

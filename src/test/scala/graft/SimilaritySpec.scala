@@ -165,6 +165,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("R19: IVF-PQ search probes cells, not the corpus — an L2-closer vector in an unprobed cell is excluded") {
+    // 16 vectors (codebook + corpus), stride 4 ⇒ centroids {0, 4, 8, 12}
+    // on orthogonal axes. The probe (0 = e1) ranks cells by cosine: own
+    // cell 1.0, the rest tie at 0 ⇒ nprobe=2 picks {0, 4} (lowest-cell
+    // tie-break). Planted semantics pin:
+    //   id 1 (0.9·e1 + 0.1·e2)  → home cell 0, probed  ⇒ in results
+    //   id 2 (0.1·e1 + 0.8·e2)  → home cell 4, probed  ⇒ in results
+    //   id 3 (0.1·e3)           → home cell 8, UNPROBED ⇒ excluded, even
+    //     though its exact L2 distance to the probe (1.01) beats id 2's
+    //     (1.45) — a full-corpus ADC scan would rank it above id 2; only
+    //     the cell filter can exclude it. That asymmetry IS the index.
+    graft.plans.GraftFunctions.register(spark)
+    def axis(i: Int, s: Double): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) s else 0.0)
+    def mix(pairs: (Int, Double)*): Seq[Double] =
+      Seq.tabulate(64)(j => pairs.collectFirst { case (i, s) if i == j => s }.getOrElse(0.0))
+    val data: Seq[(Long, Seq[Double])] = Seq(
+      0L -> axis(0, 1.0), 4L -> axis(1, 1.0),
+      8L -> axis(2, 1.0), 12L -> axis(3, 1.0),          // centroids
+      1L -> mix(0 -> 0.9, 1 -> 0.1),                    // cell 0
+      2L -> mix(0 -> 0.1, 1 -> 0.8),                    // cell 4
+      3L -> axis(2, 0.1),                               // cell 8: the trap
+      5L -> axis(2, 2.0), 6L -> axis(2, 3.0),           // cell 8 filler
+      7L -> axis(3, 2.0), 9L -> axis(3, 3.0),           // cell 12 filler
+      10L -> axis(2, 4.0), 11L -> axis(3, 4.0),
+      13L -> axis(2, 5.0), 14L -> axis(3, 5.0), 15L -> axis(2, 6.0))
+    val out = graft.operators.SimilarityQueries
+      .ivfpqSearch(data.toDF("vec_id", "v"), centroidStride = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Set(0L, 4L).intersect(out.values.toSet) === out.values.toSet,
+      s"every result must come from a probed cell: $out")
+    assert(out.contains(1L) && out(1L) === 0L, out.toString)
+    assert(out.contains(2L) && out(2L) === 4L, out.toString)
+    assert(out.contains(4L) && out(4L) === 4L,
+      s"centroid 4 is itself a corpus member of a probed cell: $out")
+    assert(!out.contains(3L),
+      s"the trap (closer to the probe than id 2, homed in unprobed cell 8) leaked in: $out")
+    assert(!out.contains(8L) && !out.contains(12L) && !out.contains(5L),
+      s"unprobed-cell members leaked in: $out")
+  }
+
   test("R19 regression: dot product of mismatched-length arrays is null, not a partial sum") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
     val r = df.select(dot($"a", $"b").as("d")).collect()
