@@ -496,13 +496,19 @@ object SimilarityQueries {
         .orderBy(col("d2u"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"))
-      val adc50 = pqAdcTop(s, d, 50).select(col("vec_id"), col("adc_units"))
-      val adc10 = adc50.orderBy(col("adc_units"), col("vec_id")).limit(10)
-      val top10Hits = adc10.select(col("vec_id")).join(exact10, "vec_id")
-        .agg(count(lit(1)).as("n_overlap_top10"))
-      val shortlistHits = adc50.select(col("vec_id")).join(exact10, "vec_id")
-        .agg(count(lit(1)).as("n_shortlist_hits"))
-      top10Hits.crossJoin(shortlistHits)
+      // ONE corpus pass: the ADC@10 set is the shortlist's first 10, so
+      // rank the 50-row TakeOrdered output (trivial single-partition
+      // window over 50 rows) and derive both counts from one join — a
+      // second reference to adc50 re-executed the whole corpus encode
+      // (distinct subtrees, no exchange to reuse; measured 2× cost)
+      val wRank = Window.orderBy(col("adc_units"), col("vec_id"))
+      pqAdcTop(s, d, 50)
+        .withColumn("rk", row_number().over(wRank))
+        .join(exact10, "vec_id")
+        .agg(
+          coalesce(sum(when(col("rk") <= 10, 1L).otherwise(0L)), lit(0L))
+            .as("n_overlap_top10"),
+          count(lit(1)).as("n_shortlist_hits"))
     }),
 
     // R19 — IVF-PQ SEARCH, the composed end-to-end index query the pieces
