@@ -439,12 +439,42 @@ class StreamingSpec extends SparkSpec {
     // mix state accumulates per (source, batch) from FINAL accepted docs
     // only: batch 0 = {src0: 60, src1: 20}, batch 1 = {src0: 20 (doc 13
     // dropped), src1: 20}
+    val mixState = Set(("src0", 60L, 0), ("src1", 20L, 0),
+      ("src0", 20L, 1), ("src1", 20L, 1))
     val mix = spark.read.parquet(s"$dir/state/mix")
       .select("source", "src_tokens", "batch")
       .as[(String, Long, Int)].collect().toSet
-    assert(mix === Set(("src0", 60L, 0), ("src1", 20L, 0),
-      ("src0", 20L, 1), ("src1", 20L, 1)), mix.toString)
+    assert(mix === mixState, mix.toString)
     // every gate-rejected doc appends NO state anywhere
     assert(spark.read.parquet(s"$dir/state/sha").count() === 6)
+    // replay stability: re-delivering batch 0's docs as batch 0 (fresh
+    // checkpoint, same state — the post-write-pre-commit crash shape)
+    // must re-derive weights EXCLUDING its own mix/batch=0 slice: src0's
+    // weight stays 1.0 (a broken exclusion would fold the slice into an
+    // 80-token src0 history ⇒ weight 0.75), every verdict reproduces,
+    // and the batch rewrites identical state
+    val rStream = MemoryStream[(Long, String, String)](spark)
+    val rGot = new ConcurrentLinkedQueue[(Long, V)]()
+    val rq = StreamingAggs.startCorpusPipeline(
+      rStream.toDF().toDF("doc_id", "text", "source"), evalDocs,
+      s"$dir/state", s"$dir/ckpt-replay",
+      batch => batch.select("doc_id", "mix_weight", "mix_kept", "accepted")
+        .collect().foreach(r => rGot.add((r.getLong(0),
+          (r.getDouble(1), r.getBoolean(2), r.getBoolean(3))))),
+      sourceMix = true)
+    try {
+      rStream.addData((1L, doc(1), "src0"), (2L, doc(2), "src0"),
+        (3L, doc(3), "src0"), (4L, doc(4), "src1"))
+      rq.processAllAvailable()
+    } finally rq.stop()
+    val rByDoc = rGot.toArray(new Array[(Long, V)](0)).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(rByDoc(id) === ((1.0, true, true)),
+        s"replayed batch 0 doc $id must reproduce its first attempt: ${rByDoc(id)}")
+    }
+    val rMix = spark.read.parquet(s"$dir/state/mix")
+      .select("source", "src_tokens", "batch")
+      .as[(String, Long, Int)].collect().toSet
+    assert(rMix === mixState, s"replay must rewrite identical state: $rMix")
   }
 }
