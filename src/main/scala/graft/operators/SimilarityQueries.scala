@@ -549,14 +549,54 @@ object SimilarityQueries {
                   nprobe: Int = 2): DataFrame = {
     val e = e0.select(col("vec_id"), col("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val cb = pqCodebook(e)
-    // coarse quantizer: strided centroids as ONE sorted broadcast row
-    val centArr = e.filter(col("vec_id") % centroidStride === 0)
+    val (centArr, cb) = pqIndexBuild(e, centroidStride)
+    // coarse BEFORE fine — the IVF discipline: assign every vector its
+    // home cell (per-row argmax), filter to the probed cells, and only
+    // THEN do the fine work (encode fold + ADC) on the survivors. The
+    // cell filter prunes the encode from |corpus| to |probed cells| —
+    // in production the codes are precomputed ([[pqIndexAnnotate]] /
+    // [[pqCodes]]) and this stage is a pure partition-pruned scan of
+    // them ([[pqIndexServe]] is that form, over genuinely stored codes).
+    val assigned = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"),
+        expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+    val probe = e.filter(col("vec_id") === 0)
+    assigned.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probeCellsOf(probe, centArr, nprobe)))
+      .filter(array_contains(col("probe_cells"), col("cell")))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
+      .select(col("vec_id"), col("cell"), col("r.pq_code"))
+      .crossJoin(broadcast(probeLutOf(probe, cb)))
+      .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
+      .orderBy(col("adc_units"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-PQ index artifacts from a seed corpus: the strided-centroid
+    * coarse quantizer and the PQ codebook, each as ONE broadcastable
+    * array row. The build inputs are a SEED frame so a streaming index
+    * ([[graft.streaming.StreamingAggs.startIncrementalVectorIndex]]) can
+    * pin its artifacts to a fixed reference corpus while annotating an
+    * unbounded arrival stream — ivfpqSearch builds from the full corpus,
+    * which is the same thing when the corpus IS the seed. Input as in
+    * [[annLshBest]] plus an `nrm` column.
+    */
+  private[graft] def pqIndexBuild(seed: DataFrame, centroidStride: Int = 13)
+      : (DataFrame, DataFrame) = {
+    val centArr = seed.filter(col("vec_id") % centroidStride === 0)
       .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
         col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
-    // probe's nprobe best cells (cosine DESC, cell ASC — the shared
-    // argmax discipline), as one broadcast nprobe-element array
-    val probeCells = e.filter(col("vec_id") === 0)
+    (centArr, pqCodebook(seed))
+  }
+
+  /** The probe's best `nprobe` cells — cosine DESC, cell ASC, the shared
+    * argmax discipline — as one broadcastable array row. `probe` must be
+    * a single (vec_id, v, nrm) row.
+    */
+  private def probeCellsOf(probe: DataFrame, centArr: DataFrame,
+                           nprobe: Int): DataFrame =
+    probe
       .crossJoin(broadcast(centArr))
       .select(expr(
         s"""transform(slice(array_sort(transform(cells, s ->
@@ -564,27 +604,52 @@ object SimilarityQueries {
                  'negc', -coalesce(${cosSql("v", "nrm", "s.cv", "s.cnrm")}, -2D),
                  'cell', s.cell))), 1, $nprobe),
              x -> x.cell)""").as("probe_cells"))
-    val lut = e.filter(col("vec_id") === 0).crossJoin(broadcast(cb))
+
+  /** The probe's positional LUT row (see [[pqLutSql]]); `probe` must be
+    * a single (vec_id, v) row.
+    */
+  private def probeLutOf(probe: DataFrame, cb: DataFrame): DataFrame =
+    probe.crossJoin(broadcast(cb))
       .select(expr(pqLutSql).as("lut"))
-    // coarse BEFORE fine — the IVF discipline: assign every vector its
-    // home cell (per-row argmax), filter to the probed cells, and only
-    // THEN do the fine work (encode fold + ADC) on the survivors. The
-    // cell filter prunes the encode from |corpus| to |probed cells| —
-    // in production the codes are precomputed ([[pqCodes]]) and this
-    // stage is a pure partition-pruned scan of them.
-    val assigned = e.crossJoin(broadcast(centArr))
+
+  /** Annotate arriving (vec_id, v) rows with their home cell and packed
+    * PQ code against broadcast index artifacts — the per-batch body of
+    * the streaming index maintainer. Pure per-row work: argmax over the
+    * centroid array, encode fold over the codebook; no shuffle.
+    */
+  private[graft] def pqIndexAnnotate(batch: DataFrame, centArr: DataFrame,
+                                     cb: DataFrame): DataFrame =
+    batch.select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
         expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
-    assigned.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(probeCells))
-      .filter(array_contains(col("probe_cells"), col("cell")))
       .crossJoin(broadcast(cb))
       .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
       .select(col("vec_id"), col("cell"), col("r.pq_code"))
-      .crossJoin(broadcast(lut))
+
+  /** Serve an ADC top-k from STORED (vec_id, cell, pq_code) rows — the
+    * materialized-index form of [[ivfpqSearch]]'s serving stage: the
+    * probe row ranks its `nprobe` cells and precomputes the positional
+    * LUT, the stored codes are filtered to the probed cells (at scale: a
+    * cell-partitioned table ⇒ partition pruning) and each survivor costs
+    * 8 positional lookups. No vector arithmetic over the corpus at all —
+    * the stored 8-byte codes are the only corpus-sized input.
+    */
+  private[graft] def pqIndexServe(codes: DataFrame, probeRow: DataFrame,
+                                  centArr: DataFrame, cb: DataFrame,
+                                  nprobe: Int = 2, k: Int = 10,
+                                  probeId: Long = 0L): DataFrame = {
+    val p = probeRow.select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    codes
+      .filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probeCellsOf(p, centArr, nprobe)))
+      .filter(array_contains(col("probe_cells"), col("cell")))
+      .crossJoin(broadcast(probeLutOf(p, cb)))
       .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
       .orderBy(col("adc_units"), col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** The `v_pq_adc` query body (shared with `v_pq_recall`, whose audit

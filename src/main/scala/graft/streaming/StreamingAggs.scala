@@ -648,4 +648,49 @@ object StreamingAggs {
       }
       .start()
   }
+
+  /** R19/T4 — streaming IVF-PQ index MAINTENANCE, the vector path's
+    * ingest twin (the corpus path has streaming twins of every batch
+    * operator; this is the index build's): arriving (vec_id, v) vectors
+    * are assigned their home cell and PQ-encoded per-row against the
+    * broadcast index artifacts — coarse centroids + codebook built ONCE
+    * from a fixed SEED corpus (`SimilarityQueries.pqIndexBuild`; pinning
+    * artifacts to a reference corpus is how production keeps codes
+    * comparable across arrivals — retraining re-encodes the index, a
+    * batch job, not an ingest stage) — and the slim (vec_id, cell,
+    * pq_code) rows are appended to the batch-partitioned codes table.
+    * Per-batch overwrite commits are idempotent, there is no cross-batch
+    * probe at all (pure append), so replay trivially rewrites identical
+    * state. `SimilarityQueries.pqIndexServe` then answers ADC top-k
+    * straight from the stored codes — the IncrementalVectorIndexSpec
+    * proves serve-over-stored-state ≡ the composed `v_ivfpq_search` plan
+    * on the same corpus. 100 TB: per-row work against broadcast
+    * artifacts, 16-ish bytes of state per vector, and at serve time the
+    * cell column is the partition-pruning key.
+    */
+  def startIncrementalVectorIndex(vectors: DataFrame, seedVectors: DataFrame,
+                                  codesDir: String, checkpointDir: String,
+                                  onBatch: DataFrame => Unit,
+                                  centroidStride: Int = 13)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.VectorFunctions.l2Norm
+    val seed = seedVectors.select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.plans.GraftFunctions.register(batch.sparkSession)
+        val (centArr, cb) =
+          graft.operators.SimilarityQueries.pqIndexBuild(seed, centroidStride)
+        val annotated = graft.operators.SimilarityQueries
+          .pqIndexAnnotate(batch, centArr, cb)
+          .persist()
+        try {
+          onBatch(annotated)
+          annotated.write.mode("overwrite").parquet(s"$codesDir/batch=$batchId")
+        } finally annotated.unpersist()
+        ()
+      }
+      .start()
+  }
 }

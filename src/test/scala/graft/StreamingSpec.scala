@@ -477,4 +477,61 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(rMix === mixState, s"replay must rewrite identical state: $rMix")
   }
+
+  test("R19/T4 streaming: incremental vector index — serving stored codes ≡ the composed IVF-PQ plan") {
+    import graft.streaming.StreamingAggs
+    import graft.operators.SimilarityQueries
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("vec-index").toString
+    graft.plans.GraftFunctions.register(spark)
+    // the ivfpqSearch planted fixture: stride 4 ⇒ centroids {0,4,8,12}
+    // on orthogonal axes, probe = id 0 = e1, probed cells {0, 4}
+    def axis(i: Int, s: Double): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) s else 0.0)
+    def mix2(a: (Int, Double), b: (Int, Double)): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == a._1) a._2 else if (j == b._1) b._2 else 0.0)
+    val seed: Seq[(Long, Seq[Double])] = Seq(
+      0L -> axis(0, 1.0), 4L -> axis(1, 1.0),
+      8L -> axis(2, 1.0), 12L -> axis(3, 1.0),
+      1L -> mix2(0 -> 0.9, 1 -> 0.1), 2L -> mix2(0 -> 0.1, 1 -> 0.8),
+      3L -> axis(2, 0.1), 5L -> axis(2, 2.0), 6L -> axis(2, 3.0),
+      7L -> axis(3, 2.0), 9L -> axis(3, 3.0), 10L -> axis(2, 4.0),
+      11L -> axis(3, 4.0), 13L -> axis(2, 5.0), 14L -> axis(3, 5.0),
+      15L -> axis(2, 6.0))
+    // later arrivals (ids avoid ≡ 0 mod 4 so the quantizer is unchanged):
+    // two land in probed cells, one in an unprobed cell
+    val arrivals: Seq[(Long, Seq[Double])] = Seq(
+      17L -> mix2(0 -> 0.7, 1 -> 0.2), 18L -> axis(1, 0.9),
+      21L -> axis(2, 1.5), 22L -> mix2(0 -> 0.05, 1 -> 0.6))
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val q = StreamingAggs.startIncrementalVectorIndex(
+      stream.toDF().toDF("vec_id", "v"), seed.toDF("vec_id", "v"),
+      s"$dir/codes", s"$dir/ckpt", _ => (), centroidStride = 4)
+    try {
+      stream.addData(seed: _*)      // batch 0: backfill the seed corpus
+      q.processAllAvailable()
+      stream.addData(arrivals: _*)  // batch 1: live arrivals
+      q.processAllAvailable()
+    } finally q.stop()
+    // serve an ADC top-10 from the STORED codes only — no vector column
+    // anywhere on the corpus side — and demand bit-identical results to
+    // the fully-composed in-plan query over the same union corpus
+    import graft.functions.VectorFunctions.l2Norm
+    val seedDf = seed.toDF("vec_id", "v").withColumn("nrm", l2Norm(col("v")))
+    val (centArr, cb) = SimilarityQueries.pqIndexBuild(seedDf, 4)
+    val served = SimilarityQueries.pqIndexServe(
+      spark.read.parquet(s"$dir/codes").select("vec_id", "cell", "pq_code"),
+      seed.toDF("vec_id", "v").filter(col("vec_id") === 0),
+      centArr, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val composed = SimilarityQueries.ivfpqSearch(
+      (seed ++ arrivals).toDF("vec_id", "v"), centroidStride = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === composed,
+      s"stored-index serving diverged from the composed plan:\n  served=$served\n  composed=$composed")
+    assert(served.map(_._1).toSet.intersect(Set(17L, 18L, 22L)) === Set(17L, 18L, 22L),
+      s"live arrivals in probed cells must be servable: $served")
+    assert(!served.map(_._1).contains(21L),
+      s"an arrival homed in an unprobed cell leaked into serving: $served")
+  }
 }
