@@ -186,6 +186,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("d_simhash_pairs: banded AND verify-shingle map stages each execute once (reused exchanges)") {
+    // the two deliberately-shared subtrees — the scan→simhash→explode
+    // banding pass (both (band,h) consumers) and the round-9 explicit
+    // repartition(doc_id) above the verify shingle pass (both join
+    // sides) — must each materialize ONE exchange and reuse it; losing
+    // either reuse silently doubles a corpus-sized map stage
+    val df = SparkEntry.queries("d_simhash_pairs")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(p).size >= 2,
+      s"expected both shared exchanges reused:\n${p.take(1200)}")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      "the explicit verify-path repartition(doc_id) exchange is gone")
+  }
+
   test("t_perplexity_proxy: vocab-sized unigram table is never hint-forced to broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
     val qe = SparkEntry.queries("t_perplexity_proxy")(spark, d).queryExecution
