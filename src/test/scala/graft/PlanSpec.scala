@@ -176,6 +176,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "native dot product missing")
   }
 
+  test("v_ivfpq_batch: probe table broadcast, per-probe top-3 through the native heap") {
+    // the only corpus-sized exchange allowed is TopKPerKey's own
+    // (already pruned to ≤ k rows per partition); the probe fan-out is a
+    // broadcast join, never a shuffle join
+    graft.plans.TopKRewrite.enable(spark)
+    val p = plan("v_ivfpq_batch")
+    assert(p.contains("TopKPerKey"), p.take(1000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(1000))
+  }
+
   test("v_pq_adc: serving side consumes stored codes — no argmin encode on the LUT path") {
     // the ADC fold must be 8 positional element_at lookups over the
     // broadcast LUT; exactly ONE encode fold (the index-build stage
