@@ -808,9 +808,11 @@ object SimilarityQueries {
     * (the stored base-17-packed code) and `lut` (the broadcast positional
     * 128-entry distance array): each digit is peeled with a running
     * integer divide and spent on one positional `element_at` at index
-    * ss·16+code+1. Shared by `v_pq_adc` and `v_ivfpq_search`.
+    * ss·16+code+1. Shared by `v_pq_adc` and `v_ivfpq_search`;
+    * `private[graft]` so PropertySpec can pin the unpack against the
+    * base-17 pack ∀ random code vectors.
     */
-  private val pqAdcSql: String =
+  private[graft] val pqAdcSql: String =
     """aggregate(sequence(0, 7),
          named_struct('s', CAST(0 AS BIGINT), 'p', pq_code),
          (acc, j) -> named_struct(

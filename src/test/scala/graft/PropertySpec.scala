@@ -137,4 +137,23 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === expected, s"texts=$texts")
     }
   }
+
+  test("R19 ∀ code vectors: the ADC unpack fold inverts the base-17 pack against any LUT") {
+    // ∀ random 8-digit code vectors (digits 0..15) and random positive
+    // LUTs: peeling the packed integer digit-by-digit and spending each
+    // on its positional lookup must return exactly Σ lut[ss*16+code_ss]
+    // — the pack(pqEncodeSql)/unpack(pqAdcSql) pairing every stored-code
+    // serving path depends on
+    val codesGen = Gen.listOfN(8, Gen.chooseNum(0, 15))
+    val lutGen = Gen.listOfN(128, Gen.chooseNum(0L, 1000000L))
+    samples(Gen.zip(codesGen, lutGen), 25).foreach { case (codes, lut) =>
+      val packed = codes.zipWithIndex.map { case (c, ss) =>
+        c * BigInt(17).pow(ss) }.sum.toLong
+      val expected = codes.zipWithIndex.map { case (c, ss) => lut(ss * 16 + c) }.sum
+      val got = Seq((packed, lut)).toDF("pq_code", "lut")
+        .selectExpr(graft.operators.SimilarityQueries.pqAdcSql)
+        .as[Long].head()
+      assert(got === expected, s"codes=$codes packed=$packed")
+    }
+  }
 }
