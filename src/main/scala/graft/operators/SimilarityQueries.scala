@@ -572,9 +572,9 @@ object SimilarityQueries {
       val codes = e.crossJoin(broadcast(centArr))
         .select(col("vec_id"), col("v"),
           expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
-        .crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
-        .select(col("vec_id"), col("cell"), col("r.pq_code"))
+        .crossJoin(broadcast(cbFlatOf(cb)))
+        .select(col("vec_id"), col("cell"),
+          element_at(expr("graft_pq_encode(v, cbflat)"), 1).as("pq_code"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("adc_units"), col("vec_id"))
       codes.join(broadcast(probeTab),
@@ -615,14 +615,25 @@ object SimilarityQueries {
     assigned.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probeCellsOf(probe, centArr, nprobe)))
       .filter(array_contains(col("probe_cells"), col("cell")))
-      .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
-      .select(col("vec_id"), col("cell"), col("r.pq_code"))
+      .crossJoin(broadcast(cbFlatOf(cb)))
+      .select(col("vec_id"), col("cell"),
+        element_at(expr("graft_pq_encode(v, cbflat)"), 1).as("pq_code"))
       .crossJoin(broadcast(probeLutOf(probe, cb)))
       .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
       .orderBy(col("adc_units"), col("vec_id"))
       .limit(10)
   }
+
+  /** The flat `[subspace][code][dim]` 1024-entry codebook row derived
+    * in-plan from the struct codebook (filter preserves the (code, ss)
+    * sort, so codes stay ascending within each subspace) — the
+    * positional input shape of the native `graft_pq_encode`.
+    */
+  private def cbFlatOf(cb: DataFrame): DataFrame =
+    cb.select(expr(
+      """flatten(transform(sequence(0, 7), j ->
+           flatten(transform(filter(cb, c -> c.ss = j), c -> c.sv))))""")
+      .as("cbflat"))
 
   /** IVF-PQ index artifacts from a seed corpus: the strided-centroid
     * coarse quantizer and the PQ codebook, each as ONE broadcastable
@@ -680,9 +691,9 @@ object SimilarityQueries {
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
         expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
-      .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("cell"), expr(pqEncodeSql).as("r"))
-      .select(col("vec_id"), col("cell"), col("r.pq_code"))
+      .crossJoin(broadcast(cbFlatOf(cb)))
+      .select(col("vec_id"), col("cell"),
+        element_at(expr("graft_pq_encode(v, cbflat)"), 1).as("pq_code"))
 
   /** Serve an ADC top-k from STORED (vec_id, cell, pq_code) rows — the
     * materialized-index form of [[ivfpqSearch]]'s serving stage: the
@@ -769,40 +780,35 @@ object SimilarityQueries {
 
   /** Unordered [[pqCodes]] — the composition form `v_pq_adc` and
     * `v_ivfpq_search` consume (their own ordering comes from the ADC
-    * top-k, so an index-build sort would be pure waste).
+    * top-k, so an index-build sort would be pure waste). Encoding runs
+    * through the native `graft_pq_encode` (plans/PqEncode.scala) against
+    * the FLAT broadcast codebook — three primitive loops in whole-stage
+    * codegen instead of ~128 interpreted-lambda dispatches per row; the
+    * HOF-fold twin lives in NativeExprSpec as the parity reference.
     */
   private[operators] def pqCodesCore(e0: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(e0.sparkSession)
     val e = e0.select(col("vec_id"), col("v")).filter(size(col("v")) === 64)
-    e.crossJoin(broadcast(pqCodebook(e)))
-      .select(col("vec_id"), expr(pqEncodeSql).as("r"))
-      .select(col("vec_id"), col("r.pq_code"), col("r.mse_units"))
+    e.crossJoin(broadcast(pqCodebookFlat(e)))
+      .select(col("vec_id"), expr("graft_pq_encode(v, cbflat)").as("r"))
+      .select(col("vec_id"), element_at(col("r"), 1).as("pq_code"),
+        element_at(col("r"), 2).as("mse_units"))
   }
 
-  /** The PQ encode fold as a SQL fragment over row columns `v` (the
-    * vector) and `cb` (the broadcast codebook array): for each subspace,
-    * argmin of the integer-unit squared distance over its 16 entries
-    * (strict `<` keeps the LOWEST code on ties), then the 8 winners fold
-    * into `struct(pq_code, mse_units)` — codes packed base-17 (codes < 16
-    * ⇒ injective), error sum integer-exact. Shared by [[pqCodesCore]] and
-    * the `v_ivfpq_search` index-build pass.
+  /** The PQ codebook as ONE flat 1024-entry double array row laid out
+    * `[subspace][code][dim]` (8 × 16 × 8) — the input shape
+    * `graft_pq_encode` indexes positionally. Codes are the first 16
+    * vectors in vec_id order (array_sort on (vec_id, v) structs), the
+    * same codebook [[pqCodebook]] builds in struct form for the LUT
+    * paths.
     */
-  private def pqEncodeSql: String = {
-    val d2u = pqD2u("v", "c")
-    s"""aggregate(
-          transform(sequence(0, 7), j ->
-            aggregate(filter(cb, c -> c.ss = j),
-              named_struct('d2u', CAST(9223372036854775807 AS BIGINT),
-                           'code', -1),
-              (acc, c) -> CASE WHEN $d2u < acc.d2u
-                THEN named_struct('d2u', $d2u, 'code', CAST(c.code AS INT))
-                ELSE acc END)),
-          named_struct('pq_code', 0L, 'mse_units', 0L, 'p', 1L),
-          (acc, s) -> named_struct(
-            'pq_code', acc.pq_code + CAST(s.code AS BIGINT) * acc.p,
-            'mse_units', acc.mse_units + s.d2u,
-            'p', acc.p * 17L),
-          acc -> struct(acc.pq_code, acc.mse_units))"""
-  }
+  private def pqCodebookFlat(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vecs"))
+      .select(expr(
+        """flatten(transform(sequence(0, 7), ss ->
+             flatten(transform(vecs, x -> slice(x.v, ss * 8 + 1, 8)))))""")
+        .as("cbflat"))
 
   /** The ADC serving fold as a SQL fragment over row columns `pq_code`
     * (the stored base-17-packed code) and `lut` (the broadcast positional

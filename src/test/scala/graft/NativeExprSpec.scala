@@ -82,6 +82,71 @@ class NativeExprSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")), plan)
   }
 
+  test("graft_pq_encode equals the HOF fold on random vectors; stays in codegen; bad shapes null") {
+    // the retired SQL formulation, kept here as the parity reference: per
+    // subspace, argmin of floor(Σ(x-y)²·1e4+0.5) over the 16 struct
+    // entries (strict < keeps the lowest code), winners packed base-17 —
+    // graft_pq_encode must reproduce it BIT-identically (same double
+    // left-fold order feeding the same floor) against the flat
+    // [ss][code][dim] layout of the same codebook
+    val d2u =
+      """CAST(floor(aggregate(
+           zip_with(slice(v, c.ss * 8 + 1, 8), c.sv, (x, y) -> (x - y) * (x - y)),
+           CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)"""
+    val hofSql =
+      s"""aggregate(
+            transform(sequence(0, 7), j ->
+              aggregate(filter(cb, c -> c.ss = j),
+                named_struct('d2u', CAST(9223372036854775807 AS BIGINT), 'code', -1),
+                (acc, c) -> CASE WHEN $d2u < acc.d2u
+                  THEN named_struct('d2u', $d2u, 'code', CAST(c.code AS INT))
+                  ELSE acc END)),
+            named_struct('pq_code', 0L, 'mse_units', 0L, 'p', 1L),
+            (acc, s) -> named_struct(
+              'pq_code', acc.pq_code + CAST(s.code AS BIGINT) * acc.p,
+              'mse_units', acc.mse_units + s.d2u,
+              'p', acc.p * 17L),
+            acc -> array(acc.pq_code, acc.mse_units))"""
+    val rnd = new scala.util.Random(23)
+    val book = (0 until 16).map(_ => Seq.fill(64)(rnd.nextGaussian()))
+    // flat [ss][code][dim] twin of the same codebook
+    val cbFlat: Seq[Double] = (0 until 8).flatMap(ss =>
+      (0 until 16).flatMap(code => book(code).slice(ss * 8, ss * 8 + 8)))
+    val vecs = (0 until 50).map(i => (i, Seq.fill(64)(rnd.nextGaussian()))) ++
+      book.take(3).zipWithIndex.map { case (v, i) => (100 + i, v) } // zero-error rows
+    val df = vecs.toDF("id", "v").repartition(2)
+      .withColumn("bookvecs", typedLit(book))
+      // struct codebook in code-major order: filter(cb, c.ss = j) then
+      // iterates codes ascending, the argmin tie order the HOF needs
+      .withColumn("cb", expr(
+        """flatten(transform(bookvecs, (bv, code) ->
+             transform(sequence(0, 7), ss ->
+               struct(CAST(code AS INT) AS code, ss AS ss,
+                      slice(bv, ss * 8 + 1, 8) AS sv))))"""))
+      .withColumn("cbflat", typedLit(cbFlat))
+    val got = df.select(col("id"),
+      expr("graft_pq_encode(v, cbflat)").as("native"),
+      expr(hofSql).as("hof")).collect()
+    assert(got.length === 53)
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"id=${r.getInt(0)}")
+    }
+    // codebook members encode to themselves with zero error
+    got.filter(_.getInt(0) >= 100).foreach { r =>
+      assert(r.getSeq[Long](1)(1) === 0L, s"id=${r.getInt(0)} mse")
+    }
+    // wrong shapes are null, never garbage
+    val bad = Seq((Seq(1.0, 2.0), cbFlat), (Seq.fill(64)(0.0), Seq(1.0)))
+      .toDF("v", "cbflat")
+      .select(expr("graft_pq_encode(v, cbflat)").as("r")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+    // and the encode stays inside whole-stage codegen
+    val df2 = df.select(expr("graft_pq_encode(v, cbflat)"))
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_pq_encode")), plan)
+  }
+
   test("graft_jaccard equals the SQL array_intersect form on random distinct arrays") {
     import org.apache.spark.sql.functions._
     // random-ish distinct string arrays with overlap, plus the edge shapes:
