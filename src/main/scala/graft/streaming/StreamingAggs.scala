@@ -535,12 +535,25 @@ object StreamingAggs {
     * Scale: the weights table is one row per SOURCE — catalog-bounded,
     * broadcast-correct at any scale — and the mix state grows one row
     * per (source, batch).
+    *
+    * With `packSequences = true` the accepted survivors are additionally
+    * packed into 512-token training bins (`t_pack_sequences` arithmetic)
+    * CONTINUING across batches: each shard's bin cursor is the
+    * accumulated accepted token total of all PRIOR batches
+    * (`<stateRoot>/pack`, batch-partitioned, own-slice exclusion —
+    * replay re-derives identical bins), so the stream emits exactly the
+    * bin assignments a batch pack over the accepted corpus in arrival
+    * order would. A doc arriving mid-bin straddles batches the same way
+    * it would straddle bins. Packed rows go to `onPacked`; state is one
+    * row per (shard, batch) — 32 longs a batch.
     */
   def startCorpusPipeline(docs: DataFrame, evalDocs: DataFrame,
                           stateRoot: String, checkpointDir: String,
                           onBatch: DataFrame => Unit,
                           minQuality: Double = 0.52, n: Int = 5,
-                          sourceMix: Boolean = false)
+                          sourceMix: Boolean = false,
+                          packSequences: Boolean = false,
+                          onPacked: DataFrame => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
@@ -574,11 +587,57 @@ object StreamingAggs {
                 .agg(sum(size(split(col("text"), " ")).cast("long"))
                   .as("src_tokens"))
                 .write.mode("overwrite").parquet(s"$stateRoot/mix/batch=$batchId")
+            if (packSequences)
+              packBatch(accepted, s"$stateRoot/pack", batchId, onPacked)
           } finally { full.unpersist(); banded.unpersist() }
         } finally gated.unpersist()
         ()
       }
       .start()
+  }
+
+  /** Packing stage of [[startCorpusPipeline]]: per-shard prefix sums over
+    * the batch's accepted docs, offset by the accumulated prior-batch
+    * token totals, chunked into 512-token bins; commits this batch's
+    * per-shard sums to the batch-partitioned cursor state.
+    */
+  private def packBatch(accepted: DataFrame, packDir: String, batchId: Long,
+                        onPacked: DataFrame => Unit): Unit = {
+    import org.apache.spark.sql.types._
+    val s = accepted.sparkSession
+    val binCap = 512
+    val baseSchema = StructType(Seq(StructField("shard", LongType),
+      StructField("shard_tokens", LongType)))
+    val base =
+      (if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(packDir)))
+        s.read.parquet(packDir).filter(col("batch") =!= batchId)
+          .select(baseSchema.fieldNames.map(col).toSeq: _*)
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema))
+        .groupBy(col("shard"))
+        .agg(sum(col("shard_tokens")).cast(LongType).as("base_tokens"))
+    val toks = accepted.select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = toks
+      .join(broadcast(base), Seq("shard"), "left_outer")
+      .withColumn("cum",
+        sum(col("n_tokens")).over(w) + coalesce(col("base_tokens"), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / binCap).cast("long").as("start_bin"),
+        ((col("cum") - 1) / binCap).cast("long").as("end_bin"),
+        ((col("cum") - col("n_tokens")) % binCap).as("offset_in_bin"))
+      .persist()
+    try {
+      onPacked(packed)
+      toks.groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).cast(LongType).as("shard_tokens"))
+        .write.mode("overwrite").parquet(s"$packDir/batch=$batchId")
+    } finally packed.unpersist()
+    ()
   }
 
   /** Source-mixing stage of [[startCorpusPipeline]]: annotates the batch

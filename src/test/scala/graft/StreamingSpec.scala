@@ -478,6 +478,54 @@ class StreamingSpec extends SparkSpec {
     assert(rMix === mixState, s"replay must rewrite identical state: $rMix")
   }
 
+  test("R20/R12/T4 streaming: packing stage continues bins across batches; rejects consume no bin space") {
+    import graft.streaming.StreamingAggs
+    val dir = java.nio.file.Files.createTempDirectory("corpus-pack").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    // 300 distinct tokens per doc (quality ≥ 0.8, no overlap, not
+    // repetitive) so the packing draw is isolated; binCap 512 ⇒ a second
+    // 300-token doc on the same shard STRADDLES bins 0→1
+    def doc(i: Int): String = (0 until 300).map(j => s"w${i}x$j").mkString(" ")
+    val repetitive = Seq.fill(300)("loop").mkString(" ")
+    val stream = MemoryStream[(Long, String)](spark)
+    type P = (Long, Long, Long, Long, Long) // shard, n_tokens, start, end, off
+    val packed = new ConcurrentLinkedQueue[(Long, P)]()
+    val q = StreamingAggs.startCorpusPipeline(
+      stream.toDF().toDF("doc_id", "text"), evalDocs,
+      s"$dir/state", s"$dir/ckpt", _ => (),
+      packSequences = true,
+      onPacked = b => b.collect().foreach(r => packed.add((r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))))
+    try {
+      // batch 0: shard 1 and shard 2 each get one 300-token doc
+      stream.addData((1L, doc(1)), (2L, doc(2)))
+      q.processAllAvailable()
+      // batch 1: shard 1 gets an accepted doc (bin cursor at 300 ⇒
+      // straddles 0→1), a REPETITION reject (no bin space), and another
+      // accepted doc (cursor at 600 ⇒ fully inside bin 1); shard 2's
+      // cursor continues independently
+      stream.addData((33L, doc(33)), (65L, repetitive), (97L, doc(97)),
+        (34L, doc(34)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = packed.toArray(new Array[(Long, P)](0)).toMap
+    assert(byDoc(1L) === ((1L, 300L, 0L, 0L, 0L)), byDoc(1L).toString)
+    assert(byDoc(2L) === ((2L, 300L, 0L, 0L, 0L)), byDoc(2L).toString)
+    assert(byDoc(33L) === ((1L, 300L, 0L, 1L, 300L)),
+      s"doc 33 must straddle the batch-0 bin boundary: ${byDoc(33L)}")
+    assert(byDoc(97L) === ((1L, 300L, 1L, 1L, 88L)),
+      s"doc 97's cursor must skip the rejected doc 65: ${byDoc(97L)}")
+    assert(byDoc(34L) === ((2L, 300L, 0L, 1L, 300L)),
+      s"shard 2's cursor continues independently: ${byDoc(34L)}")
+    assert(!byDoc.contains(65L), "rejected docs must not be packed")
+    // cursor state: one row per (shard, batch) from accepted tokens only
+    val st = spark.read.parquet(s"$dir/state/pack")
+      .select("shard", "shard_tokens", "batch")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(st === Set((1L, 300L, 0), (2L, 300L, 0), (1L, 600L, 1),
+      (2L, 300L, 1)), st.toString)
+  }
+
   test("R19/T4 streaming: incremental vector index — serving stored codes ≡ the composed IVF-PQ plan") {
     import graft.streaming.StreamingAggs
     import graft.operators.SimilarityQueries
