@@ -521,7 +521,7 @@ object SimilarityQueries {
     // from v_kmeans_refine) AND its packed PQ code in the SAME per-row
     // select; serving then touches ONLY vectors homed in the probed
     // cells: unpack the stored code, 8 positional LUT lookups
-    // ([[pqAdcSql]]), top-10 via TakeOrderedAndProject. Everything small
+    // (native `graft_pq_adc`), top-10 via TakeOrderedAndProject. Everything small
     // is broadcast (centroids, codebook, LUT, the 2-cell probe list); the
     // corpus side is one scan with per-row work and NO join, NO shuffle —
     // at 100 TB the cell filter is the point: ADC cost is |probed cells|,
@@ -581,7 +581,7 @@ object SimilarityQueries {
           array_contains(col("probe_cells"), col("cell")) &&
             col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("cell"),
-          expr(pqAdcSql).as("adc_units"))
+          expr("graft_pq_adc(pq_code, lut)").as("adc_units"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("probe_id"), col("vec_id"), col("cell"), col("adc_units"))
@@ -619,7 +619,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cell"),
         element_at(expr("graft_pq_encode(v, cbflat)"), 1).as("pq_code"))
       .crossJoin(broadcast(probeLutOf(probe, cb)))
-      .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
+      .select(col("vec_id"), col("cell"), expr("graft_pq_adc(pq_code, lut)").as("adc_units"))
       .orderBy(col("adc_units"), col("vec_id"))
       .limit(10)
   }
@@ -714,7 +714,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(probeCellsOf(p, centArr, nprobe)))
       .filter(array_contains(col("probe_cells"), col("cell")))
       .crossJoin(broadcast(probeLutOf(p, cb)))
-      .select(col("vec_id"), col("cell"), expr(pqAdcSql).as("adc_units"))
+      .select(col("vec_id"), col("cell"), expr("graft_pq_adc(pq_code, lut)").as("adc_units"))
       .orderBy(col("adc_units"), col("vec_id"))
       .limit(k)
   }
@@ -740,7 +740,7 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("pq_code"))
       .crossJoin(broadcast(lut))
-      .select(col("vec_id"), expr(pqAdcSql).as("adc_units"))
+      .select(col("vec_id"), expr("graft_pq_adc(pq_code, lut)").as("adc_units"))
       .orderBy(col("adc_units"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("adc_units"))
@@ -810,21 +810,6 @@ object SimilarityQueries {
              flatten(transform(vecs, x -> slice(x.v, ss * 8 + 1, 8)))))""")
         .as("cbflat"))
 
-  /** The ADC serving fold as a SQL fragment over row columns `pq_code`
-    * (the stored base-17-packed code) and `lut` (the broadcast positional
-    * 128-entry distance array): each digit is peeled with a running
-    * integer divide and spent on one positional `element_at` at index
-    * ss·16+code+1. Shared by `v_pq_adc` and `v_ivfpq_search`;
-    * `private[graft]` so PropertySpec can pin the unpack against the
-    * base-17 pack ∀ random code vectors.
-    */
-  private[graft] val pqAdcSql: String =
-    """aggregate(sequence(0, 7),
-         named_struct('s', CAST(0 AS BIGINT), 'p', pq_code),
-         (acc, j) -> named_struct(
-           's', acc.s + element_at(lut, CAST(j * 16 + acc.p % 17 + 1 AS INT)),
-           'p', acc.p DIV 17),
-         acc -> acc.s)"""
 
   /** The probe's positional LUT as a SQL fragment over row columns `v`
     * (the probe vector) and `cb`: the 128 integer-unit squared distances

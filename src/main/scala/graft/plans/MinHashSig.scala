@@ -138,7 +138,9 @@ object GraftFunctions {
     ("graft_cms_est", "graft_cms_est(sketch, item) - Count-Min sketch count estimate for a string item",
       exprs => { arity("graft_cms_est", exprs, 2); CmsEstimate(exprs.head, exprs(1)) }),
     ("graft_pq_encode", "graft_pq_encode(v, cbflat) - PQ [pq_code, mse_units] for a 64-dim vector vs a flat 8x16x8 codebook",
-      exprs => { arity("graft_pq_encode", exprs, 2); PqEncode(exprs.head, exprs(1)) }))
+      exprs => { arity("graft_pq_encode", exprs, 2); PqEncode(exprs.head, exprs(1)) }),
+    ("graft_pq_adc", "graft_pq_adc(pq_code, lut) - ADC lookup-sum of a base-17-packed code against a positional 128-entry LUT",
+      exprs => { arity("graft_pq_adc", exprs, 2); PqAdc(exprs.head, exprs(1)) }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

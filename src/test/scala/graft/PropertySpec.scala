@@ -138,22 +138,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("R19 ∀ code vectors: the ADC unpack fold inverts the base-17 pack against any LUT") {
+  test("R19 ∀ code vectors: the ADC unpack (native + SQL twin) inverts the base-17 pack against any LUT") {
     // ∀ random 8-digit code vectors (digits 0..15) and random positive
     // LUTs: peeling the packed integer digit-by-digit and spending each
     // on its positional lookup must return exactly Σ lut[ss*16+code_ss]
-    // — the pack(pqEncodeSql)/unpack(pqAdcSql) pairing every stored-code
-    // serving path depends on
+    // — the pack/unpack pairing every stored-code serving path depends
+    // on. The retired HOF fold is kept here as the parity reference for
+    // the native graft_pq_adc that replaced it on the serving paths.
+    graft.plans.GraftFunctions.register(spark)
+    val adcSql =
+      """aggregate(sequence(0, 7),
+           named_struct('s', CAST(0 AS BIGINT), 'p', pq_code),
+           (acc, j) -> named_struct(
+             's', acc.s + element_at(lut, CAST(j * 16 + acc.p % 17 + 1 AS INT)),
+             'p', acc.p DIV 17),
+           acc -> acc.s)"""
     val codesGen = Gen.listOfN(8, Gen.chooseNum(0, 15))
     val lutGen = Gen.listOfN(128, Gen.chooseNum(0L, 1000000L))
     samples(Gen.zip(codesGen, lutGen), 25).foreach { case (codes, lut) =>
       val packed = codes.zipWithIndex.map { case (c, ss) =>
         c * BigInt(17).pow(ss) }.sum.toLong
       val expected = codes.zipWithIndex.map { case (c, ss) => lut(ss * 16 + c) }.sum
-      val got = Seq((packed, lut)).toDF("pq_code", "lut")
-        .selectExpr(graft.operators.SimilarityQueries.pqAdcSql)
-        .as[Long].head()
-      assert(got === expected, s"codes=$codes packed=$packed")
+      val row = Seq((packed, lut)).toDF("pq_code", "lut")
+        .selectExpr(adcSql, "graft_pq_adc(pq_code, lut)")
+        .as[(Long, Long)].head()
+      assert(row._1 === expected, s"SQL fold: codes=$codes packed=$packed")
+      assert(row._2 === expected, s"native: codes=$codes packed=$packed")
     }
+    // fail-safe: short LUT and negative code are null, never garbage
+    val bad = Seq((-1L, (0 until 128).map(_.toLong)), (0L, Seq(1L, 2L)))
+      .toDF("pq_code", "lut")
+      .selectExpr("graft_pq_adc(pq_code, lut)").collect()
+    assert(bad.forall(_.isNullAt(0)))
   }
 }
