@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParityMath.floorRound
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 second-session additions (SURVEY.md §2.11): the runtime
+  * Bloom-filter join prefilter, content-defined-chunking dedup, and the
+  * BPE merge-pair corpus pass.
+  */
+object Round9Queries {
+
+  /** CDC chunk statistics core (d_cdc_chunks) over any (doc_id, text)
+    * frame — factored so specs can drive planted fixtures through the
+    * exact production path.
+    */
+  def cdcChunkStats(docsDf: DataFrame): DataFrame = {
+    val chunks = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        expr(
+          """concat(
+               CASE WHEN size(t) >= 5 THEN
+                 filter(sequence(4, size(t) - 1),
+                   j -> substring(md5(concat_ws(' ', slice(t, j - 3, 4))), 32, 1)
+                          IN ('0', '8'))
+               ELSE CAST(array() AS ARRAY<INT>) END,
+               array(size(t)))""").as("cuts"))
+      .select(col("doc_id"),
+        expr(
+          """array_distinct(transform(cuts, (c, k) ->
+               md5(concat_ws(' ', slice(t,
+                 (CASE WHEN k = 0 THEN 0 ELSE element_at(cuts, k) END) + 1,
+                 c - (CASE WHEN k = 0 THEN 0 ELSE element_at(cuts, k) END))))))""")
+          .as("ch"))
+    val spans = chunks.select(col("doc_id"), explode(col("ch")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val shared = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
+    val tot = chunks.select(col("doc_id"), size(col("ch")).cast("long").as("n_chunks"))
+    val dup = spans.join(shared.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dup_chunks"))
+    tot.join(dup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        floorRound(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          greatest(col("n_chunks"), lit(1L)), 4).as("dup_chunk_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE merge-pair core (t_bpe_pairs) over any (text) frame. */
+  def bpePairs(docsDf: DataFrame, topK: Int = 20): DataFrame = {
+    val vocab = docsDf
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("f"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+             i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"""))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R4/§4 — runtime Bloom-filter join prefilter: the 100 TB semi-join
+    // reduction. A selective dim predicate (one brand ⇒ ~5% of parts)
+    // builds a Bloom filter over the surviving join keys as a SCALAR
+    // SUBQUERY (one tiny job, result inlined into the fact scan's filter);
+    // the fact table is probed with graft_bloom_contains BEFORE any
+    // exchange, so at scale the shuffle moves ~5% of the fact rows instead
+    // of all of them. Bloom false positives make the probe a prefilter,
+    // not a join: the exact semi join behind it keeps the result precise,
+    // which is why the oracle is the PLAIN semi-join SQL (result
+    // invariance, the q_skew_salted_join convention). The two expressions
+    // are Spark's own runtime-row-level-filter machinery
+    // (BloomFilterAggregate / BloomFilterMightContain), which Spark ships
+    // unregistered — GraftFunctions exposes them so query code can opt in
+    // where the optimizer's InjectRuntimeFilter declines (e.g. below its
+    // size thresholds, or on non-equi compositions). Both key sides hash
+    // through xxhash64 on the same BIGINT type, so probe hashes agree
+    // with build hashes; sizing (4096 items / 256 Kibit ⇒ fpp ≈ 2e-12 at
+    // 96 keys) makes a planted false positive astronomically unlikely and
+    // the plan deterministic in practice.
+    "q_bloom_prefilter" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.part(s, d).filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+        .createOrReplaceTempView("graft_bloom_dim")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_bloom_fact")
+      s.sql(
+        """SELECT l_partkey AS p_partkey,
+                  CAST(count(*) AS BIGINT) AS n_ship,
+                  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                    AS revenue
+           FROM graft_bloom_fact
+           WHERE graft_bloom_contains(
+                   (SELECT graft_bloom_agg(xxhash64(p_partkey), 4096, 262144)
+                    FROM graft_bloom_dim),
+                   xxhash64(l_partkey))
+             AND l_partkey IN (SELECT p_partkey FROM graft_bloom_dim)
+           GROUP BY l_partkey
+           ORDER BY p_partkey""")
+    }),
+
+    // R17/R18 — content-defined-chunking (CDC) dedup: the variable-length
+    // sibling of d_span_dedup. Fixed-width shingles miss duplication that
+    // shifts by an edit; CDC cuts chunk boundaries where the CONTENT says
+    // to (a rolling window hash hitting a mask), so a shared run of text
+    // re-synchronizes to identical chunks even when its surrounding offsets
+    // differ — the storage-dedup trick (LBFS/rsync lineage) applied to
+    // corpus text. Boundary rule: cut after token j when the md5 of the
+    // trailing 4-token window ends in a hex digit with its three low bits
+    // zero (p = 1/8 ⇒ ~8-token expected chunks); a final cut always lands
+    // at n, so every doc has ≥ 1 chunk. Chunk identity is the md5 of the
+    // chunk text — identical hex in Spark and DuckDB, so the oracle
+    // replays boundaries AND identities exactly (the t_rolling_fingerprint
+    // convention). Shuffle shape is d_span_dedup's: Spark groups/joins on
+    // the 64-bit xxhash64 of the chunk md5 — 8-byte keys, chunk strings
+    // never move (the oracle groups on the md5 itself; equal results
+    // absent a 64-bit collision, the documented span-dedup trade). All
+    // boundary/identity work is per-row higher-order functions: the only
+    // shuffles are the hash-keyed groupBys — linear at any scale.
+    "d_cdc_chunks" -> ((s, d) => cdcChunkStats(Tables.documents(s, d))),
+
+    // R20 — BPE merge-pair mining: the corpus-statistics pass one
+    // iteration of byte-pair-encoding tokenizer training runs. Production
+    // BPE counts adjacent-symbol pairs over the DISTINCT-word frequency
+    // table, not the raw token stream — distinct words are orders of
+    // magnitude fewer than tokens, so the expensive per-word pair
+    // expansion touches each spelling once and rides the word's count as
+    // a weight (the scale shape: one token-keyed shuffle to build the
+    // vocab, then pair rows bounded by |vocab| × avg word length). Top-20
+    // pairs by weighted count, ties broken by pair text — a total order,
+    // so the LIMIT is deterministic across engines and partitionings.
+    // (Within-word pairs only; no end-of-word marker — documented
+    // simplification of the first merge step.)
+    "t_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    // the PLAIN exact semi join — the bloom is a prefilter, never a
+    // semantics change (result invariance, q_skew_salted_join convention)
+    "q_bloom_prefilter" ->
+      """SELECT l_partkey AS p_partkey,
+                CAST(count(*) AS BIGINT) AS n_ship,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                  AS revenue
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
+         GROUP BY l_partkey
+         ORDER BY p_partkey""",
+    // groups by the chunk md5 where Spark groups by its xxhash64 — equal
+    // results absent a 64-bit collision (the d_span_dedup trade)
+    "d_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         c AS (
+           SELECT doc_id, t,
+                  list_concat(
+                    CASE WHEN len(t) >= 5 THEN
+                      list_filter(range(4, len(t)),
+                        j -> substr(md5(array_to_string(t[j-3:j], ' ')), 32, 1)
+                               IN ('0', '8'))
+                    ELSE CAST([] AS BIGINT[]) END,
+                    [len(t)]) AS cuts
+           FROM toks),
+         ch AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(cuts) + 1), k ->
+                    md5(array_to_string(
+                      t[(CASE WHEN k = 1 THEN 0 ELSE cuts[k-1] END) + 1 : cuts[k]],
+                      ' ')))) AS chs
+           FROM c),
+         sp AS (SELECT doc_id, unnest(chs) AS g FROM ch),
+         shared AS (SELECT g FROM sp GROUP BY g HAVING count(*) > 1),
+         tot AS (SELECT doc_id, CAST(len(chs) AS BIGINT) AS n_chunks FROM ch),
+         dup AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+           FROM sp JOIN shared USING (g) GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_chunks,
+                CAST(coalesce(dup.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+                floor((CAST(coalesce(dup.n_dup_chunks, 0) AS DOUBLE)
+                       / greatest(tot.n_chunks, 1)) * 10000 + 0.5) / 10000
+                  AS dup_chunk_frac
+         FROM tot LEFT JOIN dup ON dup.doc_id = tot.doc_id
+         ORDER BY tot.doc_id""",
+    "t_bpe_pairs" ->
+      """WITH w AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         f AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM w WHERE len(w) > 0 GROUP BY w),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(w)), i ->
+                    substr(w, CAST(i AS INT), 1) || substr(w, CAST(i AS INT) + 1, 1)))
+                    AS pair,
+                  f
+           FROM f WHERE len(w) >= 2)
+         SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+         FROM p GROUP BY pair
+         ORDER BY cnt DESC, pair
+         LIMIT 20""")
+}

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -140,7 +141,29 @@ object GraftFunctions {
     ("graft_pq_encode", "graft_pq_encode(v, cbflat) - PQ [pq_code, mse_units] for a 64-dim vector vs a flat 8x16x8 codebook",
       exprs => { arity("graft_pq_encode", exprs, 2); PqEncode(exprs.head, exprs(1)) }),
     ("graft_pq_adc", "graft_pq_adc(pq_code, lut) - ADC lookup-sum of a base-17-packed code against a positional 128-entry LUT",
-      exprs => { arity("graft_pq_adc", exprs, 2); PqAdc(exprs.head, exprs(1)) }))
+      exprs => { arity("graft_pq_adc", exprs, 2); PqAdc(exprs.head, exprs(1)) }),
+    // Runtime Bloom-filter pair — SQL registration of the machinery Spark
+    // itself uses for runtime row-level join filtering (the optimizer's
+    // InjectRuntimeFilter plans exactly these two expressions; Spark ships
+    // them unregistered, so query code cannot opt in where the optimizer
+    // declines). The agg builds an org.apache.spark.util.sketch.BloomFilter
+    // over xxhash64'd join keys; the probe answers might-contain with zero
+    // false negatives. Sizing literals are CAST to BIGINT here so callers
+    // can write plain int literals in SQL.
+    ("graft_bloom_agg",
+      "graft_bloom_agg(xxhash64_key[, est_items, num_bits]) - Bloom filter binary over long keys",
+      exprs => {
+        require(exprs.length == 1 || exprs.length == 3,
+          s"graft_bloom_agg expects 1 or 3 argument(s), got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        if (exprs.length == 1) new BloomFilterAggregate(exprs.head)
+        else new BloomFilterAggregate(exprs.head,
+          Cast(exprs(1), LongType), Cast(exprs(2), LongType))
+      }),
+    ("graft_bloom_contains",
+      "graft_bloom_contains(bloom, xxhash64_key) - might-contain probe (no false negatives)",
+      exprs => { arity("graft_bloom_contains", exprs, 2)
+        BloomFilterMightContain(exprs.head, exprs(1)) }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

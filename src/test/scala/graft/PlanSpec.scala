@@ -289,4 +289,37 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(1200))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_bloom_prefilter: bloom probe filters the fact scan below the join") {
+    val p = plan("q_bloom_prefilter")
+    val lines = p.linesIterator.toSeq
+    val probe = lines.indexWhere(l => l.contains("might_contain"))
+    assert(probe >= 0, s"bloom probe missing:\n${p.take(1200)}")
+    val join = lines.indexWhere(l => l.contains("Join"))
+    // tree printing is parent-first: the probe Filter must sit BELOW the
+    // join (scan side), i.e. the fact rows are culled before any join or
+    // exchange sees them — the runtime-filter shape
+    assert(join >= 0 && probe > join,
+      s"probe not under the join (join@$join probe@$probe):\n${p.take(1500)}")
+    val factScan = lines.indexWhere(l => l.contains("Scan") && l.contains("lineitem"), probe)
+    assert(factScan > probe, "probe does not guard the lineitem scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d_cdc_chunks: exchanges key on chunk hashes, chunk strings never move") {
+    val p = plan("d_cdc_chunks")
+    assert(p.contains("xxhash64"), "chunk-hash shuffle key missing")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the group/join exchanges")
+    // the d_span_dedup discipline: no exchange carries the md5 string
+    // column g or the raw text — the 8-byte hash h and doc_id are the
+    // only shuffle keys
+    exchanges.foreach(e => assert(!e.contains("g#") && !e.contains("text"),
+      s"chunk strings shuffle:\n$e"))
+  }
+
+  test("t_bpe_pairs: deterministic top-20 is TakeOrderedAndProject") {
+    val p = plan("t_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.Round9Queries
+import org.apache.spark.sql.functions._
+
+/** Round-9 second-session operators: runtime Bloom prefilter,
+  * content-defined-chunking dedup, BPE merge-pair mining.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- runtime Bloom filter pair -------------------------------------
+
+  test("bloom: no false negatives — every built key probes true") {
+    graft.plans.GraftFunctions.register(spark)
+    spark.range(1, 501).toDF("k").createOrReplaceTempView("g_bloom_keys")
+    val misses = spark.sql(
+      """SELECT count(*) AS miss FROM g_bloom_keys
+         WHERE NOT graft_bloom_contains(
+           (SELECT graft_bloom_agg(xxhash64(k), 4096, 262144) FROM g_bloom_keys),
+           xxhash64(k))""").head().getLong(0)
+    assert(misses === 0L)
+  }
+
+  test("bloom: tight sizing rejects the planted non-members") {
+    // deterministic for this fixed key set + Spark's fixed bloom hash seed:
+    // at 500 items in 256 Kibit the fpp is ~1e-11, so these specific
+    // probes sit far below any plausible false-positive draw
+    graft.plans.GraftFunctions.register(spark)
+    spark.range(1, 501).toDF("k").createOrReplaceTempView("g_bloom_keys")
+    val hits = spark.sql(
+      """SELECT count(*) AS hit
+         FROM (SELECT id + 1000000 AS k FROM range(0, 1000))
+         WHERE graft_bloom_contains(
+           (SELECT graft_bloom_agg(xxhash64(k), 4096, 262144) FROM g_bloom_keys),
+           xxhash64(k))""").head().getLong(0)
+    assert(hits === 0L)
+  }
+
+  test("q_bloom_prefilter: bloom is a prefilter, never a semantics change") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_bloom_prefilter")(spark, d).collect()
+    val want = Tables.lineitem(spark, d).as("l")
+      .join(Tables.part(spark, d).filter(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).cast("long").as("n_ship"))
+      .orderBy("p_partkey")
+      .collect()
+    assert(got.length === want.length && got.length > 0)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      want.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  // ---- content-defined chunking --------------------------------------
+
+  private val sharedRun = (0 until 100).map(i => s"tok${i * 7 % 31}x$i").mkString(" ")
+
+  test("d_cdc_chunks: shifted copies re-synchronize to shared chunks") {
+    // the CDC property fixed-offset shingling lacks at chunk granularity:
+    // the same 100-token run behind DIFFERENT-length prefixes still yields
+    // identical interior chunks, because boundaries derive from content
+    val docs = Seq(
+      (0L, s"alpha beta $sharedRun"),
+      (1L, s"one two three four five six seven $sharedRun"),
+      (2L, "entirely unrelated content about catalyst plans and shuffles")
+    ).toDF("doc_id", "text")
+    val r = Round9Queries.cdcChunkStats(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L)._2 >= 1, s"doc 0 shares no chunk: $r")
+    assert(r(1L)._2 >= 1, s"doc 1 shares no chunk: $r")
+    assert(r(2L)._2 === 0, s"unrelated doc flagged: $r")
+  }
+
+  test("d_cdc_chunks: identical docs share every chunk; short docs chunk whole") {
+    val docs = Seq(
+      (0L, sharedRun), (1L, sharedRun),
+      (2L, "a b"), (3L, "")
+    ).toDF("doc_id", "text")
+    val r = Round9Queries.cdcChunkStats(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .sortBy(_._1)
+    assert(r(0)._4 === 1.0 && r(1)._4 === 1.0)
+    assert(r(0)._2 === r(1)._2 && r(0)._2 > 1)
+    // n >= 1 chunks always: a short doc is one whole-text chunk, and the
+    // empty string still md5s to one chunk (no division by zero anywhere)
+    assert(r(2)._2 === 1L && r(2)._3 === 0L)
+    assert(r(3)._2 === 1L)
+  }
+
+  test("d_cdc_chunks: chunks tile the token stream (boundary arithmetic)") {
+    // independent replay of the cut rule for one doc: reconstruct chunks
+    // by hand and compare the count the operator reports
+    val text = sharedRun
+    val toks = text.split(" ")
+    def hex(s: String): String = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+      m.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val cuts = (4 until toks.length).filter { j =>
+      val win = toks.slice(j - 4, j).mkString(" ")
+      val last = hex(win).last
+      last == '0' || last == '8'
+    } :+ toks.length
+    val chunks = cuts.scanLeft(0)((_, c) => c).sliding(2).map {
+      case Seq(a, b) => toks.slice(a, b).mkString(" ")
+    }.toSeq
+    val expected = chunks.distinct.size.toLong
+    val got = Round9Queries.cdcChunkStats(Seq((0L, text)).toDF("doc_id", "text"))
+      .head().getLong(1)
+    assert(got === expected, s"cuts=$cuts")
+  }
+
+  // ---- BPE merge-pair mining -----------------------------------------
+
+  test("t_bpe_pairs: counts weight by word frequency; ties break by pair") {
+    val docs = Seq("low low lower").toDF("text")
+    val rows = Round9Queries.bpePairs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // vocab: low×2, lower×1 ⇒ lo:3 ow:3 er:1 we:1; ties alphabetical
+    assert(rows === Seq(("lo", 3L), ("ow", 3L), ("er", 1L), ("we", 1L)))
+  }
+
+  test("t_bpe_pairs: total pair mass equals sum over tokens of len-1") {
+    val docs = Seq("aa bbb c", "aa dd").toDF("text")
+    val total = Round9Queries.bpePairs(docs, topK = 1000)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    // aa(×2):1 each, bbb:2, c:0, dd:1 ⇒ 2+2+0+1 = 5
+    assert(total === 5L)
+  }
+}
