@@ -66,7 +66,148 @@ object Round9Queries {
       .limit(topK)
   }
 
+  /** Bloom-prefiltered decontamination core (t_decontaminate_bloom) —
+    * the scale variant of TextQueries.decontaminate for eval sets that
+    * outgrow a string broadcast. Same output contract; factored so the
+    * spec can prove bloom-twin ≡ broadcast-core on planted fixtures.
+    */
+  def decontaminateBloom(s: SparkSession, docsDf: DataFrame,
+                         evalSource: String = "src0"): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    docsDf.createOrReplaceTempView("graft_deconb_docs")
+    s.sql(
+      s"""WITH sh AS (
+            SELECT doc_id, source, explode(graft_shingles(text, 5)) AS g
+            FROM graft_deconb_docs),
+          ev AS (SELECT DISTINCT g FROM sh WHERE source = '$evalSource'),
+          pre AS (
+            SELECT doc_id, g FROM sh
+            WHERE source <> '$evalSource'
+              AND graft_bloom_contains(
+                    (SELECT graft_bloom_agg(xxhash64(g), 65536, 1048576) FROM ev),
+                    xxhash64(g))),
+          hits AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM pre WHERE g IN (SELECT g FROM ev)
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+                 coalesce(hits.n, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM graft_deconb_docs
+                WHERE source <> '$evalSource') d
+          LEFT JOIN hits USING (doc_id)
+          ORDER BY d.doc_id""")
+  }
+
+  /** MMR diversified rerank core (v_mmr_rerank): greedy maximal marginal
+    * relevance over an exact top-`shortlist` cosine shortlist. Integer-unit
+    * scoring end-to-end: rel_u / sim_u are 4-dp-floored cosines ×10⁴ as
+    * BIGINT, score = 7·rel_u − 3·sim_u (λ = 0.7 ×10) — so selection,
+    * tie-breaks (score desc, vec_id asc) and the emitted rows are exact
+    * integer arithmetic both engines replay bit-for-bit.
+    *
+    * Scale shape: the corpus-sized work is the exact shortlist
+    * (TakeOrderedAndProject over per-row graft_dot — linear, shuffle-free,
+    * same as v_knn_probe); the greedy loop then runs entirely INSIDE one
+    * packed row (collect_list of 50 structs ≈ 25 KB), unrolled at plan
+    * time — k and the shortlist bound are plan constants, so the O(k·m)
+    * selection never touches the cluster again. At serving scale the
+    * shortlist would come from the IVF-PQ path (v_ivfpq_search) instead
+    * of the exact scan; the rerank stage is identical.
+    */
+  def mmrRerank(s: SparkSession, embDf: DataFrame,
+                k: Int = 10, shortlist: Int = 50): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = embDf.filter(size(col("embedding")) === 64)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("q"))
+    val short = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(probe))
+      .select(col("vec_id"), col("emb"),
+        expr("sqrt(graft_dot(emb, emb))").as("nrm"),
+        expr("sqrt(graft_dot(q, q))").as("qn"),
+        expr("graft_dot(emb, q)").as("dq"))
+      .filter(col("nrm") > 0 && col("qn") > 0)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        expr("CAST(floor((dq / (nrm * qn)) * 10000 + 0.5) AS BIGINT)").as("rel_u"))
+      .orderBy(col("rel_u").desc, col("vec_id"))
+      .limit(shortlist)
+    // the greedy loop is ONE aggregate fold over the step sequence — a
+    // fixed-size expression that iterates at runtime. (The unrolled
+    // per-step withColumn formulation is a trap: CollapseProject inlines
+    // each step's argmax into the next, and the plan grows exponentially
+    // in k.) The argmax sub-expression appears textually a few times
+    // (SQL lambdas have no let-binding); each evaluation is an O(m)
+    // integer scan of the packed shortlist, so the recompute is noise.
+    val bestOf = (cands: String) =>
+      s"""aggregate($cands,
+            CAST(NULL AS STRUCT<id: BIGINT, score: BIGINT, nrm: DOUBLE,
+                                emb: ARRAY<DOUBLE>>),
+            (a, c) -> CASE
+              WHEN a IS NULL
+                   OR (7 * c.rel - 3 * c.ms) > a.score
+                   OR ((7 * c.rel - 3 * c.ms) = a.score AND c.id < a.id)
+                THEN named_struct('id', c.id, 'score', 7 * c.rel - 3 * c.ms,
+                                  'nrm', c.nrm, 'emb', c.emb)
+              ELSE a END)"""
+    val b = bestOf("acc.cands")
+    short
+      .agg(collect_list(struct(
+        col("vec_id").as("id"), col("rel_u").as("rel"), lit(0L).as("ms"),
+        col("nrm"), col("emb"))).as("cl"))
+      .select(expr(
+        s"""aggregate(sequence(1, $k),
+              named_struct(
+                'cands', cl,
+                'out', CAST(array() AS
+                  ARRAY<STRUCT<step: INT, vec_id: BIGINT, mmr_score: BIGINT>>)),
+              (acc, t) -> named_struct(
+                'cands', transform(
+                  filter(acc.cands, c -> c.id != ($b).id),
+                  c -> named_struct('id', c.id, 'rel', c.rel,
+                    'ms', greatest(c.ms,
+                      CAST(floor((graft_dot(c.emb, ($b).emb)
+                                  / (c.nrm * ($b).nrm)) * 10000 + 0.5)
+                           AS BIGINT)),
+                    'nrm', c.nrm, 'emb', c.emb)),
+                'out', concat(acc.out, array(named_struct(
+                  'step', CAST(t AS INT), 'vec_id', ($b).id,
+                  'mmr_score', ($b).score)))),
+              acc -> acc.out)""").as("out"))
+      .select(explode(col("out")).as("o"))
+      .select(col("o.step").as("step"), col("o.vec_id").as("vec_id"),
+        col("o.mmr_score").as("mmr_score"))
+      .orderBy("step")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R19/R10 — MMR diversified rerank (the retrieval-serving stage after
+    // ANN shortlisting: pure top-k returns near-duplicate neighbors; MMR
+    // greedily trades relevance against similarity-to-already-selected,
+    // λ = 0.7). Exact top-50 cosine shortlist (TakeOrderedAndProject,
+    // linear, shuffle-free), then the greedy k=10 selection unrolled at
+    // plan time inside ONE packed row — integer-unit scores replayed
+    // exactly by a 10-step DuckDB CTE chain.
+    "v_mmr_rerank" -> ((s, d) => mmrRerank(s, Tables.embeddings(s, d))),
+
+    // R20/R18 — bloom-prefiltered benchmark decontamination: the scale
+    // form of t_decontaminate. The broadcast core ships the eval gram
+    // STRINGS to every task (~30 bytes/gram — fine while the eval suite
+    // is small, the reason t_decontaminate broadcasts it); this variant
+    // ships a ~128 KB Bloom binary (1.2 bytes/gram at fpp 1%) built as a
+    // scalar subquery over the eval grams, probes every training gram
+    // with graft_bloom_contains BEFORE any join, and runs the exact
+    // membership check only on the prefiltered survivors — at 100 TB the
+    // gram-keyed exchange carries the ~contaminated sliver of the corpus
+    // instead of every training gram, and the eval set can grow 1000×
+    // before the bloom outgrows a broadcast. False positives only waste
+    // prefilter rows (the exact semi join keeps semantics precise), so
+    // the oracle is t_decontaminate's own SQL: result invariance, the
+    // q_bloom_prefilter convention.
+    "t_decontaminate_bloom" -> ((s, d) =>
+      decontaminateBloom(s, Tables.documents(s, d))),
+
     // R4/§4 — runtime Bloom-filter join prefilter: the 100 TB semi-join
     // reduction. A selective dim predicate (one brand ⇒ ~5% of parts)
     // builds a Bloom filter over the surviving join keys as a SCALAR
@@ -141,7 +282,74 @@ object Round9Queries {
     // simplification of the first merge step.)
     "t_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))))
 
+  /** DuckDB twin of [[mmrRerank]]: the greedy selection unrolled as a
+    * k-step CTE chain (argmax via ORDER BY score DESC, id LIMIT 1; the
+    * candidate set shrinks by the pick and re-maxes ms each step) —
+    * identical integer-unit arithmetic, so the emitted rows hash-match.
+    */
+  private def mmrOracle(k: Int): String = {
+    def simU(c: String, s: String) =
+      s"""CAST(floor((list_sum(list_transform(range(1, 65),
+             i -> $c.emb[i] * $s.emb[i])) / ($c.nrm * $s.nrm)) * 10000 + 0.5)
+           AS BIGINT)"""
+    val steps = (1 to k).map { t =>
+      val sel =
+        s"""s$t AS (SELECT id, 7 * rel - 3 * ms AS score, nrm, emb
+                    FROM c${t - 1} ORDER BY score DESC, id LIMIT 1)"""
+      val next =
+        s"""c$t AS (SELECT c.id, c.rel, greatest(c.ms, ${simU("c", "s")}) AS ms,
+                           c.nrm, c.emb
+                    FROM c${t - 1} c CROSS JOIN s$t s WHERE c.id <> s.id)"""
+      if (t < k) s"$sel,\n$next" else sel
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(t => s"SELECT $t AS step, id AS vec_id, score AS mmr_score FROM s$t")
+      .mkString("\n UNION ALL ")
+    s"""WITH ex AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings WHERE len(embedding) = 64),
+        q AS (SELECT emb AS qe FROM ex WHERE vec_id = 0),
+        base AS (
+          SELECT e.vec_id, e.emb,
+                 sqrt(list_sum(list_transform(range(1, 65),
+                   i -> e.emb[i] * e.emb[i]))) AS nrm,
+                 list_sum(list_transform(range(1, 65),
+                   i -> e.emb[i] * q.qe[i])) AS dq,
+                 sqrt(list_sum(list_transform(range(1, 65),
+                   i -> q.qe[i] * q.qe[i]))) AS qn
+          FROM ex e CROSS JOIN q WHERE e.vec_id <> 0),
+        short AS (
+          SELECT vec_id, emb, nrm,
+                 CAST(floor((dq / (nrm * qn)) * 10000 + 0.5) AS BIGINT) AS rel
+          FROM base WHERE nrm > 0 AND qn > 0
+          ORDER BY rel DESC, vec_id LIMIT 50),
+        c0 AS (SELECT vec_id AS id, rel, CAST(0 AS BIGINT) AS ms, nrm, emb
+               FROM short),
+        $steps
+        $union ORDER BY step"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "v_mmr_rerank" -> mmrOracle(10),
+    // t_decontaminate's own oracle verbatim: the bloom is a prefilter,
+    // the exact semi join behind it keeps the result identical
+    "t_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))) AS g
+           FROM toks WHERE len(t) >= 5),
+         ev AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+         hits AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh JOIN ev USING (g)
+           WHERE source <> 'src0' GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+                coalesce(hits.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits USING (doc_id)
+         WHERE d.source <> 'src0' ORDER BY d.doc_id""",
     // the PLAIN exact semi join — the bloom is a prefilter, never a
     // semantics change (result invariance, q_skew_salted_join convention)
     "q_bloom_prefilter" ->

@@ -322,4 +322,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("t_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("v_mmr_rerank: corpus-sized work is the top-k heap; greedy loop is one row") {
+    val p = plan("v_mmr_rerank")
+    // the exact shortlist must be TakeOrderedAndProject (per-partition
+    // heaps), never a global sort; the fold itself plans as a projection
+    // over the single packed row
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_decontaminate_bloom: bloom probe gates the training grams below the join") {
+    val p = plan("t_decontaminate_bloom")
+    val lines = p.linesIterator.toSeq
+    val probe = lines.indexWhere(_.contains("might_contain"))
+    assert(probe >= 0, s"bloom probe missing:\n${p.take(1200)}")
+    // the probe must sit under the membership join: training grams are
+    // culled by the ~128 KB binary before any gram-keyed join or exchange
+    val join = lines.indexWhere(_.contains("Join"))
+    assert(join >= 0 && probe > join,
+      s"probe not under the join (join@$join probe@$probe):\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -52,6 +52,31 @@ class Round9Spec extends SparkSpec {
       want.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("t_decontaminate_bloom ≡ broadcast decontaminate on a planted fixture") {
+    // one training doc shares a verbatim 5-gram with the eval source, one
+    // does not; the bloom twin must reproduce the broadcast core exactly
+    val eva = "the held out benchmark question about spark shuffles here"
+    val docs = Seq(
+      (0L, eva, "src0"),
+      (1L, s"training text copies the held out benchmark question about spark parts", "src1"),
+      (2L, "completely clean training document with no overlap at all whatsoever", "src1")
+    ).toDF("doc_id", "text", "source")
+    val bloom = operators.Round9Queries.decontaminateBloom(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val base = graft.operators.TextQueries.decontaminate(docs, evalSource = "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(bloom === base)
+    assert(bloom.find(_._1 == 1L).get._3 === true)
+    assert(bloom.find(_._1 == 2L).get._3 === false)
+  }
+
+  test("t_decontaminate_bloom sf0.001 ≡ t_decontaminate output") {
+    val d = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("t_decontaminate_bloom")(spark, d).collect()
+    val b = SparkEntry.queries("t_decontaminate")(spark, d).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   // ---- content-defined chunking --------------------------------------
 
   private val sharedRun = (0 until 100).map(i => s"tok${i * 7 % 31}x$i").mkString(" ")
@@ -109,6 +134,40 @@ class Round9Spec extends SparkSpec {
     val got = Round9Queries.cdcChunkStats(Seq((0L, text)).toDF("doc_id", "text"))
       .head().getLong(1)
     assert(got === expected, s"cuts=$cuts")
+  }
+
+  // ---- MMR diversified rerank ----------------------------------------
+
+  test("v_mmr_rerank: diversification outranks a near-duplicate") {
+    // q = (e1+e2)/√2; a1 = e1, a2 ≈ e1 (near-dup), b = e2. All three tie
+    // on relevance (7071 units); pure top-k would emit 1,2,3 by id — MMR
+    // must pick b over the a1-duplicate at step 2
+    def vec(m: Map[Int, Float]): Seq[Float] =
+      (0 until 64).map(i => m.getOrElse(i, 0f))
+    val inv = (1.0 / math.sqrt(2)).toFloat
+    val docs = Seq(
+      (0L, vec(Map(0 -> inv, 1 -> inv))),
+      (1L, vec(Map(0 -> 1f))),
+      (2L, vec(Map(0 -> 1f, 2 -> 0.01f))),
+      (3L, vec(Map(1 -> 1f)))
+    ).toDF("vec_id", "embedding")
+    val r = operators.Round9Queries.mmrRerank(spark, docs, k = 3)
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(r.map(_._2) === Seq(1L, 3L, 2L), s"got $r")
+  }
+
+  test("v_mmr_rerank sf0.001: k distinct picks; step 1 is the exact top-1") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("v_mmr_rerank")(spark, d).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(1)).distinct.length === 10)
+    val top1 = SparkEntry.queries("v_knn_probe")(spark, d)
+      .head().getLong(0)
+    assert(rows.find(_.getInt(0) === 1).get.getLong(1) === top1)
+    // scores are non-increasing step over step is NOT an MMR invariant,
+    // but every score must be ≤ 7×10000 (cosine ceiling) and the first
+    // equals 7×rel of the top pick (ms = 0 at step 1)
+    assert(rows.forall(_.getLong(2) <= 70000L))
   }
 
   // ---- BPE merge-pair mining -----------------------------------------
