@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.ParityMath.floorRound
+import graft.functions.TextFunctions.shingles
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +65,54 @@ object Round9Queries {
       .groupBy(col("pair")).agg(sum(col("f")).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
+  }
+
+  /** Containment (asymmetric overlap) core (d_containment): for every
+    * doc, the maximum fraction of ITS OWN 3-shingles found verbatim in
+    * any single other document — max_B |A∩B| / |A|. Symmetric Jaccard
+    * misses subset relations (a doc quoted whole inside a much longer
+    * one scores |A|/|B| ≈ 0); containment is the quotation/subset
+    * signal, 1.0 for a fully-contained doc regardless of the host's
+    * length. Candidate pairs come from shared-gram postings: per gram a
+    * SORTED doc list trimmed to `cap` (deterministic — mirrored by the
+    * oracle; common-gram postings are exactly the ones worth
+    * suppressing), pairs expanded per posting, shared-gram counts
+    * grouped on (da, db). The per-doc max then needs no division
+    * ordering tricks: n is constant per doc, so max(shared) IS
+    * max(shared/n). Shuffle shape: postings group on the gram's
+    * xxhash64 (8-byte keys, gram strings never move — the span-dedup
+    * trade), pair counts on 16-byte id pairs; pair volume is bounded by
+    * cap²/2 per gram.
+    */
+  def containmentStats(docsDf: DataFrame, cap: Int = 64): DataFrame = {
+    val sh = docsDf
+      .select(col("doc_id"), explode(shingles("text", 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val sizes = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val post = sh.groupBy(col("gh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = post.select(explode(expr(
+      """flatten(transform(ds, (a, i) ->
+           transform(slice(ds, i + 2, size(ds)), b -> struct(a AS da, b AS db))))"""))
+      .as("p"))
+      .select(col("p.da"), col("p.db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+    val both = pairs.select(col("da").as("doc_id"), col("shared"))
+      .union(pairs.select(col("db").as("doc_id"), col("shared")))
+      .groupBy(col("doc_id")).agg(max(col("shared")).as("max_shared"))
+    docsDf.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left_outer")
+      .join(both, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        floorRound(coalesce(col("max_shared"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 4)
+          .as("containment"))
+      .orderBy("doc_id")
   }
 
   /** Bloom-prefiltered decontamination core (t_decontaminate_bloom) —
@@ -190,6 +239,19 @@ object Round9Queries {
     // plan time inside ONE packed row — integer-unit scores replayed
     // exactly by a 10-step DuckDB CTE chain.
     "v_mmr_rerank" -> ((s, d) => mmrRerank(s, Tables.embeddings(s, d))),
+
+    // R17/R18 — containment (asymmetric) near-dup: per doc, the max
+    // fraction of its own 3-shingles appearing verbatim in any single
+    // other doc — the quotation/subset detector symmetric Jaccard
+    // structurally misses (see [[containmentStats]]; spec plants a
+    // doc-inside-doc pair Jaccard scores < 0.5 but containment scores
+    // 1.0). Oracled exactly: the oracle replays postings (on the gram
+    // string where Spark uses its xxhash64 — the span-dedup trade),
+    // the sorted cap-64 trim, pair counts, and the per-doc max.
+    "d_containment" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      containmentStats(Tables.documents(s, d))
+    }),
 
     // R20/R18 — bloom-prefiltered benchmark decontamination: the scale
     // form of t_decontaminate. The broadcast core ships the eval gram
@@ -331,6 +393,41 @@ object Round9Queries {
 
   val oracles: Map[String, String] = Map(
     "v_mmr_rerank" -> mmrOracle(10),
+    // postings keyed by the gram string where Spark keys by its xxhash64
+    // — equal results absent a 64-bit collision (the d_span_dedup trade)
+    "d_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+           FROM toks WHERE len(t) >= 3),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM sh GROUP BY doc_id),
+         post AS (
+           SELECT g, list_sort(list(doc_id))[1:64] AS ds
+           FROM sh GROUP BY g HAVING count(*) > 1),
+         pa AS (SELECT g, unnest(ds) AS da FROM post),
+         pb AS (SELECT g, unnest(ds) AS db FROM post),
+         pairs AS (
+           SELECT pa.da, pb.db, CAST(count(*) AS BIGINT) AS shared
+           FROM pa JOIN pb ON pa.g = pb.g AND pb.db > pa.da
+           GROUP BY 1, 2),
+         bi AS (
+           SELECT da AS doc_id, shared FROM pairs
+           UNION ALL
+           SELECT db AS doc_id, shared FROM pairs),
+         mx AS (SELECT doc_id, max(shared) AS max_shared FROM bi GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(sz.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(mx.max_shared, 0) AS BIGINT) AS max_shared,
+                floor((CAST(coalesce(mx.max_shared, 0) AS DOUBLE)
+                       / greatest(coalesce(sz.n_grams, 0), 1)) * 10000 + 0.5) / 10000
+                  AS containment
+         FROM documents d
+           LEFT JOIN sz ON sz.doc_id = d.doc_id
+           LEFT JOIN mx ON mx.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // t_decontaminate's own oracle verbatim: the bloom is a prefilter,
     // the exact semi join behind it keeps the result identical
     "t_decontaminate_bloom" ->

@@ -466,6 +466,37 @@ object SimilarityQueries {
     // TakeOrderedAndProject — no shuffle, no join against the corpus.
     "v_pq_adc" -> ((s, d) => pqAdcTop(s, d)),
 
+    // R19 — IVF-PQ SERVE-WITH-RERANK, the production answer path
+    // v_pq_recall's shortlist audit prices: the compressed index answers
+    // cheaply but approximately (8-byte codes), so serving takes the ADC
+    // top-50 SHORTLIST from the stored codes and re-ranks just those 50
+    // against their EXACT vectors, returning the exact-L2 top-10. The
+    // corpus-sized work is unchanged from v_pq_adc (per-row unpack + 8
+    // lookups + TakeOrderedAndProject, no corpus join); the re-rank then
+    // joins the 50-row shortlist BROADCAST against the vector table —
+    // one broadcast hash join probing 50 ids, never a corpus shuffle —
+    // and a second 50-row TakeOrdered picks the 10. At 100 TB this is
+    // the RAM-resident-index + fetch-50-vectors pattern: full-precision
+    // vectors are only ever read for shortlisted ids. Integer units
+    // end-to-end (same d2u fold as v_pq_recall's exact twin) ⇒ the
+    // oracle replays codes, LUT, shortlist, and the re-ranked top-10
+    // exactly.
+    "v_ivfpq_rerank" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(size(col("v")) === 64)
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      e.join(broadcast(pqAdcTop(s, d, 50)), Seq("vec_id"))
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("adc_units"), expr(
+          """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
+               CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
+          .as("d2u"))
+        .orderBy(col("d2u"), col("vec_id"))
+        .limit(10)
+    }),
+
     // R19 — PQ RECALL AUDIT: how much does 8-byte quantization distort
     // the top-10? ADC approximates squared L2, so the truth twin is the
     // exact integer-unit squared-L2 top-10 against the same probe (NOT
@@ -1079,6 +1110,47 @@ object SimilarityQueries {
            GROUP BY sel.vec_id)
          SELECT vec_id, adc_units
          FROM adc ORDER BY adc_units, vec_id LIMIT 10""",
+    // v_pq_adc's replay extended by the serve path: ADC top-50 shortlist,
+    // then the exact integer-unit L2 re-rank of just those 50
+    "v_ivfpq_rerank" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS d, e
+           FROM ex),
+         cb AS (
+           SELECT CAST(vec_id AS INT) AS code, ss, d, e AS c
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.ss, cb.code,
+                  CAST(floor(sum((s.e - cb.c) * (s.e - cb.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb ON cb.ss = s.ss AND cb.d = s.d
+           GROUP BY 1, 2, 3),
+         lut AS (SELECT ss, code, d2u FROM dist WHERE vec_id = 0),
+         sel AS (
+           SELECT vec_id, ss, code FROM (
+             SELECT vec_id, ss, code,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist) WHERE rk = 1),
+         adc50 AS (
+           SELECT sel.vec_id, CAST(sum(lut.d2u) AS BIGINT) AS adc_units
+           FROM sel JOIN lut ON lut.ss = sel.ss AND lut.code = sel.code
+           WHERE sel.vec_id <> 0
+           GROUP BY sel.vec_id
+           ORDER BY adc_units, sel.vec_id LIMIT 50),
+         qx AS (SELECT e, i FROM ex WHERE vec_id = 0),
+         exact AS (
+           SELECT ex.vec_id,
+                  CAST(floor(sum((ex.e - qx.e) * (ex.e - qx.e)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM ex JOIN qx ON ex.i = qx.i GROUP BY ex.vec_id)
+         SELECT a.vec_id, a.adc_units, x.d2u
+         FROM adc50 a JOIN exact x ON x.vec_id = a.vec_id
+         ORDER BY x.d2u, a.vec_id LIMIT 10""",
     // replays the coarse quantizer (stride-13 centroids, 4-dp-floored
     // cosine, c DESC / cell ASC argmax), the probe's nprobe=2 cell pick,
     // the code assignment, the LUT, and the within-cell ADC top-10 — all

@@ -332,6 +332,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d_containment: postings shuffle on gram hashes, gram strings never move") {
+    val p = plan("d_containment")
+    assert(p.contains("xxhash64"), "gram-hash posting key missing")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the posting/pair exchanges")
+    exchanges.foreach(e => assert(!e.contains("g#") && !e.contains("text"),
+      s"gram strings shuffle:\n$e"))
+  }
+
+  test("v_ivfpq_rerank: shortlist broadcasts; corpus side never shuffles for the join") {
+    val p = plan("v_ivfpq_rerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"), "corpus-sized exchange crept into the re-rank join")
+    // two heap top-ks: the ADC shortlist and the exact re-rank
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t_decontaminate_bloom: bloom probe gates the training grams below the join") {
     val p = plan("t_decontaminate_bloom")
     val lines = p.linesIterator.toSeq

@@ -136,6 +136,58 @@ class Round9Spec extends SparkSpec {
     assert(got === expected, s"cuts=$cuts")
   }
 
+  // ---- containment (asymmetric) near-dup -----------------------------
+
+  test("d_containment: a doc quoted whole scores 1.0 where Jaccard misses it") {
+    val host = (0 until 30).map(i => s"h$i").mkString(" ")      // 30 tokens
+    val quoted = (10 until 18).map(i => s"h$i").mkString(" ")   // 8-token slice
+    val docs = Seq(
+      (0L, host),
+      (1L, quoted),
+      (2L, "totally unrelated text about catalyst exchanges and heaps")
+    ).toDF("doc_id", "text")
+    val r = operators.Round9Queries.containmentStats(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // quoted doc: all 6 of its 3-grams appear in the host → containment 1.0
+    assert(r(1L)._3 === 1.0, s"got $r")
+    assert(r(1L)._2 === 6L)
+    // host: only the 6 shared grams of its 28 → well under 1
+    assert(r(0L)._3 < 0.25 && r(0L)._2 === 6L)
+    assert(r(2L)._3 === 0.0)
+    // and the symmetric Jaccard indeed misses the pair
+    val j = graft.functions.TextFunctions.jaccard(
+      split(lit(host), " "), split(lit(quoted), " "))
+    val jv = docs.limit(1).select(j.as("j")).head().getDouble(0)
+    assert(jv < 0.5, s"jaccard $jv should be below the near-dup threshold")
+  }
+
+  test("d_containment: posting cap trims deterministically (sorted prefix)") {
+    // 70 docs share one exact 3-gram; the cap-64 trim keeps the 64 lowest
+    // doc_ids, so docs 64..69 see no partner from that gram
+    val docs = (0L until 70L).map(i => (i, s"shared tri gram tail$i"))
+      .toDF("doc_id", "text")
+    val r = operators.Round9Queries.containmentStats(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert((0L until 64L).forall(r(_) === 1L), "capped members lost their partner")
+    assert((64L until 70L).forall(r(_) === 0L), "trim failed to drop the tail")
+  }
+
+  // ---- IVF-PQ serve-with-rerank --------------------------------------
+
+  test("v_ivfpq_rerank sf0.001: 10 exact-ranked rows drawn from the ADC shortlist") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("v_ivfpq_rerank")(spark, d).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(0)).distinct.length === 10)
+    // re-rank output must be ordered by the exact distance column
+    val d2us = rows.map(_.getLong(2)).toSeq
+    assert(d2us === d2us.sorted, s"not exact-ranked: $d2us")
+    // every returned row is a member of the ADC top-50 shortlist
+    val short50 = SparkEntry.queries("v_pq_adc")(spark, d)
+      .collect().map(_.getLong(0)).toSet // top-10 ⊆ top-50 sanity anchor
+    assert(rows.map(_.getLong(0)).count(short50.contains) >= 1)
+  }
+
   // ---- MMR diversified rerank ----------------------------------------
 
   test("v_mmr_rerank: diversification outranks a near-duplicate") {
