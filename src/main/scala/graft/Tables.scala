@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   * inputs.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every registered query starts from a Tables load, so registering
+    // the native functions here (idempotent createOrReplaceTempFunction)
+    // removes a whole bug class: a query whose expressions use graft_*
+    // but whose author forgot the explicit register call worked only
+    // when ANOTHER query had registered first in the same session —
+    // correct in shared-session runs, broken when it ran first (caught
+    // live: d_containment threw UNRESOLVED_ROUTINE in Bench's ordering
+    // while passing Verify's).
+    graft.plans.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

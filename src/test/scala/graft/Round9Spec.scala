@@ -136,6 +136,19 @@ class Round9Spec extends SparkSpec {
     assert(got === expected, s"cuts=$cuts")
   }
 
+  test("every query self-registers: graft_* resolve in a fresh session") {
+    // newSession() shares the SparkContext but gets a FRESH function
+    // registry — exactly the driver/Bench cold-start condition where a
+    // query relying on a sibling's register call breaks. A sample of
+    // graft_*-using queries from each family must run standalone.
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("d_containment", "d_span_dedup", "d_minhash_lsh",
+                     "v_mmr_rerank", "t_decontaminate_bloom", "v_ivfpq_rerank")) {
+      val fresh = spark.newSession()
+      assert(SparkEntry.queries(name)(fresh, d).count() >= 0, name)
+    }
+  }
+
   // ---- containment (asymmetric) near-dup -----------------------------
 
   test("d_containment: a doc quoted whole scores 1.0 where Jaccard misses it") {
@@ -220,6 +233,78 @@ class Round9Spec extends SparkSpec {
     // but every score must be ≤ 7×10000 (cosine ceiling) and the first
     // equals 7×rel of the top pick (ms = 0 at step 1)
     assert(rows.forall(_.getLong(2) <= 70000L))
+  }
+
+  test("v_mmr_rerank: fold matches an independent Scala greedy on random vectors") {
+    // deterministic seeded corpus; the reference implementation repeats
+    // the integer-unit arithmetic in plain Scala (same sequential dot,
+    // same 4-dp floor, same tie-breaks) — any drift in the SQL fold's
+    // selection logic or ms updates shows up as a different pick order
+    val rnd = new scala.util.Random(20260813L)
+    val vecs = (0L until 20L).map(i =>
+      i -> Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)).toMap
+    val docs = vecs.toSeq.sortBy(_._1).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val got = operators.Round9Queries.mmrRerank(spark, docs, k = 5)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val dv = vecs.map { case (i, v) => i -> v.map(_.toDouble) }
+    val q = dv(0L)
+    val qn = math.sqrt(dot(q, q))
+    def u(c: Double): Long = math.floor(c * 10000 + 0.5).toLong
+    val cands = scala.collection.mutable.Map(
+      dv.toSeq.filter(_._1 != 0L).map { case (i, v) =>
+        val nrm = math.sqrt(dot(v, v))
+        i -> ((u(dot(v, q) / (nrm * qn)), nrm, v, 0L))
+      }: _*)
+    val want = (1 to 5).map { t =>
+      val (id, (rel, nrm, v, ms)) = cands.toSeq.minBy {
+        case (i, (r, _, _, m)) => (-(7 * r - 3 * m), i)
+      }
+      cands.remove(id)
+      for ((ci, (cr, cn, cv, cm)) <- cands)
+        cands(ci) = (cr, cn, cv, math.max(cm, u(dot(cv, v) / (cn * nrm))))
+      (t, id, 7 * rel - 3 * ms)
+    }
+    assert(got === want)
+  }
+
+  test("d_cdc_chunks: tiling arithmetic holds over random token streams") {
+    val rnd = new scala.util.Random(813L)
+    val texts = (0 until 10).map { _ =>
+      (0 until (5 + rnd.nextInt(120))).map(_ => s"w${rnd.nextInt(40)}").mkString(" ")
+    }
+    def hex(s: String): String = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+      m.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.split(" ")
+      val cuts = (4 until toks.length).filter { j =>
+        val last = hex(toks.slice(j - 4, j).mkString(" ")).last
+        last == '0' || last == '8'
+      } :+ toks.length
+      cuts.scanLeft(0)((_, c) => c).sliding(2).map {
+        case Seq(a, b) => toks.slice(a, b).mkString(" ")
+      }.toSeq
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = operators.Round9Queries.cdcChunkStats(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val wantCounts = texts.map(t => chunksOf(t).distinct.size.toLong)
+    assert(got.map(_._2).toSeq === wantCounts)
+    // shared counts from the same reference chunking
+    val sets = texts.map(t => chunksOf(t).distinct.toSet)
+    val wantDup = sets.zipWithIndex.map { case (s, i) =>
+      s.count(c => sets.zipWithIndex.exists { case (o, j) => j != i && o(c) }).toLong
+    }
+    assert(got.map(_._3).toSeq === wantDup)
   }
 
   // ---- BPE merge-pair mining -----------------------------------------
