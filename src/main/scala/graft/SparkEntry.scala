@@ -36,12 +36,14 @@ object SparkEntry {
     EventQueries.defs ++ RelationalQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs ++
       ExtendedQueries.defs ++ DeepRelational.defs ++ Round3Queries.defs ++
-      Round4Queries.defs ++ Round7Queries.defs ++ Round9Queries.defs
+      Round4Queries.defs ++ Round7Queries.defs ++ Round9Queries.defs ++
+      AnalyticsQueries.defs
 
   /** DuckDB-runnable ANSI SQL twin for each SQL-expressible query. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++ MultimodalQueries.oracles ++
       ExtendedQueries.oracles ++ DeepRelational.oracles ++ Round3Queries.oracles ++
-      Round4Queries.oracles ++ Round7Queries.oracles ++ Round9Queries.oracles
+      Round4Queries.oracles ++ Round7Queries.oracles ++ Round9Queries.oracles ++
+      AnalyticsQueries.oracles
 }

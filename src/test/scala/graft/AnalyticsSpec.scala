@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.AnalyticsQueries
+import org.apache.spark.sql.functions._
+
+/** Round-9 third-session operators: funnel, cohort retention, embedding
+  * dimension moments, Zipf fit, lexicon redaction — planted fixtures
+  * driving the exact production cores.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsFrame(rows: Seq[(Long, String, String)]) =
+    rows.toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("ts_s")).as("ts"))
+
+  // ---- funnel ---------------------------------------------------------
+
+  test("funnel: strictly-ordered progression; out-of-order click excluded") {
+    val e = eventsFrame(Seq(
+      // user 1: full ordered funnel
+      (1L, "view", "2026-01-01 10:00:00"),
+      (1L, "click", "2026-01-01 10:05:00"),
+      (1L, "purchase", "2026-01-01 10:10:00"),
+      // user 2: click BEFORE first view — counts for f1 only
+      (2L, "click", "2026-01-01 09:00:00"),
+      (2L, "view", "2026-01-01 09:30:00"),
+      // user 3: view only
+      (3L, "view", "2026-01-01 08:00:00"),
+      // user 4: purchase before click — f2 yes, f3 no
+      (4L, "view", "2026-01-01 07:00:00"),
+      (4L, "purchase", "2026-01-01 07:10:00"),
+      (4L, "click", "2026-01-01 07:20:00"),
+      // user 5: no view at all — never enters the funnel
+      (5L, "click", "2026-01-01 06:00:00")))
+    val out = AnalyticsQueries.funnel(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "f1_view" -> 4L, "f2_view_click" -> 2L, "f3_view_click_purchase" -> 1L))
+  }
+
+  test("funnel: later repeat events don't resurrect a broken order") {
+    // user's SECOND view is before the click, but the FIRST view defines
+    // the funnel entry — first-touch semantics
+    val e = eventsFrame(Seq(
+      (7L, "click", "2026-01-01 10:00:00"),
+      (7L, "view", "2026-01-01 09:00:00"),  // first view precedes click
+      (7L, "view", "2026-01-01 11:00:00"))) // later view irrelevant
+    val out = AnalyticsQueries.funnel(e).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("f2_view_click") === 1L)
+  }
+
+  // ---- cohort retention ----------------------------------------------
+
+  test("cohort retention: offsets windowed to [0,7], distinct per day") {
+    val e = eventsFrame(Seq(
+      (1L, "view", "2026-01-01 10:00:00"), // cohort 01-01, offset 0
+      (1L, "view", "2026-01-01 23:00:00"), // same day — dedup'd
+      (1L, "click", "2026-01-02 01:00:00"), // offset 1
+      (1L, "click", "2026-01-10 01:00:00"), // offset 9 — outside window
+      (2L, "view", "2026-01-02 12:00:00"))) // cohort 01-02, offset 0
+    val out = AnalyticsQueries.cohortRetention(e).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2026-01-01", 0, 1L), ("2026-01-01", 1, 1L), ("2026-01-02", 0, 1L)))
+  }
+
+  // ---- embedding dimension moments -----------------------------------
+
+  test("dimStats: exact moments on planted vectors; off-dim rows filtered") {
+    val emb = Seq(
+      (1L, Array(1.0f, 3.0f)),
+      (2L, Array(3.0f, 5.0f)),
+      (3L, Array(9.0f, 9.0f, 9.0f))) // wrong dim — excluded by the guard
+      .toDF("vec_id", "embedding")
+    val out = AnalyticsQueries.dimStats(emb, dim = 2).collect()
+    assert(out.length === 2)
+    val d0 = out(0)
+    assert(d0.getInt(0) === 0 && d0.getLong(1) === 2L)
+    assert(d0.getDouble(2) === 1.0 && d0.getDouble(3) === 3.0)
+    assert(d0.getDouble(4) === 2.0) // mean
+    assert(math.abs(d0.getDouble(5) - 1.4142) < 1e-9) // stddev_samp = sqrt(2)
+    val d1 = out(1)
+    assert(d1.getDouble(4) === 4.0)
+  }
+
+  // ---- Zipf fit -------------------------------------------------------
+
+  test("zipf: a perfect 1/r frequency law fits slope -1, r2 1") {
+    // counts 6,3,2 = 6/r for ranks 1,2,3 ⇒ ln f = ln 6 − ln r exactly
+    val docs = Seq((1L, ("aa " * 6 + "bb " * 3 + "cc " * 2).trim))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("g_zipf_docs")
+    val vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val ranked = vocab.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("w"))))
+    val r = ranked
+      .select(log(col("f").cast("double")).as("lf"),
+        log(col("rk").cast("double")).as("lr"))
+      .agg(expr("regr_slope(lf, lr)").as("s"), expr("regr_r2(lf, lr)").as("r2"))
+      .head()
+    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  // ---- lexicon redaction ---------------------------------------------
+
+  test("redaction: token-exact replacement, md5 proves the scrubbed bytes") {
+    val docs = Seq((1L, "customer holds key data"), (2L, "no hits here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents_fixture")
+    val out = spark.sql(
+      """SELECT doc_id,
+                size(filter(split(text, ' '),
+                  w -> w IN ('customer','key','value','row'))) AS n_hits,
+                md5(array_join(transform(split(text, ' '),
+                  w -> CASE WHEN w IN ('customer','key','value','row')
+                            THEN '<RED>' ELSE w END), ' ')) AS redacted_md5
+         FROM documents_fixture ORDER BY doc_id""").collect()
+    assert(out(0).getInt(1) === 2)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("<RED> holds <RED> data".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getString(2) === expected)
+    assert(out(1).getInt(1) === 0)
+    val unchanged = java.security.MessageDigest.getInstance("MD5")
+      .digest("no hits here".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1).getString(2) === unchanged)
+  }
+}
