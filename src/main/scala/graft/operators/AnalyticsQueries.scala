@@ -18,6 +18,56 @@ object AnalyticsQueries {
   private val Deny = Seq("customer", "key", "value", "row")
   private def denySqlList: String = Deny.map(w => s"'$w'").mkString(", ")
 
+  /** PPJoin-style EXACT all-pairs Jaccard τ-join core (d_ppjoin) over
+    * 3-shingle sets, τ = 3/5. Prefix filtering (Chaudhuri/Xiao AllPairs-
+    * PPJoin lineage): under any global canonical token order, two sets
+    * with J ≥ τ MUST collide within their first n − ⌈τn⌉ + 1 tokens — so
+    * candidates come from joining those prefixes only (rarest-first
+    * ordering keeps prefix postings short), a 5·min ≥ 3·max length filter
+    * prunes impossible size ratios, and an exact intersection count
+    * verifies the survivors. All thresholds are INTEGER arithmetic
+    * (⌈3n/5⌉ = (3n+4) div 5; J ≥ 3/5 ⟺ 8i ≥ 3(na+nb)), so completeness
+    * is a theorem, not a float coin-flip — which is why the oracle is the
+    * BRUTE-FORCE all-pairs SQL (result invariance, the q_bloom_prefilter
+    * convention). Span-dedup shuffle discipline: shingle strings are
+    * hashed per-row (xxhash64) and dropped — every exchange carries
+    * 8-byte keys (64-bit-collision trade, documented).
+    */
+  def ppjoin(docsDf: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    import org.apache.spark.sql.expressions.Window
+    val sh = docsDf
+      .select(col("doc_id"), explode(array_distinct(shingles("text", 3))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(sz, Seq("doc_id"))
+    val prefix = ranked
+      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("h"), col("doc_id"), col("n"))
+    val cand = prefix.select(col("h"), col("doc_id").as("da"), col("n").as("na"))
+      .join(prefix.select(col("h"), col("doc_id").as("db"), col("n").as("nb")),
+        Seq("h"))
+      .filter(col("db") > col("da") &&
+        lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
+      .select(col("da"), col("db")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(lit(8) * col("i") >= lit(3) * (col("na") + col("nb")))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        floorRound(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Funnel core (r_funnel) over any (user_id, event_type, ts) frame:
     * per-user first-occurrence times of view → click → purchase, then the
     * strictly-ordered progression counts. Comparisons happen on
@@ -128,6 +178,89 @@ object AnalyticsQueries {
           floorRound(expr("regr_r2(lf, lr)"), 4).as("zipf_r2"))
     }),
 
+    // R7/R12-adjacent — z-score anomaly summary per event type: the
+    // monitoring pass over the stream's batch twin. Two-phase: per-type
+    // moments (ONE type-keyed shuffle, map-side partial), broadcast the
+    // ~5-row stats frame back onto the events, flag |z| > 3. Mean/std go
+    // through the 4-dp parity dial BEFORE z so both engines threshold the
+    // same deterministic arithmetic; max|z| re-rounds for display.
+    "r_zscore_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type")).agg(
+        floorRound(avg(col("value")), 4).as("mu"),
+        floorRound(stddev_samp(col("value")), 4).as("sigma"))
+      val z = e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      z.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          count(when(abs(col("z")) > 3.0, lit(1))).cast("long").as("n_outliers"),
+          floorRound(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy("event_type")
+    }),
+
+    // R10/R12-adjacent — weighted sampling WITHOUT replacement
+    // (Efraimidis-Spirakis A-ES): the source-weighted corpus sampling the
+    // mixing stage needs when quotas are per-document, not per-source.
+    // Top-k by ln(u)/w where u is a DETERMINISTIC per-doc uniform from an
+    // LCG on doc_id (pure 64-bit integer arithmetic — identical in both
+    // engines, the t_source_sample convention) and w = n_chars, so long
+    // documents are preferentially kept with exactly the E-S inclusion
+    // law. All per-row scalar math (no accumulation ⇒ bit-deterministic
+    // doubles); the only corpus-sized operator is the
+    // TakeOrderedAndProject heap — per-partition top-20, single merge,
+    // never a full sort. Ties broken by doc_id: a total order.
+    "q_weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L))
+            .as("lcg"))
+        .withColumn("u", (col("lcg").cast("double") + lit(0.5)) / lit(2147483647.0))
+        .withColumn("es_key",
+          floorRound(log(col("u")) / col("n_chars").cast("double"), 10))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(20)
+        // the emitted key IS the ranking key (10-dp): re-rounding it
+        // coarser would collapse ties and make the emitted row order
+        // unreproducible from the emitted columns
+        .select(col("doc_id"), col("n_chars"), col("es_key"))),
+
+    // R13/R14-adjacent — bounded-window EWMA per user (α = 0.5 over the
+    // last 8 events by time): the trend line a monitoring dashboard draws
+    // per entity. The closed form is unrolled into 8 lag() terms of pure
+    // scalar arithmetic (no iterative accumulation ⇒ deterministic in
+    // both engines; short histories renormalize over the lags that
+    // exist). ONE user-keyed window shuffle; at 100 TB the state per key
+    // is 8 lags — the same shape Spark's streaming twin would hold.
+    "r_ewma" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val terms = (0 until 8).map { k =>
+        val c = math.pow(0.5, k + 1) // α(1−α)^k with α=0.5
+        (when(lag(col("value"), k).over(w).isNotNull, lit(c)).otherwise(lit(0.0)),
+          coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(c))
+      }
+      val wsum = terms.map(_._1).reduce(_ + _)
+      val vsum = terms.map(_._2).reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"))
+        .withColumn("ewma8", floorRound(vsum / wsum, 4))
+        .select(col("user_id"), col("event_id"), col("ewma8"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // R18 — PPJoin-style EXACT all-pairs Jaccard τ-join (see [[ppjoin]]):
+    // the deterministic sibling of d_minhash_lsh — same problem, zero
+    // probability of a missed pair. Candidates only from rarest-first
+    // PREFIX collisions + an integer length filter; exact verify on the
+    // survivors. Integer thresholds make completeness a theorem, so the
+    // oracle is the brute-force all-pairs SQL (result invariance).
+    "d_ppjoin" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      ppjoin(Tables.documents(s, d))
+    }),
+
     // R20 — lexicon (denylist) redaction: the scrubbing stage of a corpus
     // pipeline (PII/sensitive-term removal; the synthetic corpus has no
     // real PII, so the denylist is four in-vocabulary terms — the
@@ -200,6 +333,72 @@ object AnalyticsQueries {
                  ${floorRoundSql("regr_intercept(lf, lr)", 4)} AS zipf_intercept,
                  ${floorRoundSql("regr_r2(lf, lr)", 4)} AS zipf_r2
           FROM r""",
+    "r_zscore_outliers" ->
+      s"""WITH st AS (
+            SELECT event_type,
+                   ${floorRoundSql("avg(value)", 4)} AS mu,
+                   ${floorRoundSql("stddev_samp(value)", 4)} AS sigma
+            FROM events GROUP BY event_type),
+          z AS (
+            SELECT e.event_type, (e.value - st.mu) / st.sigma AS z
+            FROM events e JOIN st USING (event_type))
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(CASE WHEN abs(z) > 3.0 THEN 1 END) AS BIGINT) AS n_outliers,
+                 ${floorRoundSql("max(abs(z))", 4)} AS max_abs_z
+          FROM z GROUP BY event_type ORDER BY event_type""",
+    "q_weighted_sample" ->
+      s"""WITH k AS (
+            SELECT doc_id, n_chars,
+                   (CAST((doc_id * 1103515245 + 12345) % 2147483647 AS DOUBLE) + 0.5)
+                     / 2147483647.0 AS u
+            FROM documents),
+          r AS (
+            SELECT doc_id, n_chars,
+                   ${floorRoundSql("ln(u) / CAST(n_chars AS DOUBLE)", 10)} AS es_key
+            FROM k)
+          SELECT doc_id, n_chars, es_key
+          FROM r ORDER BY es_key DESC, doc_id LIMIT 20""",
+    "r_ewma" ->
+      s"""WITH t AS (
+            SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events),
+          l AS (
+            SELECT user_id, event_id,
+                   ${(0 until 8).map(k =>
+                      s"lag(value, $k) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS v$k")
+                      .mkString(",\n                   ")}
+            FROM t),
+          e AS (
+            SELECT user_id, event_id,
+                   (${(0 until 8).map(k =>
+                       s"CASE WHEN v$k IS NOT NULL THEN ${math.pow(0.5, k + 1)} ELSE 0.0 END")
+                       .mkString(" + ")}) AS wsum,
+                   (${(0 until 8).map(k =>
+                       s"coalesce(v$k, 0.0) * ${math.pow(0.5, k + 1)}")
+                       .mkString(" + ")}) AS vsum
+            FROM l)
+          SELECT user_id, event_id, ${floorRoundSql("vsum / wsum", 4)} AS ewma8
+          FROM e ORDER BY user_id, event_id""",
+    "d_ppjoin" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+           FROM toks WHERE len(t) >= 3),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+           FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id > a.doc_id
+           GROUP BY 1, 2)
+         SELECT da AS doc_a, db AS doc_b,
+                floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000
+                  AS jaccard
+         FROM inter
+           JOIN sz sa ON sa.doc_id = da
+           JOIN sz sb ON sb.doc_id = db
+         WHERE 8 * i >= 3 * (sa.n + sb.n)
+         ORDER BY doc_a, doc_b""",
     "t_redact_lexicon" ->
       s"""SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -109,6 +109,119 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
   }
 
+  // ---- z-score outliers ----------------------------------------------
+
+  test("zscore: a planted extreme spikes its own type only") {
+    // 40 calm points + one 100× spike in 'click'; 'view' stays clean.
+    // With the spike included the click-type std inflates, but the spike
+    // still sits far past 3σ of the inflated distribution.
+    val rows = (1 to 40).map(i => (i.toLong, "click", 10.0 + (i % 3))) ++
+      Seq((99L, "click", 1000.0)) ++
+      (1 to 10).map(i => (100L + i, "view", 5.0 + (i % 2)))
+    val e = rows.toDF("event_id", "event_type", "value")
+    val stats = e.groupBy(col("event_type")).agg(
+      graft.functions.ParityMath.floorRound(avg(col("value")), 4).as("mu"),
+      graft.functions.ParityMath.floorRound(stddev_samp(col("value")), 4).as("sigma"))
+    val z = e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .groupBy(col("event_type"))
+      .agg(count(when(abs(col("z")) > 3.0, lit(1))).as("n_outliers"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(z("click") === 1L)
+    assert(z("view") === 0L)
+  }
+
+  // ---- weighted sampling ---------------------------------------------
+
+  test("weighted sample: an overwhelming weight is picked first (E-S law)") {
+    // key = ln(u)/w → 0⁻ as w → ∞, so the heavy doc must rank first
+    // regardless of its uniform draw
+    val docs = ((1 to 30).map(i => (i.toLong, 1L)) :+ (31L, 1000000000L))
+      .toDF("doc_id", "n_chars")
+    val ranked = docs
+      .select(col("doc_id"), col("n_chars"),
+        ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)).as("lcg"))
+      .withColumn("u", (col("lcg").cast("double") + lit(0.5)) / lit(2147483647.0))
+      .withColumn("es_key", log(col("u")) / col("n_chars").cast("double"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .collect()
+    assert(ranked.head.getLong(0) === 31L)
+  }
+
+  // ---- bounded-window EWMA -------------------------------------------
+
+  test("ewma: exact closed-form on a planted 1,2,4 history") {
+    val rows = Seq(
+      (1L, 101L, "2026-01-01 10:00:00", 1.0),
+      (1L, 102L, "2026-01-01 10:01:00", 2.0),
+      (1L, 103L, "2026-01-01 10:02:00", 4.0))
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(to_timestamp(col("ts_s"))).as("ts_ms"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val terms = (0 until 8).map { k =>
+      val c = math.pow(0.5, k + 1)
+      (when(lag(col("value"), k).over(w).isNotNull, lit(c)).otherwise(lit(0.0)),
+        coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(c))
+    }
+    val out = rows
+      .withColumn("ewma8",
+        graft.functions.ParityMath.floorRound(
+          terms.map(_._2).reduce(_ + _) / terms.map(_._1).reduce(_ + _), 4))
+      .orderBy("event_id").collect()
+    // event 103: (.5·4 + .25·2 + .125·1)/(.5+.25+.125) = 2.625/0.875 = 3.0
+    assert(out(2).getDouble(4) === 3.0)
+    // event 101: only itself in the window → ewma = value
+    assert(out(0).getDouble(4) === 1.0)
+  }
+
+  // ---- PPJoin exact τ-join -------------------------------------------
+
+  test("ppjoin: finds the planted near-dup pair, refuses the sub-threshold one") {
+    graft.plans.GraftFunctions.register(spark)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),                      // J well above 3/5
+      (3L, "alpha beta gamma nu xi omicron pi rho sigma tau"), // shares a 1-shingle prefix region but J < 3/5
+      (4L, "one two three four five six seven eight nine ten")) // disjoint
+      .toDF("doc_id", "text")
+    val out = graft.operators.AnalyticsQueries.ppjoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+
+  test("ppjoin: equals brute force on a random-ish planted corpus") {
+    graft.plans.GraftFunctions.register(spark)
+    // deterministic corpus with several mutated copies — every J ≥ 3/5
+    // pair the brute-force join finds, ppjoin must find, and vice versa
+    val words = "the fast key order sort table scan merge part window".split(" ")
+    val docs = (0 until 30).map { i =>
+      val toks = (0 until 20).map(j => words((i * 7 + j * 3) % words.length))
+      val mutated = if (i % 3 == 0) toks.updated(5, "zz" + i) else toks
+      (i.toLong, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.createOrReplaceTempView("pp_docs")
+    val pp = graft.operators.AnalyticsQueries.ppjoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = spark.sql(
+      """WITH sh AS (
+           SELECT doc_id, explode(array_distinct(graft_shingles(text, 3))) AS g
+           FROM pp_docs),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+           FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id > a.doc_id
+           GROUP BY 1, 2)
+         SELECT da, db FROM inter
+           JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         WHERE 8 * i >= 3 * (sa.n + sb.n)""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp === brute, s"ppjoin=${pp.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture produced no true pairs — strengthen it")
+  }
+
   // ---- lexicon redaction ---------------------------------------------
 
   test("redaction: token-exact replacement, md5 proves the scrubbed bytes") {

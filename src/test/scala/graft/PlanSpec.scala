@@ -362,4 +362,94 @@ class PlanSpec extends SparkSpec {
       s"probe not under the join (join@$join probe@$probe):\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("r_funnel: one user-keyed shuffle, conditional mins combine map-side") {
+    val p = plan("r_funnel")
+    // every keyed exchange is the per-user first-touch agg; the funnel
+    // counts ride a SinglePartition scalar agg, never another hash shuffle
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("user_id")),
+      s"non-user exchange in the funnel:\n${p.take(1200)}")
+    assert(p.contains("partial_min"),
+      s"first-touch mins not map-side combined:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r_cohort_retention: exchanges key on user or cohort grid only") {
+    val p = plan("r_cohort_retention")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty, "expected the first-day/join/grid exchanges")
+    keyed.foreach(k => assert(
+      k.contains("user_id") || (k.contains("cohort_day") && k.contains("offset_day")),
+      s"stray exchange key:\n$k"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("v_dim_stats: explode×64 collapses map-side — the shuffle carries dims, not elements") {
+    val p = plan("v_dim_stats")
+    assert(p.contains("partial_min") && p.contains("partial_avg"),
+      s"moments not map-side combined:\n${p.take(1200)}")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("dim")),
+      s"exchange not keyed on the dimension:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_zipf_slope: only the vocab builds a keyed exchange; OLS combines map-side") {
+    // the corpus-sized stage is the token groupBy (map-side partial
+    // count); the rank window and regression run on the vocab, which
+    // Heaps' law keeps negligible relative to tokens
+    val p = plan("t_zipf_slope")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("w#")),
+      s"non-vocab exchange:\n${p.take(1200)}")
+    assert(p.contains("partial_count"),
+      s"token counts not map-side combined:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_redact_lexicon: per-document scrub never shuffles — zero keyed exchanges") {
+    val p = plan("t_redact_lexicon")
+    assert(!p.contains("hashpartitioning"),
+      s"per-doc redaction must not hash-shuffle:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r_zscore_outliers: 5-row stats broadcast back; exchanges key on event_type only") {
+    val p = plan("r_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats frame not broadcast:\n${p.take(1200)}")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.forall(_.contains("event_type")),
+      s"stray exchange key:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_weighted_sample: per-partition heap + merge, never a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not heap-based:\n${p.take(1200)}")
+    assert(!p.contains("hashpartitioning"),
+      s"weighted sampling is per-row + heap — no keyed exchange:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d_ppjoin: every exchange keys on the 8-byte shingle hash or doc ids — strings never move") {
+    val p = plan("d_ppjoin")
+    assert(p.contains("xxhash64"), "shingle-hash key missing")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the posting/verify exchanges")
+    exchanges.foreach(e => assert(!e.contains("text") && !e.contains("g#"),
+      s"shingle strings shuffle:\n$e"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r_ewma: one user-keyed window carries all 8 lags") {
+    val p = plan("r_ewma")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("user_id")),
+      s"non-user exchange in the EWMA window:\n${p.take(1200)}")
+    // all lags must ride ONE window operator — 8 separate windows would
+    // re-sort the partition 8 times
+    assert("Window".r.findAllIn(p).size <= 2, s"window not fused:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
