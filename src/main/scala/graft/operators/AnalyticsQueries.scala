@@ -261,6 +261,32 @@ object AnalyticsQueries {
       ppjoin(Tables.documents(s, d))
     }),
 
+    // R20/R17-adjacent — n-gram novelty curve: per doc (in doc_id order,
+    // the corpus's ingest order), the fraction of its distinct 3-shingles
+    // whose FIRST corpus occurrence is this doc — the "how much new text
+    // does each increment add" metric a dataset-curation loop watches as
+    // it appends crawls (a falling curve means the source is mined out).
+    // Shape: one gram-hash-keyed min-aggregate (map-side partial) + one
+    // doc-keyed count — the span-dedup shuffle discipline (8-byte hashes,
+    // strings never move; 64-bit-collision trade documented there).
+    "t_ngram_novelty" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      import graft.functions.TextFunctions.shingles
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(shingles("text", 3))).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), lit(1)))
+            .cast("long").as("n_novel"))
+        .withColumn("novelty_frac",
+          floorRound(col("n_novel").cast("double") / col("n_grams").cast("double"), 4))
+        .orderBy("doc_id")
+    }),
+
     // R20 — lexicon (denylist) redaction: the scrubbing stage of a corpus
     // pipeline (PII/sensitive-term removal; the synthetic corpus has no
     // real PII, so the denylist is four in-vocabulary terms — the
@@ -399,6 +425,22 @@ object AnalyticsQueries {
            JOIN sz sb ON sb.doc_id = db
          WHERE 8 * i >= 3 * (sa.n + sb.n)
          ORDER BY doc_a, doc_b""",
+    "t_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+           FROM toks WHERE len(t) >= 3),
+         first AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+         SELECT sh.doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(count(CASE WHEN first.first_doc = sh.doc_id THEN 1 END) AS BIGINT)
+                  AS n_novel,
+                floor(CAST(count(CASE WHEN first.first_doc = sh.doc_id THEN 1 END) AS DOUBLE)
+                      / count(*) * 10000 + 0.5) / 10000 AS novelty_frac
+         FROM sh JOIN first USING (g)
+         GROUP BY sh.doc_id ORDER BY sh.doc_id""",
     "t_redact_lexicon" ->
       s"""SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

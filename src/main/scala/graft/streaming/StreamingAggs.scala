@@ -81,6 +81,60 @@ object StreamingAggs {
       }
   }
 
+  /** Emitted by [[funnelStages]] whenever a user's funnel stage changes:
+    * 0 = not entered (no view yet), 1 = viewed, 2 = viewed→clicked in
+    * order, 3 = full view→click→purchase progression.
+    */
+  final case class FunnelUpdate(userId: Long, stage: Int)
+
+  /** T4/R11 streaming — LIVE first-touch funnel, the streaming twin of
+    * `r_funnel`: per-user state is exactly the batch aggregate's three
+    * first-occurrence event-times (view/click/purchase minima, -1 unset)
+    * — O(#users) state, 24 bytes each — and a FunnelUpdate is emitted
+    * whenever the derived stage CHANGES. Because state holds minima (not
+    * the stage), out-of-order and late arrivals converge to the batch
+    * answer: a late early view can promote a user (its tv drops below
+    * tc), a late early click can DEMOTE one (tc drops to or below tv) —
+    * stage is deliberately not monotone, it tracks what the batch funnel
+    * over all-data-so-far would say. Re-delivery of an already-folded
+    * event changes no minimum ⇒ no emission: replay-idempotent. Input:
+    * (user_id, event_type, event_time_millis).
+    */
+  def funnelStages(events: Dataset[(Long, String, Long)],
+                   idleTtlMs: Long = 0L): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    def stageOf(tv: Long, tc: Long, tp: Long): Int =
+      if (tv < 0) 0
+      else if (tc >= 0 && tc > tv) { if (tp >= 0 && tp > tc) 3 else 2 }
+      else 1
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (tv, tc, tp) = state.getOption.getOrElse((-1L, -1L, -1L))
+            val before = stageOf(tv, tc, tp)
+            def mn(cur: Long, t: Long) = if (cur < 0 || t < cur) t else cur
+            rows.foreach { case (_, et, ts) =>
+              et match {
+                case "view"     => tv = mn(tv, ts)
+                case "click"    => tc = mn(tc, ts)
+                case "purchase" => tp = mn(tp, ts)
+                case _          => () // non-funnel types fold to nothing
+              }
+            }
+            state.update((tv, tc, tp))
+            if (idleTtlMs > 0) state.setTimeoutDuration(idleTtlMs)
+            val after = stageOf(tv, tc, tp)
+            if (after != before) Iterator.single(FunnelUpdate(uid, after))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Emitted by [[gapDetect]] for every ordinal discontinuity observed on a
     * stream: messages (fromExclusive, toExclusive) never arrived.
     */

@@ -442,6 +442,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t_ngram_novelty: exchanges carry gram hashes or doc ids, never strings") {
+    val p = plan("t_ngram_novelty")
+    assert(p.contains("xxhash64"), "gram-hash key missing")
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, "expected the first-occurrence/doc exchanges")
+    exchanges.foreach(e => assert(!e.contains("text") && !e.contains("g#"),
+      s"gram strings shuffle:\n$e"))
+    assert(p.contains("partial_min"),
+      s"first-occurrence min not map-side combined:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("r_ewma: one user-keyed window carries all 8 lags") {
     val p = plan("r_ewma")
     val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq

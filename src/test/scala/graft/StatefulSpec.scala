@@ -33,6 +33,54 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStages: stage transitions across batches; late early click demotes") {
+    import graft.streaming.StreamingAggs.FunnelUpdate
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val out = StreamingAggs.funnelStages(stream.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // batch 1: user 1 views at t=100 → stage 1
+      stream.addData((1L, "view", 100L))
+      q.processAllAvailable()
+      // batch 2: click at 200 then purchase at 300 → straight to stage 3
+      stream.addData((1L, "click", 200L), (1L, "purchase", 300L))
+      q.processAllAvailable()
+      // batch 3: a LATE click at t=50 (before the first view) lowers the
+      // first-touch click below tv — the ordered progression breaks and
+      // the user demotes to stage 1, exactly what the batch funnel over
+      // all four events would say
+      stream.addData((1L, "click", 50L))
+      q.processAllAvailable()
+      // batch 4: redelivery of an already-folded event — no minimum
+      // moves, no emission (replay idempotence)
+      stream.addData((1L, "click", 200L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelUpdate].collect().toSeq
+      assert(rows === Seq(
+        FunnelUpdate(1L, 1), FunnelUpdate(1L, 3), FunnelUpdate(1L, 1)))
+    } finally q.stop()
+  }
+
+  test("funnelStages: arrival order never changes the converged stage") {
+    import graft.streaming.StreamingAggs.FunnelUpdate
+    // same four events in two different arrival orders → same final stage
+    val deliveries = Seq(
+      Seq((7L, "view", 10L), (7L, "click", 20L), (7L, "purchase", 30L), (7L, "signup", 5L)),
+      Seq((7L, "purchase", 30L), (7L, "signup", 5L), (7L, "click", 20L), (7L, "view", 10L)))
+    val finals = deliveries.zipWithIndex.map { case (evs, i) =>
+      val stream = MemoryStream[(Long, String, Long)](spark)
+      val q = StreamingAggs.funnelStages(stream.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(s"funnel_ord_$i").start()
+      try {
+        evs.foreach { e => stream.addData(e); q.processAllAvailable() }
+        spark.table(s"funnel_ord_$i").as[FunnelUpdate].collect().last.stage
+      } finally q.stop()
+    }
+    assert(finals === Seq(3, 3))
+  }
+
   test("gapDetect emits lost-message events live, state carried across batches") {
     import graft.streaming.StreamingAggs.GapEvent
     val stream = MemoryStream[(String, Long)](spark)
