@@ -127,6 +127,60 @@ object AnalyticsQueries {
         floorRound(stddev_samp(col("x")), 4).as("x_std"))
       .orderBy("dim")
 
+  /** RFM segmentation core (r_rfm_segments) over any
+    * (user_id, event_type, ts, value) frame — scale-right: quintile
+    * CUTPOINTS from one percentile aggregate (broadcast 3×4 doubles),
+    * per-row CASE assignment — never a global ntile window.
+    */
+  def rfmSegments(eventsDf: DataFrame): DataFrame = {
+    val perUser = eventsDf.groupBy(col("user_id")).agg(
+      max(unix_millis(col("ts"))).as("last_ms"),
+      count(when(col("event_type") === "purchase", lit(1))).as("freq"),
+      floorRound(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(lit(0.0))), 2).as("mon"))
+    val anchor = eventsDf.agg(max(unix_millis(col("ts"))).as("anchor_ms"))
+    val m = perUser.crossJoin(broadcast(anchor))
+      .withColumn("rec_days",
+        floor((col("anchor_ms") - col("last_ms")) / lit(86400000.0)).cast("long"))
+    val cuts = m.agg(
+      expr("percentile(rec_days, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(mon, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def score(v: org.apache.spark.sql.Column, cutsCol: String, asc: Boolean) = {
+      val c = (i: Int) => floorRound(element_at(col(cutsCol), i), 4)
+      val raw = when(v <= c(1), 1).when(v <= c(2), 2).when(v <= c(3), 3)
+        .when(v <= c(4), 4).otherwise(5)
+      if (asc) raw else lit(6) - raw // recency: smaller rec_days = better
+    }
+    m.crossJoin(broadcast(cuts))
+      .select(
+        (score(col("rec_days").cast("double"), "rc", asc = false) * 100 +
+         score(col("freq").cast("double"), "fc", asc = true) * 10 +
+         score(col("mon"), "mc", asc = true)).as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("segment")
+  }
+
+  /** First-order Markov transition matrix core (q_markov_transitions). */
+  def markovTransitions(eventsDf: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val seq = eventsDf
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    val n = seq.groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = n.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
+    n.join(broadcast(tot), Seq("src"))
+      .select(col("src"), col("dst"), col("n").cast("long").as("n"),
+        floorRound(col("n").cast("double") / col("n_src").cast("double"), 4)
+          .as("p"))
+      .orderBy("src", "dst")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R11/R14-adjacent — event funnel: strictly-ordered first-touch
     // progression view → click → purchase. ONE shuffle (user_id) with
@@ -260,6 +314,25 @@ object AnalyticsQueries {
       graft.plans.GraftFunctions.register(s)
       ppjoin(Tables.documents(s, d))
     }),
+
+    // R7/R12-adjacent — RFM (recency/frequency/monetary) segmentation:
+    // the classic customer-value grid, built scale-right — NO global
+    // ntile window (a single-partition sort over all users is the
+    // 100 TB killer). Instead: per-user metrics in one user-keyed
+    // shuffle, exact quintile CUTPOINTS from one percentile aggregate
+    // (4 doubles per metric), broadcast back, per-row CASE assignment,
+    // then a segment-keyed count. Cutpoints go through the 4-dp dial so
+    // both engines threshold identical values; score convention: higher
+    // = better (recent / frequent / high-spend).
+    "r_rfm_segments" -> ((s, d) => rfmSegments(Tables.events(s, d))),
+
+    // R13-adjacent — event-type transition matrix (first-order Markov):
+    // the path-analysis pass behind "what do users do next". ONE
+    // user-keyed window (lead over event time) then a 25-cell-bounded
+    // count; transition probabilities join the src totals back (tiny
+    // broadcast). Deterministic order: (epoch-millis, event_id) is a
+    // total order per user in both engines.
+    "q_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
 
     // R20/R17-adjacent — n-gram novelty curve: per doc (in doc_id order,
     // the corpus's ingest order), the fraction of its distinct 3-shingles
@@ -425,6 +498,60 @@ object AnalyticsQueries {
            JOIN sz sb ON sb.doc_id = db
          WHERE 8 * i >= 3 * (sa.n + sb.n)
          ORDER BY doc_a, doc_b""",
+    "r_rfm_segments" ->
+      s"""WITH pu AS (
+            SELECT user_id,
+                   max(epoch_ms(ts)) AS last_ms,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS freq,
+                   ${floorRoundSql(
+                     "sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)", 2)}
+                     AS mon
+            FROM events GROUP BY user_id),
+          a AS (SELECT max(epoch_ms(ts)) AS anchor_ms FROM events),
+          m AS (
+            SELECT user_id,
+                   CAST(floor((a.anchor_ms - pu.last_ms) / 86400000.0) AS BIGINT)
+                     AS rec_days,
+                   freq, mon
+            FROM pu, a),
+          c AS (
+            SELECT quantile_cont(CAST(rec_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rc,
+                   quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fc,
+                   quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mc
+            FROM m),
+          seg AS (
+            SELECT (6 - (CASE WHEN CAST(rec_days AS DOUBLE) <= floor(rc[1] * 10000 + 0.5) / 10000 THEN 1
+                              WHEN CAST(rec_days AS DOUBLE) <= floor(rc[2] * 10000 + 0.5) / 10000 THEN 2
+                              WHEN CAST(rec_days AS DOUBLE) <= floor(rc[3] * 10000 + 0.5) / 10000 THEN 3
+                              WHEN CAST(rec_days AS DOUBLE) <= floor(rc[4] * 10000 + 0.5) / 10000 THEN 4
+                              ELSE 5 END)) * 100
+                 + (CASE WHEN CAST(freq AS DOUBLE) <= floor(fc[1] * 10000 + 0.5) / 10000 THEN 1
+                         WHEN CAST(freq AS DOUBLE) <= floor(fc[2] * 10000 + 0.5) / 10000 THEN 2
+                         WHEN CAST(freq AS DOUBLE) <= floor(fc[3] * 10000 + 0.5) / 10000 THEN 3
+                         WHEN CAST(freq AS DOUBLE) <= floor(fc[4] * 10000 + 0.5) / 10000 THEN 4
+                         ELSE 5 END) * 10
+                 + (CASE WHEN mon <= floor(mc[1] * 10000 + 0.5) / 10000 THEN 1
+                         WHEN mon <= floor(mc[2] * 10000 + 0.5) / 10000 THEN 2
+                         WHEN mon <= floor(mc[3] * 10000 + 0.5) / 10000 THEN 3
+                         WHEN mon <= floor(mc[4] * 10000 + 0.5) / 10000 THEN 4
+                         ELSE 5 END) AS segment
+            FROM m, c)
+          SELECT segment, CAST(count(*) AS BIGINT) AS n_users
+          FROM seg GROUP BY segment ORDER BY segment""",
+    "q_markov_transitions" ->
+      s"""WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                     ORDER BY epoch_ms(ts), event_id) AS dst
+            FROM events),
+          n AS (
+            SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT src, sum(n) AS n_src FROM n GROUP BY src)
+          SELECT n.src, n.dst, n.n,
+                 ${floorRoundSql("CAST(n.n AS DOUBLE) / CAST(tot.n_src AS DOUBLE)", 4)} AS p
+          FROM n JOIN tot USING (src)
+          ORDER BY src, dst""",
     "t_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (

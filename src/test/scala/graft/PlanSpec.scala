@@ -454,6 +454,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("r_rfm_segments: cutpoints broadcast — the user frame never re-shuffles for scoring") {
+    val p = plan("r_rfm_segments")
+    // anchor + cutpoint frames arrive as broadcasts (1-row each); keyed
+    // exchanges may only be the per-user agg and the segment-grid count
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"scalar frames not broadcast:\n${p.take(1500)}")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    keyed.foreach(k => assert(k.contains("user_id") || k.contains("segment"),
+      s"stray exchange key:\n$k"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_markov_transitions: one user window, totals broadcast back") {
+    val p = plan("q_markov_transitions")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(k =>
+      k.contains("user_id") || k.contains("src") || k.contains("dst")),
+      s"stray exchange key:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"src totals not broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("r_ewma: one user-keyed window carries all 8 lags") {
     val p = plan("r_ewma")
     val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
