@@ -33,16 +33,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in the parquet footer, which
-    * Spark's vectorized reader rejects outright. Read it as raw nanos
-    * (legacy flag) and convert to Spark's native microsecond TimestampType
-    * with integer division (a double division would lose precision above
-    * 2^53 ns). DuckDB reads the same file as TIMESTAMP_NS; both engines
-    * therefore agree on epoch-millis values.
+  /** `events.ts` has shipped in two encodings across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects unless read as raw nanos via the legacy flag — and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to the session-UTC TimestampType every
+    * downstream query expects: nanos convert with integer division (a
+    * double division would lose precision above 2^53 ns), NTZ casts
+    * value-preserving because the session timezone is pinned to UTC.
+    * DuckDB reads either file as a naive TIMESTAMP; both engines therefore
+    * agree on epoch-millis values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
