@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.GraphQueries
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics family: PageRank, triangle census, components — planted
+  * fixtures with hand-computable answers, plus a Scala reference fold for
+  * the integer PageRank recurrence.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("a", "b").withColumn("w", lit(1L))
+
+  /** Reference integer PageRank: the exact recurrence the query runs. */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = e.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = contrib.map { case (n, s) => n -> (150000L + (17L * s) / 20L) }
+    }
+    r
+  }
+
+  test("g_pagerank core matches the integer recurrence on a planted graph") {
+    // star (1 hub, 3 spokes) + disjoint pair: hub must out-rank spokes
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val got = GraphQueries.pagerank(edgesDf(edges: _*), iters = 5, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPagerank(edges, 5)
+    assert(got === want)
+    assert(got(1L) > got(2L), "hub must out-rank a spoke")
+    assert(got(2L) === got(3L) && got(3L) === got(4L), "spokes symmetric")
+  }
+
+  test("g_triangles counts the planted K4-minus-an-edge exactly") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles = {1,2,3}, {1,2,4} = 2
+    // degrees: 1→3, 2→3, 3→2, 4→2 ⇒ wedges = 3+3+1+1 = 8
+    val df = GraphQueries.triangles(
+      edgesDf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+    val r = df.head()
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 5L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+    assert(r.getAs[Long]("n_wedges") === 8L)
+    assert(math.abs(r.getAs[Double]("global_clustering") - 0.75) < 1e-9)
+  }
+
+  test("g_components: two planted clusters + a bridge collapse correctly") {
+    // chain 1-2-3, pair 10-11, then bridging 3-10 merges them
+    val apart = GraphQueries.components(edgesDf((1L, 2L), (2L, 3L), (10L, 11L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(apart.toSet === Set((1L, 3L), (10L, 2L)))
+    val merged = GraphQueries.components(
+      edgesDf((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.toSet === Set((1L, 5L)))
+  }
+
+  test("coPurchaseEdges: cap keeps the heaviest pairs under a total order") {
+    val li = Seq(
+      // parts 1,2 co-occur in 3 orders; 1,3 in 1; 2,3 in 1
+      (100L, 1L), (100L, 2L),
+      (101L, 1L), (101L, 2L),
+      (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 3L),
+      (104L, 2L), (104L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val all = GraphQueries.coPurchaseEdges(li, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all === Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val capped = GraphQueries.coPurchaseEdges(li, cap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1L, 2L)), "cap must keep the heaviest edge")
+  }
+}

@@ -487,4 +487,56 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size <= 2, s"window not fused:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("g_pagerank: node state broadcasts onto edges every iteration; edge subtree reused") {
+    val df = SparkEntry.queries("g_pagerank")(spark, d)
+    df.collect() // AQE finalizes reuse only at execution
+    val p = df.queryExecution.executedPlan.toString
+    // 5 iterations ⇒ ≥5 broadcast joins of the node-sized contrib frame
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      s"rank state not broadcast onto edges:\n${p.take(1500)}")
+    // the capped co-purchase subtree sits under one shared repartition
+    // exchange — the pair-generation self-join must execute once, not 6×
+    assert(p.contains("ReusedExchange"),
+      s"capped edge exchange not reused:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r_anomaly_mad: stats frame broadcast; exchanges key on event_type only") {
+    val p = plan("r_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n${p.take(1200)}")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.forall(_.contains("event_type")),
+      s"stray exchange key:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r_changepoint_cusum: windows partition by event_type — never a global sort") {
+    val p = plan("r_changepoint_cusum")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("event_type")),
+      s"stray exchange key:\n${p.take(1200)}")
+    assert(!p.contains("rangepartitioning(aggOrder"),
+      "CUSUM window must not globally sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_scd2_orders: both windows and the run aggregate stay custkey-partitioned") {
+    val p = plan("q_scd2_orders")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(_.contains("custkey")),
+      s"non-custkey exchange:\n${p.take(1500)}")
+    // lag + running sum share one (custkey, od, orderkey) window spec
+    assert("Window".r.findAllIn(p).size <= 3, s"windows not fused:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_zorder_cluster: extent frame broadcasts; one bucket-keyed aggregate") {
+    val p = plan("q_zorder_cluster")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"extents not broadcast:\n${p.take(1200)}")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.forall(_.contains("bucket")),
+      s"stray exchange key:\n${p.take(1200)}")
+  }
 }
