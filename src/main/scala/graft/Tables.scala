@@ -52,7 +52,13 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // a third driver encoding must fail here, at the cause, not
+        // propagate wrong-typed values into every downstream query
+        throw new IllegalStateException(
+          s"events.ts has unrecognized parquet encoding $other; " +
+            "extend Tables.events with an explicit normalization for it")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

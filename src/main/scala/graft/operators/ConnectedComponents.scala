@@ -22,17 +22,79 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge frames at or below this size skip the distributed loop and run a
+    * single-task union-find instead ([[localComponents]]). A million edges
+    * is ~16 MB of longs — far under any executor's memory — while the
+    * distributed loop at that size would spend 10+ jobs of pure scheduling
+    * overhead on a frame one task chews through in milliseconds. This is
+    * the standard endgame for iterative graph algorithms (contract until
+    * small, then finish locally); here the input is ALREADY the sparse
+    * blocking-graph backbone, so most callers take the fast path outright
+    * and the loop remains for genuinely large edge sets.
+    */
+  private[graft] val LocalFinishEdges = 1L << 20
+
+  /** Single-task union-find (union-by-min + path compression) over a
+    * sub-threshold edge set: runs inside ONE executor task via
+    * mapPartitions — no driver collect — and returns the same
+    * (doc_id, label = component-min node id) frame as the distributed
+    * loop (PropertySpec pins both paths against a driver union-find).
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression: point the whole chain at the root
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        it.foreach { case (s, d) =>
+          if (!parent.contains(s)) parent(s) = s
+          if (!parent.contains(d)) parent(d) = d
+          val (rs, rd) = (find(s), find(d))
+          // union by MIN id, so every root is its component's min label
+          if (rs < rd) parent(rd) = rs else if (rd < rs) parent(rs) = rd
+        }
+        parent.keysIterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "label")
+  }
+
   /** Components of the graph spanned by `edges` (columns `src`, `dst`; both
     * Long). Returns one row per node that appears in an edge:
     * (doc_id, label) where label = min node id of the component.
+    *
+    * Frames at or below `localFinishEdges` edges short-circuit to the
+    * single-task union-find; the distributed min-label loop below handles
+    * the rest. The size check is a bounded count (`limit(threshold+1)`),
+    * one cheap job against the 4-jobs-per-round loop it can replace.
     */
-  def ofEdges(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def ofEdges(edges: DataFrame, maxRounds: Int = 20,
+              localFinishEdges: Long = LocalFinishEdges): DataFrame = {
+    // Materialize the edge frame ONCE up front: every path below reads it
+    // at least twice (size probe + compute, or per-round joins), and an
+    // un-truncated lineage would re-execute the caller's whole upstream
+    // subtree (e.g. d_dedup_cluster's verified near-dup join) per read.
+    // localCheckpoint is the iterative-algorithm lineage-truncation
+    // standard; recompute-on-loss applies to the edge frame only.
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    if (localFinishEdges > 0 &&
+        e0.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localFinishEdges)
+      return localComponents(e0)
     // Undirected form up front: both directions materialized ONCE, so the
     // per-round message step is a single join instead of two (same shuffled
     // row count, half the stages — rounds are overhead-bound on sparse
     // subgraphs).
-    val e = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val e = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     // init = first neighbor-min fused into the node-set build: same
     // aggregate the plain distinct would cost, one propagation round free

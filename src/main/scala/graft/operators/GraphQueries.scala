@@ -32,16 +32,23 @@ import org.apache.spark.sql.functions._
   *   self-join keyed on `l_orderkey` (bounded fan-out: per-order C(n,2)
   *   with n ≤ order size) followed by a map-side-partial pair count and a
   *   TakeOrderedAndProject cap. Everything downstream operates on ≤ cap
-  *   rows. The capped frame sits under one explicit `repartition` exchange
-  *   that every downstream consumer shares, so ReuseExchange executes the
-  *   pair generation ONCE per query (the verifyPairs-v2 discipline — no
-  *   persist, no localCheckpoint on the query path).
+  *   rows, and the graph passes are ITERATIVE — pagerank references the
+  *   edge frame ~11 times across 5 iterations, triangles 4 times — so the
+  *   capped frame is materialized ONCE with an eager `localCheckpoint`
+  *   (the ConnectedComponents lineage-truncation discipline for iterative
+  *   algorithms). Round-9 shipped this as a shared `repartition` exchange
+  *   + ReuseExchange instead; measured steady-state (QueryProbe r10)
+  *   showed the deep iterative plans re-executing the pair-gen subtree
+  *   anyway (g_pagerank ~5 s for ≤2000 edges), so the checkpoint of the
+  *   ≤cap-row frame — trivially cheap to store and to recompute on
+  *   executor loss — replaced it.
   */
 object GraphQueries {
 
   /** Capped co-purchase edge core: top-`cap` (a, b) part pairs by shared
     * order count, a < b, deterministic total order. Columns (a, b, w).
-    * The trailing repartition is the shared exchange all consumers reuse.
+    * Materialized eagerly (≤ cap rows) so the iterative consumers never
+    * re-execute the pair-generation self-join — see the object Scaladoc.
     */
   def coPurchaseEdges(lineitemDf: DataFrame, cap: Int = 2000): DataFrame = {
     val li = lineitemDf
@@ -52,7 +59,7 @@ object GraphQueries {
       .agg(count(lit(1)).as("w"))
       .orderBy(col("w").desc, col("a"), col("b"))
       .limit(cap)
-      .repartition(col("a"), col("b"))
+      .localCheckpoint(true)
   }
 
   /** Both-direction edge view (src, dst) over a capped (a, b) frame. */

@@ -149,6 +149,22 @@ object SimilarityQueries {
           acc -> acc.cell)"""
   }
 
+  /** [[pickCellSql]]'s full-struct twin: the same argmax fold but
+    * returning BOTH the winning cell and its (coalesced) cosine — the
+    * audit queries need the member→centroid cohesion alongside the
+    * assignment without a second fold.
+    */
+  private def pickCellWithCosSql(arr: String, vecField: String,
+                                 nrmField: String): String = {
+    val c = cosSql("v", "nrm", s"s.$vecField", s"s.$nrmField")
+    s"""aggregate($arr,
+          named_struct('best', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+          (acc, s) -> CASE WHEN coalesce($c, -2D) > acc.best
+            THEN named_struct('best', coalesce($c, -2D), 'cell', s.cell)
+            ELSE acc END,
+          acc -> acc)"""
+  }
+
   /** One Lloyd refinement step over strided seed centroids — the
     * `v_kmeans_refine` core (public for the planted-fixture spec, like
     * [[annLshBest]]/[[annIvfBest]]): E-step assignment by 4-dp-floored
@@ -617,6 +633,69 @@ object SimilarityQueries {
         .filter(col("rk") <= 3)
         .select(col("probe_id"), col("vec_id"), col("cell"), col("adc_units"))
         .orderBy(col("probe_id"), col("adc_units"), col("vec_id"))
+    }),
+
+    // R19/R10 — IVF-PQ SEARCH OVER THE TRAINED COARSE QUANTIZER: the same
+    // end-to-end serve as v_ivfpq_search, but the coarse cells are the
+    // Lloyd-REFINED centroids [[refinedCentArr]] produces (one
+    // deterministic E/M step from the stride-13 seeds) instead of the raw
+    // seed vectors — v_kmeans_refine's training finally feeding the index
+    // it was priced for. Everything downstream is byte-identical
+    // machinery: per-row argmax assignment, probed-cell pruning, native
+    // PQ encode, LUT ADC, top-10. The oracle replays the training step
+    // (assignment + per-dim means), the refined-cell probe pick, and the
+    // within-cell ADC exactly — one Lloyd step, so the replay is closed
+    // form, no iteration count to drift.
+    "v_ivfpq_trained" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(size(col("v")) === 64)
+        .withColumn("nrm", l2Norm(col("v")))
+      ivfpqServe(e, refinedCentArr(e), pqCodebook(e), 2)
+    }),
+
+    // R19/R10 — WHAT DID TRAINING BUY? One-row audit pricing the refined
+    // coarse quantizer against the strided seeds on the SAME two axes the
+    // IVF path cares about: (a) cohesion — the corpus-mean member→home-
+    // centroid cosine (the Lloyd objective; must not get worse), and
+    // (b) probed-cell recall — how many of the probe's exact integer-unit
+    // L2 top-10 live in the 2 cells that quantizer's probe pick actually
+    // searches (the quantity v_pq_recall prices for PQ distortion, here
+    // priced for COARSE-quantizer placement). Observed numbers, not
+    // assumed bounds — the d_minhash_lsh audit discipline applied to
+    // training. Scale shape: one per-row argmax pass per quantizer (a
+    // broadcast array each), the shared 10-row exact top-10, and two
+    // scalar aggregates; nothing corpus-sized shuffles.
+    "v_ivf_train_gain" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(size(col("v")) === 64)
+        .withColumn("nrm", l2Norm(col("v")))
+      val probe = e.filter(col("vec_id") === 0)
+      val exact10 = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe.select(col("v").as("pv"))))
+        .select(col("vec_id"), expr(
+          """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
+               CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
+          .as("d2u"))
+        .orderBy(col("d2u"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), lit(1L).as("hit"))
+      def audit(centArr: DataFrame, tag: String): DataFrame =
+        e.crossJoin(broadcast(centArr))
+          .select(col("vec_id"),
+            expr(pickCellWithCosSql("cells", "cv", "cnrm")).as("a"))
+          .join(broadcast(exact10), Seq("vec_id"), "left")
+          .crossJoin(broadcast(probeCellsOf(probe, centArr, 2)))
+          .agg(
+            floorRound(avg(col("a.best")), 4).as(s"avg_cohesion_$tag"),
+            coalesce(sum(when(col("hit").isNotNull &&
+                array_contains(col("probe_cells"), col("a.cell")), 1L)
+              .otherwise(0L)), lit(0L)).as(s"n_top10_in_probed_$tag"))
+      audit(pqIndexBuild(e)._1, "seed")
+        .crossJoin(audit(refinedCentArr(e), "trained"))
     })
   )
 
@@ -632,13 +711,22 @@ object SimilarityQueries {
     val e = e0.select(col("vec_id"), col("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val (centArr, cb) = pqIndexBuild(e, centroidStride)
-    // coarse BEFORE fine — the IVF discipline: assign every vector its
-    // home cell (per-row argmax), filter to the probed cells, and only
-    // THEN do the fine work (encode fold + ADC) on the survivors. The
-    // cell filter prunes the encode from |corpus| to |probed cells| —
-    // in production the codes are precomputed ([[pqIndexAnnotate]] /
-    // [[pqCodes]]) and this stage is a pure partition-pruned scan of
-    // them ([[pqIndexServe]] is that form, over genuinely stored codes).
+    ivfpqServe(e, centArr, cb, nprobe)
+  }
+
+  /** The IVF-PQ serve body shared by `v_ivfpq_search` (seed coarse
+    * quantizer) and `v_ivfpq_trained` (Lloyd-refined coarse quantizer):
+    * coarse BEFORE fine — the IVF discipline: assign every vector its
+    * home cell (per-row argmax), filter to the probed cells, and only
+    * THEN do the fine work (encode fold + ADC) on the survivors. The
+    * cell filter prunes the encode from |corpus| to |probed cells| —
+    * in production the codes are precomputed ([[pqIndexAnnotate]] /
+    * [[pqCodes]]) and this stage is a pure partition-pruned scan of
+    * them ([[pqIndexServe]] is that form, over genuinely stored codes).
+    * `e` must carry (vec_id, v, nrm); the probe is vec_id 0.
+    */
+  private def ivfpqServe(e: DataFrame, centArr: DataFrame, cb: DataFrame,
+                         nprobe: Int): DataFrame = {
     val assigned = e.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
         expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
@@ -653,6 +741,38 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cell"), expr("graft_pq_adc(pq_code, lut)").as("adc_units"))
       .orderBy(col("adc_units"), col("vec_id"))
       .limit(10)
+  }
+
+  /** One Lloyd-refined coarse quantizer as a broadcastable one-row
+    * `cells` array — the TRAINED twin of [[pqIndexBuild]]'s strided seed
+    * centroids, closing the loop `v_kmeans_refine` opened (it trained but
+    * nothing consumed the refined centroids): E-step assigns every vector
+    * to its argmax seed cell (4-dp-floored cosine, the shared argmax
+    * discipline), M-step rebuilds each cell's centroid as the per-dim
+    * member mean, and the result is re-packed into the exact (cell, cv,
+    * cnrm) struct shape every IVF consumer ([[ivfpqServe]],
+    * [[probeCellsOf]]) already reads. ONE refinement step, so the DuckDB
+    * oracle replays the training deterministically (floating iteration
+    * counts would make the oracle a moving target). Scale shape identical
+    * to [[kmeansRefine]]: the E-step is per-row argmax over a broadcast
+    * array (zero corpus-wide exchange), the M-step shuffles (cell, pos)
+    * partial sums — k·dim rows — never vectors.
+    */
+  private[graft] def refinedCentArr(e: DataFrame, seedStride: Int = 13): DataFrame = {
+    val seedArr = e.filter(col("vec_id") % seedStride === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
+    val assigned = e.crossJoin(broadcast(seedArr))
+      .select(col("v"), expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv"),
+        col("cnrm")))).as("cells"))
   }
 
   /** The flat `[subspace][code][dim]` 1024-entry codebook row derived
@@ -1328,6 +1448,166 @@ object SimilarityQueries {
            (SELECT CAST(count(*) AS BIGINT)
             FROM adc10 JOIN exact10 USING (vec_id)) AS n_overlap_top10,
            (SELECT CAST(count(*) AS BIGINT)
-            FROM adc50 JOIN exact10 USING (vec_id)) AS n_shortlist_hits"""
+            FROM adc50 JOIN exact10 USING (vec_id)) AS n_shortlist_hits""",
+    // replays the ONE Lloyd step (seed assignment, per-dim member means),
+    // the refined-cell probe pick, the home assignment against the
+    // refined centroids, and the within-cell ADC top-10 — integer units,
+    // hashed values
+    "v_ivfpq_trained" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS d, e
+           FROM ex),
+         cb AS (
+           SELECT CAST(vec_id AS INT) AS code, ss, d, e AS c
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.ss, cb.code,
+                  CAST(floor(sum((s.e - cb.c) * (s.e - cb.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb ON cb.ss = s.ss AND cb.d = s.d
+           GROUP BY 1, 2, 3),
+         lut AS (SELECT ss, code, d2u FROM dist WHERE vec_id = 0),
+         sel AS (
+           SELECT vec_id, ss, code FROM (
+             SELECT vec_id, ss, code,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist) WHERE rk = 1),
+         nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS n FROM ex GROUP BY vec_id),
+         sdots AS (
+           SELECT x.vec_id AS vid, y.vec_id AS cell, sum(x.e * y.e) AS dp
+           FROM ex x JOIN ex y ON y.i = x.i AND y.vec_id % 13 = 0
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT vid, cell,
+                  CASE WHEN nx.n * ny.n > 0
+                    THEN floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000
+                  END AS c
+           FROM sdots JOIN nrm nx ON nx.vec_id = vid
+                      JOIN nrm ny ON ny.vec_id = cell),
+         shome AS (
+           SELECT vid, cell FROM (
+             SELECT vid, cell,
+                    row_number() OVER (PARTITION BY vid
+                                       ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM sc) WHERE rk = 1),
+         cent AS (
+           SELECT sh.cell, x.i, avg(x.e) AS m
+           FROM shome sh JOIN ex x ON x.vec_id = sh.vid
+           GROUP BY 1, 2),
+         cnrm AS (SELECT cell, sqrt(sum(m * m)) AS n FROM cent GROUP BY cell),
+         rdots AS (
+           SELECT x.vec_id AS vid, c2.cell AS cell, sum(x.e * c2.m) AS dp
+           FROM ex x JOIN cent c2 ON c2.i = x.i
+           GROUP BY 1, 2),
+         rc AS (
+           SELECT rdots.vid, rdots.cell,
+                  CASE WHEN nx.n * cn.n > 0
+                    THEN floor((dp / (nx.n * cn.n)) * 10000 + 0.5) / 10000
+                  END AS c
+           FROM rdots JOIN nrm nx ON nx.vec_id = rdots.vid
+                      JOIN cnrm cn ON cn.cell = rdots.cell),
+         probe_cells AS (
+           SELECT cell FROM (
+             SELECT cell,
+                    row_number() OVER (ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM rc WHERE vid = 0) WHERE rk <= 2),
+         home AS (
+           SELECT vid, cell FROM (
+             SELECT vid, cell,
+                    row_number() OVER (PARTITION BY vid
+                                       ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM rc) WHERE rk = 1),
+         adc AS (
+           SELECT sel.vec_id, CAST(sum(lut.d2u) AS BIGINT) AS adc_units
+           FROM sel JOIN lut ON lut.ss = sel.ss AND lut.code = sel.code
+           WHERE sel.vec_id <> 0
+           GROUP BY sel.vec_id)
+         SELECT a.vec_id, h.cell, a.adc_units
+         FROM adc a JOIN home h ON h.vid = a.vec_id
+         WHERE h.cell IN (SELECT cell FROM probe_cells)
+         ORDER BY a.adc_units, a.vec_id LIMIT 10""",
+    // replays both quantizers' home assignments + cohesions, both probe
+    // picks, the exact top-10, and the two reachability counts
+    "v_ivf_train_gain" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         nrm AS (SELECT vec_id, sqrt(sum(e * e)) AS n FROM ex GROUP BY vec_id),
+         sdots AS (
+           SELECT x.vec_id AS vid, y.vec_id AS cell, sum(x.e * y.e) AS dp
+           FROM ex x JOIN ex y ON y.i = x.i AND y.vec_id % 13 = 0
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT vid, cell,
+                  CASE WHEN nx.n * ny.n > 0
+                    THEN floor((dp / (nx.n * ny.n)) * 10000 + 0.5) / 10000
+                  END AS c
+           FROM sdots JOIN nrm nx ON nx.vec_id = vid
+                      JOIN nrm ny ON ny.vec_id = cell),
+         shome AS (
+           SELECT vid, cell, coalesce(c, -2) AS c FROM (
+             SELECT vid, cell, c,
+                    row_number() OVER (PARTITION BY vid
+                                       ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM sc) WHERE rk = 1),
+         cent AS (
+           SELECT sh.cell, x.i, avg(x.e) AS m
+           FROM shome sh JOIN ex x ON x.vec_id = sh.vid
+           GROUP BY 1, 2),
+         cnrm AS (SELECT cell, sqrt(sum(m * m)) AS n FROM cent GROUP BY cell),
+         rdots AS (
+           SELECT x.vec_id AS vid, c2.cell AS cell, sum(x.e * c2.m) AS dp
+           FROM ex x JOIN cent c2 ON c2.i = x.i
+           GROUP BY 1, 2),
+         rc AS (
+           SELECT rdots.vid, rdots.cell,
+                  CASE WHEN nx.n * cn.n > 0
+                    THEN floor((dp / (nx.n * cn.n)) * 10000 + 0.5) / 10000
+                  END AS c
+           FROM rdots JOIN nrm nx ON nx.vec_id = rdots.vid
+                      JOIN cnrm cn ON cn.cell = rdots.cell),
+         rhome AS (
+           SELECT vid, cell, coalesce(c, -2) AS c FROM (
+             SELECT vid, cell, c,
+                    row_number() OVER (PARTITION BY vid
+                                       ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM rc) WHERE rk = 1),
+         spc AS (
+           SELECT cell FROM (
+             SELECT cell,
+                    row_number() OVER (ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM sc WHERE vid = 0) WHERE rk <= 2),
+         rpc AS (
+           SELECT cell FROM (
+             SELECT cell,
+                    row_number() OVER (ORDER BY coalesce(c, -2) DESC, cell) AS rk
+             FROM rc WHERE vid = 0) WHERE rk <= 2),
+         qx AS (SELECT e, i FROM ex WHERE vec_id = 0),
+         exact10 AS (
+           SELECT ex.vec_id
+           FROM ex JOIN qx ON ex.i = qx.i
+           WHERE ex.vec_id <> 0
+           GROUP BY ex.vec_id
+           ORDER BY CAST(floor(sum((ex.e - qx.e) * (ex.e - qx.e)) * 10000 + 0.5)
+                         AS BIGINT), ex.vec_id LIMIT 10)
+         SELECT
+           (SELECT floor(avg(c) * 10000 + 0.5) / 10000 FROM shome)
+             AS avg_cohesion_seed,
+           (SELECT CAST(count(*) AS BIGINT) FROM shome
+            JOIN exact10 ON exact10.vec_id = shome.vid
+            WHERE shome.cell IN (SELECT cell FROM spc))
+             AS n_top10_in_probed_seed,
+           (SELECT floor(avg(c) * 10000 + 0.5) / 10000 FROM rhome)
+             AS avg_cohesion_trained,
+           (SELECT CAST(count(*) AS BIGINT) FROM rhome
+            JOIN exact10 ON exact10.vec_id = rhome.vid
+            WHERE rhome.cell IN (SELECT cell FROM rpc))
+             AS n_top10_in_probed_trained"""
   )
 }

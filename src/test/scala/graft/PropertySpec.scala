@@ -86,10 +86,17 @@ class PropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(x => x -> find(x)).toMap
-      val got = graft.operators.ConnectedComponents
+      // both execution paths must agree with the reference: the
+      // single-task union-find endgame (default threshold) and the
+      // distributed min-label loop (threshold 0 forces it)
+      val gotLocal = graft.operators.ConnectedComponents
         .ofEdges(edges.toDF("src", "dst"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"edges=$edges")
+      assert(gotLocal === expected, s"local path, edges=$edges")
+      val gotDist = graft.operators.ConnectedComponents
+        .ofEdges(edges.toDF("src", "dst"), localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist === expected, s"distributed path, edges=$edges")
     }
   }
 
