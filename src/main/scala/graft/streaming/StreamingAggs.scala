@@ -37,6 +37,49 @@ object StreamingAggs {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("routing_key", "ordinal")
 
+  /** T3/R4 streaming — watermarked STREAM–STREAM join: correlate two live
+    * event streams on a shared key within an event-time bound (reference
+    * grounding: the AS and DM producers publish onto separate streams that
+    * a consumer correlates per task — reference/README.md:174-179; the
+    * reference leaves correlation to the client, this is the engine-side
+    * operator for it).
+    *
+    * Semantics: `left ⋈ right` on `key` equality AND `right.ts` within
+    * `[left.ts, left.ts + within]` — the canonical interval-correlation
+    * shape (request→response, publish→ack). BOTH sides carry a watermark
+    * and the range predicate is what lets Spark derive a state watermark
+    * for EACH side: a buffered left row can only ever match right rows up
+    * to `left.ts + within`, so once the right watermark passes that, the
+    * row is emitted (outer) or dropped — state is bounded at any input
+    * rate, which is what makes this safe on an unbounded stream. With
+    * `joinType = "left_outer"`, unmatched left rows surface with null
+    * right columns ONLY after the watermark proves no match can arrive —
+    * late/out-of-order right rows inside the horizon still converge to
+    * the same pairs a batch join would produce (WatermarkSpec pins both).
+    *
+    * Column contract: the sides must have disjoint column names apart
+    * from `key` (the right side's ts column name is the caller's choice);
+    * the output carries left columns then right columns, `key` once.
+    * Scale shape: a stream–stream join shuffles both sides on `key` —
+    * the same exchange a batch equi-join pays — and keeps only the
+    * in-horizon slice of each side in the state store.
+    */
+  def correlateStreams(left: DataFrame, right: DataFrame,
+                       key: String = "routing_key",
+                       leftTs: String = "ts", rightTs: String = "r_ts",
+                       watermark: String = "10 minutes",
+                       within: String = "5 minutes",
+                       joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
+        joinType)
+      .drop(col(s"r.$key"))
+  }
+
   /** Emitted by [[statsEveryN]] whenever a stream's received counter crosses
     * a multiple of the interval.
     */

@@ -71,4 +71,57 @@ class WatermarkSpec extends SparkSpec {
         ("2024-01-01 10:20:00", 1L)))
     } finally q.stop()
   }
+
+  private case class REv(routing_key: String, r_ordinal: Long, r_ts: Timestamp)
+
+  test("T3/R4 streaming: stream-stream interval join converges on out-of-order arrivals") {
+    val lhs = MemoryStream[Ev](spark)
+    val rhs = MemoryStream[REv](spark)
+    val out = StreamingAggs.correlateStreams(lhs.toDF(), rhs.toDF(),
+      watermark = "5 minutes", within = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    try {
+      // left arrives FIRST, matching right only in a later micro-batch —
+      // the buffered left row must still pair up (out-of-order converges)
+      lhs.addData(Ev("rk", 1, t(1)), Ev("rk", 2, t(20)))
+      q.processAllAvailable()
+      rhs.addData(REv("rk", 101, t(3)), // within 5 min of ordinal 1 only
+        REv("other", 102, t(3)))        // key mismatch: never pairs
+      q.processAllAvailable()
+      val pairs = spark.table("corr_out")
+        .select(col("ordinal"), col("r_ordinal")).as[(Long, Long)]
+        .collect().sorted
+      assert(pairs.toSeq === Seq((1L, 101L)))
+    } finally q.stop()
+  }
+
+  test("T3/R4 streaming: left-outer emits unmatched rows only after the watermark closes them") {
+    val lhs = MemoryStream[Ev](spark)
+    val rhs = MemoryStream[REv](spark)
+    val out = StreamingAggs.correlateStreams(lhs.toDF(), rhs.toDF(),
+      watermark = "5 minutes", within = "5 minutes", joinType = "left_outer")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("corr_outer_out").start()
+    try {
+      lhs.addData(Ev("rk", 1, t(1)), Ev("rk", 2, t(10)))
+      rhs.addData(REv("rk", 101, t(2)))
+      q.processAllAvailable()
+      // ordinal 2 is unmatched but must NOT surface yet: a right row at
+      // ts ≤ 10:15 could still arrive inside the watermark horizon
+      val early = spark.table("corr_outer_out")
+        .select(col("ordinal")).as[Long].collect()
+      assert(early.toSeq === Seq(1L))
+      // advance BOTH watermarks far past 10:15 — the null-extended row
+      // must now finalize (state provably cannot match anymore)
+      lhs.addData(Ev("rk", 9, t(50)))
+      rhs.addData(REv("rk", 999, t(50)))
+      q.processAllAvailable()
+      val rows = spark.table("corr_outer_out")
+        .select(col("ordinal"), col("r_ordinal"))
+        .as[(Long, Option[Long])].collect().sortBy(_._1)
+      // the advance pair (9, 999) matches itself; ordinal 2 finalizes null
+      assert(rows.toSeq === Seq((1L, Some(101L)), (2L, None), (9L, Some(999L))))
+    } finally q.stop()
+  }
 }
