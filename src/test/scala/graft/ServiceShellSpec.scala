@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.{EventStreamRegistry, ServiceShell, StreamCoordinator}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
+import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit}
+
+/** Integration spec for the network service shell: the reference's REST +
+  * WebSocket lifecycle (version / create / list / connect-and-receive /
+  * delete) driven over real loopback sockets, with the JDK HTTP and
+  * WebSocket CLIENTS on the other end — the engine side runs the same
+  * Registry/StreamCoordinator/EventStreamPipeline objects the in-process
+  * specs exercise.
+  */
+class ServiceShellSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Msg(body: String, ordinal: Long, ts_ms: Long)
+
+  test("service shell: reference lifecycle over loopback sockets") {
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def base = s"http://127.0.0.1:${shell.httpPort}"
+    def get(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(base + path)).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // GET /event-stream/version/ (app/app.py:596-604)
+      val v = get("/event-stream/version/")
+      assert(v.statusCode() === 200 && v.body.contains("DATAFRAME_STREAM"))
+
+      // POST /event-stream/ -> id + ws location (app/app.py:606-649)
+      val created = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-shell"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(created.statusCode() === 201, created.body)
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      val id = """"id":(\d+)""".r.findFirstMatchIn(created.body).get.group(1)
+      assert(loc.startsWith("ws://127.0.0.1:"))
+
+      // GET /event-stream/ lists it (app/app.py:652-674)
+      assert(get("/event-stream/").body.contains("rk-shell"))
+
+      // WS connect -> the REAL pipeline starts and pushes enriched frames
+      val received = new LinkedBlockingQueue[String]()
+      val closed = new CompletableFuture[Integer]()
+      val listener = new WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.setLength(0) }
+          ws.request(1)
+          null
+        }
+        override def onClose(ws: WebSocket, statusCode: Int,
+                             reason: String): java.util.concurrent.CompletionStage[_] = {
+          closed.complete(statusCode); null
+        }
+        override def onError(ws: WebSocket, error: Throwable): Unit = {
+          closed.complete(-1); ()
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), listener).join()
+      try {
+        // the consumer attaches asynchronously on the WS accept thread
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-shell").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val q = coord.activeQuery("rk-shell").getOrElse(
+          fail("consumer did not attach within 30 s"))
+        stream.addData(
+          Msg("""{"message_type": "t"}""", 1, 100L),
+          Msg("cls|x: 1", 2, 200L),
+          Msg("", 3, 300L)) // empty: guarded, never forwarded
+        q.processAllAvailable()
+        val first = received.poll(30, TimeUnit.SECONDS)
+        val second = received.poll(30, TimeUnit.SECONDS)
+        assert(first === """{"ess_ordinal": 1, "ess_timestamp": 100, "message_type": "t"}""")
+        assert(second === "cls|x: 1|ordinal: 2|timestamp: 200")
+        assert(received.isEmpty) // the empty body was not pushed
+
+        // DELETE fences the consumer, removes the row, closes the socket
+        val del = http.send(
+          HttpRequest.newBuilder(URI.create(base + s"/event-stream/$id"))
+            .DELETE().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(del.statusCode() === 204)
+        assert(closed.get(30, TimeUnit.SECONDS) !== null)
+        assert(!get("/event-stream/").body.contains("rk-shell"))
+        val fenceDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-shell").isDefined && System.nanoTime() < fenceDeadline)
+          Thread.sleep(50)
+        assert(coord.activeQuery("rk-shell").isEmpty)
+      } finally {
+        try ws.abort() catch { case _: Exception => }
+      }
+
+      // unknown uuid -> plain 404, no upgrade
+      val bad = get("/event-stream/unknown-id-404")
+      assert(bad.statusCode() === 404)
+    } finally {
+      shell.stop()
+      coord.release("rk-shell")
+    }
+  }
+}
