@@ -696,6 +696,58 @@ object SimilarityQueries {
               .otherwise(0L)), lit(0L)).as(s"n_top10_in_probed_$tag"))
       audit(pqIndexBuild(e)._1, "seed")
         .crossJoin(audit(refinedCentArr(e), "trained"))
+    }),
+
+    // R19/R10 — PQ CODEBOOK TRAINING GAIN: the fine quantizer's twin of
+    // v_ivf_train_gain. The deterministic first-16-vectors codebook is a
+    // stand-in (v_pq_recall prices it); here ONE per-subspace Lloyd step
+    // trains it — E-step: the stored code assignment pqCodesCore already
+    // computes (integer-exact argmin); M-step: per-(subspace, code, dim)
+    // member means, empty codes keeping their seed entry — and the corpus
+    // is re-encoded against the refined codebook. Output: the total
+    // integer-unit quantization error under each codebook plus the
+    // improved flag. Lloyd guarantees the true MSE is non-increasing, so
+    // `improved` asserts the direction, not just reports it. Scale shape:
+    // both encode passes are per-row native folds against broadcast flat
+    // codebooks; the M-step shuffles (ss, code, pos) partial sums — ≤1024
+    // groups — never vectors; the codebook rebuild joins two ≤128-row
+    // frames.
+    "v_pq_train_gain" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(size(col("v")) === 64)
+      // seed assignment + seed error from the stored-code encode
+      val coded = pqCodesCore(e)
+      val assigned = e.join(coded.select(col("vec_id"), col("pq_code")), "vec_id")
+      // M-step: peel each base-17 digit, average members per (ss, code, dim)
+      val refined = assigned
+        .select(col("v"), explode(expr(
+          """transform(sequence(0, 7), j -> struct(j AS ss,
+               CAST((pq_code div CAST(power(17, j) AS BIGINT)) % 17 AS INT) AS code,
+               slice(v, j * 8 + 1, 8) AS sv))""")).as("a"))
+        .select(col("a.ss"), col("a.code"), posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy(col("ss"), col("code"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("ss"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("ss"), col("code"), expr("transform(pm, p -> p.m)").as("rsv"))
+      // refined codebook with seed fallback for memberless codes, rebuilt
+      // into the flat [ss][code][dim] layout graft_pq_encode consumes
+      val cbRefFlat = pqCodebook(e)
+        .select(explode(col("cb")).as("c"))
+        .select(col("c.ss"), col("c.code"), col("c.sv"))
+        .join(refined, Seq("ss", "code"), "left")
+        .select(col("ss"), col("code"), coalesce(col("rsv"), col("sv")).as("sv"))
+        .agg(array_sort(collect_list(struct(col("ss"), col("code"), col("sv")))).as("es"))
+        .select(expr(
+          """flatten(transform(es, c -> c.sv))""").as("cbflat"))
+      val seedErr = coded.agg(sum(col("mse_units")).as("mse_units_seed"))
+      val trainedErr = e.crossJoin(broadcast(cbRefFlat))
+        .select(element_at(expr("graft_pq_encode(v, cbflat)"), 2).as("m2"))
+        .agg(sum(col("m2")).as("mse_units_trained"))
+      seedErr.crossJoin(trainedErr)
+        .select(col("mse_units_seed"), col("mse_units_trained"),
+          (col("mse_units_trained") <= col("mse_units_seed")).as("improved"))
     })
   )
 
@@ -1608,6 +1660,58 @@ object SimilarityQueries {
            (SELECT CAST(count(*) AS BIGINT) FROM rhome
             JOIN exact10 ON exact10.vec_id = rhome.vid
             WHERE rhome.cell IN (SELECT cell FROM rpc))
-             AS n_top10_in_probed_trained"""
+             AS n_top10_in_probed_trained""",
+    // replays the seed encode, the per-(subspace, code, dim) M-step with
+    // seed fallback, the re-encode, and both integer error totals
+    "v_pq_train_gain" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS d, e
+           FROM ex),
+         cb AS (
+           SELECT CAST(vec_id AS INT) AS code, ss, d, e AS c
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.ss, cb.code,
+                  CAST(floor(sum((s.e - cb.c) * (s.e - cb.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb ON cb.ss = s.ss AND cb.d = s.d
+           GROUP BY 1, 2, 3),
+         sel AS (
+           SELECT vec_id, ss, code, d2u FROM (
+             SELECT vec_id, ss, code, d2u,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist) WHERE rk = 1),
+         seed_err AS (
+           SELECT CAST(sum(d2u) AS BIGINT) AS mse_units_seed FROM sel),
+         cent AS (
+           SELECT sel.ss, sel.code, s.d, avg(s.e) AS m
+           FROM sel JOIN sub s ON s.vec_id = sel.vec_id AND s.ss = sel.ss
+           GROUP BY 1, 2, 3),
+         cb2 AS (
+           SELECT cb.ss, cb.code, cb.d, coalesce(cent.m, cb.c) AS c
+           FROM cb LEFT JOIN cent ON cent.ss = cb.ss AND cent.code = cb.code
+                                 AND cent.d = cb.d),
+         dist2 AS (
+           SELECT s.vec_id, s.ss, cb2.code,
+                  CAST(floor(sum((s.e - cb2.c) * (s.e - cb2.c)) * 10000 + 0.5)
+                       AS BIGINT) AS d2u
+           FROM sub s JOIN cb2 ON cb2.ss = s.ss AND cb2.d = s.d
+           GROUP BY 1, 2, 3),
+         sel2 AS (
+           SELECT vec_id, ss, code, d2u FROM (
+             SELECT vec_id, ss, code, d2u,
+                    row_number() OVER (PARTITION BY vec_id, ss
+                                       ORDER BY d2u, code) AS rk
+             FROM dist2) WHERE rk = 1),
+         tr_err AS (
+           SELECT CAST(sum(d2u) AS BIGINT) AS mse_units_trained FROM sel2)
+         SELECT mse_units_seed, mse_units_trained,
+                (mse_units_trained <= mse_units_seed) AS improved
+         FROM seed_err, tr_err"""
   )
 }
