@@ -717,11 +717,20 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .filter(size(col("v")) === 64)
-      // seed assignment + seed error from the stored-code encode
-      val coded = pqCodesCore(e)
-      val assigned = e.join(coded.select(col("vec_id"), col("pq_code")), "vec_id")
+      // seed assignment + seed error in ONE per-row encode against the
+      // broadcast seed codebook. The encode subtree is referenced twice
+      // (M-step feed + seed-error sum) and recomputes — the kmeansRefine
+      // recompute-over-cache discipline: two per-row fold passes beat a
+      // corpus-sized vec_id join (the join formulation shuffled the whole
+      // corpus to pair vectors with their own codes)
+      val enc = e.crossJoin(broadcast(pqCodebookFlat(e)))
+        .select(col("vec_id"), col("v"),
+          expr("graft_pq_encode(v, cbflat)").as("r")) // fold once per row
+        .select(col("vec_id"), col("v"),
+          element_at(col("r"), 1).as("pq_code"),
+          element_at(col("r"), 2).as("mse_units"))
       // M-step: peel each base-17 digit, average members per (ss, code, dim)
-      val refined = assigned
+      val refined = enc
         .select(col("v"), explode(expr(
           """transform(sequence(0, 7), j -> struct(j AS ss,
                CAST((pq_code div CAST(power(17, j) AS BIGINT)) % 17 AS INT) AS code,
@@ -741,7 +750,7 @@ object SimilarityQueries {
         .agg(array_sort(collect_list(struct(col("ss"), col("code"), col("sv")))).as("es"))
         .select(expr(
           """flatten(transform(es, c -> c.sv))""").as("cbflat"))
-      val seedErr = coded.agg(sum(col("mse_units")).as("mse_units_seed"))
+      val seedErr = enc.agg(sum(col("mse_units")).as("mse_units_seed"))
       val trainedErr = e.crossJoin(broadcast(cbRefFlat))
         .select(element_at(expr("graft_pq_encode(v, cbflat)"), 2).as("m2"))
         .agg(sum(col("m2")).as("mse_units_trained"))

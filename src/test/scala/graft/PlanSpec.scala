@@ -540,4 +540,27 @@ class PlanSpec extends SparkSpec {
     assert(keyed.nonEmpty && keyed.forall(_.contains("bucket")),
       s"stray exchange key:\n${p.take(1200)}")
   }
+
+  test("v_ivfpq_trained: training + serve never shuffle the corpus by row") {
+    val p = plan("v_ivfpq_trained")
+    // the only keyed exchanges are the M-step's (cell, pos)/(cell) and
+    // codebook-sized groups — a vec_id-keyed exchange would mean the
+    // corpus itself shuffled
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && !keyed.exists(_.contains("vec_id")),
+      s"corpus-sized exchange in the trained IVF-PQ path:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
+    assert(p.contains("graft_pq_encode"), "native encode missing")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 not heap-based")
+  }
+
+  test("v_pq_train_gain: two per-row encode passes, no corpus join or vec_id shuffle") {
+    val p = plan("v_pq_train_gain")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && !keyed.exists(_.contains("vec_id")),
+      s"corpus-sized exchange in the PQ training path:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
+    assert("graft_pq_encode".r.findAllIn(p).size >= 2,
+      "both encode passes must be the native fold")
+  }
 }
