@@ -51,12 +51,21 @@ object GraphQueries {
     * re-execute the pair-generation self-join — see the object Scaladoc.
     */
   def coPurchaseEdges(lineitemDf: DataFrame, cap: Int = 2000): DataFrame = {
-    val li = lineitemDf
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("w"))
+    // pairs-within-small-groups, not a self-join: collect each order's
+    // distinct part set (orders are small — ≤7 lineitems in this schema,
+    // bounded per-order in any sane one) and explode C(n, 2) sorted pairs
+    // per order. One ok-keyed shuffle + one (a, b)-keyed count replaces
+    // the r9 distinct + co-partitioned self-join + count (three
+    // exchanges); the per-order n² HOF is bounded by order size, never
+    // corpus size, so the shape holds at any scale factor.
+    val li = lineitemDf.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """filter(flatten(transform(pks, x -> transform(pks, y -> struct(x AS a, y AS b)))),
+                  p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .orderBy(col("w").desc, col("a"), col("b"))
       .limit(cap)
       .localCheckpoint(true)
