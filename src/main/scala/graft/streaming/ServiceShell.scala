@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Replay
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream}
+import java.io.{InputStream, OutputStream}
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
@@ -133,16 +133,17 @@ final class ServiceShell(
   private def serveWs(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out = sock.getOutputStream
-    val reader = new BufferedReader(new InputStreamReader(in, UTF_8))
-    val requestLine = reader.readLine()
-    var wsKey: String = null
-    var line = reader.readLine()
-    while (line != null && line.nonEmpty) {
-      val idx = line.indexOf(':')
-      if (idx > 0 && line.substring(0, idx).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
-        wsKey = line.substring(idx + 1).trim
-      line = reader.readLine()
-    }
+    // read the upgrade request byte-by-byte to the blank line — a
+    // BufferedReader would read AHEAD of the headers and swallow any WS
+    // frame the client sends immediately after its handshake (the frame
+    // bytes would sit in the discarded buffer, invisible to readFrames)
+    val headerLines = readHeader(in)
+    val requestLine = headerLines.headOption.orNull
+    val wsKey = headerLines.drop(1).collectFirst {
+      case l if l.indexOf(':') > 0 &&
+        l.substring(0, l.indexOf(':')).trim.equalsIgnoreCase("Sec-WebSocket-Key") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }.orNull
     val uuid = Option(requestLine).map(_.split(" "))
       .filter(_.length >= 2).map(_(1))
       .flatMap(p => WsPathRe.findFirstMatchIn(p).map(_.group(1)))
@@ -172,6 +173,25 @@ final class ServiceShell(
         out.flush()
         sock.close()
     }
+  }
+
+  /** HTTP header block as lines, consuming EXACTLY through the CRLFCRLF
+    * (or bare LFLF) terminator and not one byte past it.
+    */
+  private def readHeader(in: InputStream): Seq[String] = {
+    val buf = new java.io.ByteArrayOutputStream
+    var tail = 0 // rolling window of the last 4 bytes
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b < 0) done = true
+      else {
+        buf.write(b)
+        tail = (tail << 8) | b
+        if (tail == 0x0D0A0D0A || (tail & 0xFFFF) == 0x0A0A) done = true
+      }
+    }
+    new String(buf.toByteArray, UTF_8).split("\r?\n").toSeq.takeWhile(_.nonEmpty)
   }
 
   private def closeWs(sock: Socket): Unit = {

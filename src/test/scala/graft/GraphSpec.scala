@@ -27,6 +27,22 @@ class GraphSpec extends SparkSpec {
     r
   }
 
+  test("coPurchaseEdges: per-order pair explode matches hand counts, cap is total-ordered") {
+    // order 1 carries parts {10, 20, 30} (30 via a duplicate lineitem —
+    // distinct within the order), order 2 carries {20, 30}:
+    // pairs (10,20)=1, (10,30)=1, (20,30)=2
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 30L), (2L, 20L), (2L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val all = GraphQueries.coPurchaseEdges(li, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all === Set((10L, 20L, 1L), (10L, 30L, 1L), (20L, 30L, 2L)))
+    // cap=2 keeps (20,30) by weight, then (10,20) by the (w DESC, a, b)
+    // total order — deterministic across partitionings
+    val capped = GraphQueries.coPurchaseEdges(li, cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((20L, 30L, 2L), (10L, 20L, 1L)))
+  }
+
   test("g_pagerank core matches the integer recurrence on a planted graph") {
     // star (1 hub, 3 spokes) + disjoint pair: hub must out-rank spokes
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
