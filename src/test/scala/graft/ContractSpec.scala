@@ -28,6 +28,26 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("S10: an unrecognized events.ts encoding fails at the loader, not downstream") {
+    // the driver has already shipped two ts encodings (INT64 nanos,
+    // TIMESTAMP_NTZ micros); a third must die at Tables.events with a
+    // descriptive error instead of flowing wrong-typed into every query
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts-enc").toString
+    try {
+      spark.range(3)
+        .select(col("id").as("event_id"), col("id").cast("double").as("ts"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val ex = intercept[IllegalStateException] { Tables.events(spark, dir) }
+      assert(ex.getMessage.contains("unrecognized parquet encoding"))
+    } finally {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("S5: datetime ladder parses the dateutil-style forms, naive = UTC") {
     import graft.operators.Replay.parseDatetime
     val expected = 1705732200000L // 2024-01-20T06:30:00Z
