@@ -554,6 +554,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-10 not heap-based")
   }
 
+  test("v_ivf_train_gain: audit passes are per-row argmax, exact10 is heap-based") {
+    val p = plan("v_ivf_train_gain")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && !keyed.exists(_.contains("vec_id")),
+      s"corpus-sized exchange in the training audit:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "exact top-10 not heap-based")
+  }
+
   test("v_pq_train_gain: two per-row encode passes, no corpus join or vec_id shuffle") {
     val p = plan("v_pq_train_gain")
     val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
