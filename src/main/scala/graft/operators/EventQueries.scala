@@ -148,6 +148,36 @@ object EventQueries {
           count(when(col("event_type") =!= "error", 1)).as("sent"))
         .orderBy("bucket")),
 
+    // T3/R4 — the BATCH twin of StreamingAggs.correlateStreams (r10): the
+    // same key-equality + event-time-bound correlation, run over the
+    // archived log — each click paired with the FIRST purchase by the
+    // same user inside a 10-minute horizon. One user-keyed equi-join
+    // carries the interval predicate; the first-match pick is a
+    // min-struct aggregate whose grouping (user, click) is already
+    // clustered by the join's user_id partitioning, so no second
+    // exchange. This is the query a consumer of the live join replays
+    // over retention history — identical semantics, verifiable in DuckDB
+    // (the streaming spec proves the live side converges to the same
+    // pairs).
+    "r_correlate_attrib" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_millis(col("ts")).as("t_click"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_millis(col("ts")).as("t_buy"))
+      clicks.join(buys, Seq("user_id"))
+        .filter(col("t_buy") >= col("t_click") &&
+          col("t_buy") <= col("t_click") + lit(600000L))
+        .groupBy(col("user_id"), col("click_id"), col("t_click"))
+        .agg(min(struct(col("t_buy"), col("purchase_id"))).as("m"))
+        .select(col("user_id"), col("click_id"),
+          col("m.purchase_id").as("purchase_id"),
+          (col("m.t_buy") - col("t_click")).as("lag_ms"))
+        .orderBy("click_id")
+    }),
+
     // S9+R3+P10 — registry join: a tiny stream registry (id, routing_key,
     // location) derived from the distinct routing keys, broadcast-joined back
     // to the traffic (reference/app/app.py:127,282-291,104-108). At 100 TB the
@@ -167,6 +197,22 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "r_correlate_attrib" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, epoch_ms(ts) AS t_click
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS t_buy
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.user_id, c.click_id, c.t_click, p.purchase_id, p.t_buy
+           FROM c JOIN p ON p.user_id = c.user_id
+            AND p.t_buy >= c.t_click AND p.t_buy <= c.t_click + 600000)
+         SELECT user_id, click_id, purchase_id, lag_ms FROM (
+           SELECT user_id, click_id, purchase_id, t_buy - t_click AS lag_ms,
+                  row_number() OVER (PARTITION BY click_id
+                                     ORDER BY t_buy, purchase_id) AS rk
+           FROM j) WHERE rk = 1 ORDER BY click_id""",
     "p_merchant_decode" ->
       """WITH b AS (
            SELECT event_id,
