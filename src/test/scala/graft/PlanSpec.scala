@@ -554,6 +554,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-10 not heap-based")
   }
 
+  test("r_correlate_attrib: every exchange keys on user_id, no cartesian") {
+    val p = plan("r_correlate_attrib")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.forall(_.contains("user_id")),
+      s"stray exchange key in the correlation join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("v_ivf_train_gain: audit passes are per-row argmax, exact10 is heap-based") {
     val p = plan("v_ivf_train_gain")
     val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
