@@ -133,37 +133,13 @@ object SimilarityQueries {
           THEN floor(graft_dot($v, $cv) / ($n * $cn) * 10000.0 + 0.5) / 10000.0
         END"""
 
-  /** Argmax over an array of (cell, vector, norm) structs by 4-dp-floored
-    * cosine against the row's (v, nrm) — strict `>` over the cell-sorted
-    * array keeps the LOWEST cell on ties, the same (c DESC, cell ASC)
-    * argmax discipline the other ANN ops use; null cosines (zero norms)
-    * rank below everything via the -2 sentinel.
-    */
-  private def pickCellSql(arr: String, vecField: String, nrmField: String): String = {
-    val c = cosSql("v", "nrm", s"s.$vecField", s"s.$nrmField")
-    s"""aggregate($arr,
-          named_struct('best', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
-          (acc, s) -> CASE WHEN coalesce($c, -2D) > acc.best
-            THEN named_struct('best', coalesce($c, -2D), 'cell', s.cell)
-            ELSE acc END,
-          acc -> acc.cell)"""
-  }
-
-  /** [[pickCellSql]]'s full-struct twin: the same argmax fold but
-    * returning BOTH the winning cell and its (coalesced) cosine — the
-    * audit queries need the member→centroid cohesion alongside the
-    * assignment without a second fold.
-    */
-  private def pickCellWithCosSql(arr: String, vecField: String,
-                                 nrmField: String): String = {
-    val c = cosSql("v", "nrm", s"s.$vecField", s"s.$nrmField")
-    s"""aggregate($arr,
-          named_struct('best', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
-          (acc, s) -> CASE WHEN coalesce($c, -2D) > acc.best
-            THEN named_struct('best', coalesce($c, -2D), 'cell', s.cell)
-            ELSE acc END,
-          acc -> acc)"""
-  }
+  // The E-step argmax (best cell by 4-dp-floored cosine, strict > over
+  // the cell-sorted array so the LOWEST cell wins ties, -2 sentinel for
+  // null cosines) is the native codegen'd `graft_pick_cell(v, nrm,
+  // cells)` (plans/PickCell.scala) — the interpreted aggregate-fold
+  // formulation it replaced (r10) paid lambda dispatch + a named_struct
+  // alloc per centroid PER ROW and lives on as the parity reference in
+  // NativeExprSpec.
 
   /** One Lloyd refinement step over strided seed centroids — the
     * `v_kmeans_refine` core (public for the planted-fixture spec, like
@@ -193,7 +169,7 @@ object SimilarityQueries {
         col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
     val assigned = e.crossJoin(broadcast(seedArr))
       .select(col("v"), col("nrm"),
-        expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+        expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
     // M-step: refined centroid = per-dim mean of members, re-assembled and
     // collapsed to one broadcastable array row like the seeds
     val refined = assigned
@@ -211,7 +187,7 @@ object SimilarityQueries {
         expr(s"""element_at(transform(
             filter(rcells, r -> r.cell = cell),
             r -> ${cosSql("v", "nrm", "r.rc", "r.rnrm")}), 1)""").as("own_c"),
-        expr(pickCellSql("rcells", "rc", "rnrm")).as("best_cell"))
+        expr("graft_pick_cell(v, nrm, rcells).cell").as("best_cell"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         floorRound(avg(col("own_c")), 4).as("avg_cohesion"),
@@ -618,7 +594,7 @@ object SimilarityQueries {
           expr(pqLutSql).as("lut"))
       val codes = e.crossJoin(broadcast(centArr))
         .select(col("vec_id"), col("v"),
-          expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+          expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
         .crossJoin(broadcast(cbFlatOf(cb)))
         .select(col("vec_id"), col("cell"),
           element_at(expr("graft_pq_encode(v, cbflat)"), 1).as("pq_code"))
@@ -686,7 +662,7 @@ object SimilarityQueries {
       def audit(centArr: DataFrame, tag: String): DataFrame =
         e.crossJoin(broadcast(centArr))
           .select(col("vec_id"),
-            expr(pickCellWithCosSql("cells", "cv", "cnrm")).as("a"))
+            expr("graft_pick_cell(v, nrm, cells)").as("a"))
           .join(broadcast(exact10), Seq("vec_id"), "left")
           .crossJoin(broadcast(probeCellsOf(probe, centArr, 2)))
           .agg(
@@ -790,7 +766,7 @@ object SimilarityQueries {
                          nprobe: Int): DataFrame = {
     val assigned = e.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
-        expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+        expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
     val probe = e.filter(col("vec_id") === 0)
     assigned.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probeCellsOf(probe, centArr, nprobe)))
@@ -824,7 +800,7 @@ object SimilarityQueries {
       .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
         col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
     val assigned = e.crossJoin(broadcast(seedArr))
-      .select(col("v"), expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+      .select(col("v"), expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
     assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
@@ -902,7 +878,7 @@ object SimilarityQueries {
       .withColumn("nrm", l2Norm(col("v")))
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
-        expr(pickCellSql("cells", "cv", "cnrm")).as("cell"))
+        expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
       .crossJoin(broadcast(cbFlatOf(cb)))
       .select(col("vec_id"), col("cell"),
         element_at(expr("graft_pq_encode(v, cbflat)"), 1).as("pq_code"))

@@ -142,6 +142,9 @@ object GraftFunctions {
       exprs => { arity("graft_pq_encode", exprs, 2); PqEncode(exprs.head, exprs(1)) }),
     ("graft_pq_adc", "graft_pq_adc(pq_code, lut) - ADC lookup-sum of a base-17-packed code against a positional 128-entry LUT",
       exprs => { arity("graft_pq_adc", exprs, 2); PqAdc(exprs.head, exprs(1)) }),
+    ("graft_pick_cell", "graft_pick_cell(v, nrm, cells) - IVF E-step argmax: struct(best, cell) by 4-dp-floored cosine, lowest cell on ties",
+      exprs => { arity("graft_pick_cell", exprs, 3)
+        PickCell(exprs.head, exprs(1), exprs(2)) }),
     // Runtime Bloom-filter pair — SQL registration of the machinery Spark
     // itself uses for runtime row-level join filtering (the optimizer's
     // InjectRuntimeFilter plans exactly these two expressions; Spark ships

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 class NativeExprSpec extends SparkSpec {
   import spark.implicits._
 
+  // class-level so typedLit can summon a TypeTag (method-local case
+  // classes have none); the (cell, cv, cnrm) shape graft_pick_cell reads
+  private case class Cent(cell: Long, cv: Seq[Double], cnrm: Double)
+
   test("graft_shingles: unicode text, repeated grams, single token, empty string") {
     val df = Seq(
       "héllo wörld héllo wörld héllo", // unicode + repeats
@@ -145,6 +149,72 @@ class NativeExprSpec extends SparkSpec {
     df2.collect()
     val plan = df2.queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_pq_encode")), plan)
+  }
+
+  test("graft_pick_cell equals the HOF argmax fold; ties keep lowest cell; stays in codegen") {
+    // the retired SQL formulation (SimilarityQueries.pickCellWithCosSql),
+    // kept as the parity reference: candidates coalesce(4-dp cosine, -2),
+    // strict > over the cell-ascending array keeps the lowest cell on ties
+    val cos =
+      """CASE WHEN nrm * s.cnrm > 0D
+           THEN floor(graft_dot(v, s.cv) / (nrm * s.cnrm) * 10000.0 + 0.5) / 10000.0
+         END"""
+    val hof =
+      s"""aggregate(cells,
+            named_struct('best', CAST(-2.0 AS DOUBLE), 'cell', CAST(-1 AS BIGINT)),
+            (acc, s) -> CASE WHEN coalesce($cos, -2D) > acc.best
+              THEN named_struct('best', coalesce($cos, -2D), 'cell', s.cell)
+              ELSE acc END,
+            acc -> acc)"""
+    val rnd = new scala.util.Random(31)
+    val dup = Seq.fill(16)(rnd.nextGaussian()) // duplicated centroid → tie
+    val centVecs: Seq[Seq[Double]] = Seq(
+      dup,                          // cell 3
+      Seq.fill(16)(0.0),            // cell 5: zero norm — can never win
+      dup,                          // cell 8: identical to cell 3 — tie
+      Seq.fill(16)(rnd.nextGaussian()),
+      Seq.fill(16)(rnd.nextGaussian()))
+    val centIds = Seq(3L, 5L, 8L, 20L, 40L)
+    val vecs = ((0 until 40).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))) ++
+      Seq((100, dup),                // exact duplicate of the tied centroid
+          (101, Seq.fill(16)(0.0))) // zero vector: every candidate -2
+      ).map { case (i, v) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
+    // nrm and the centroid array are precomputed driver-side: in-plan HOF
+    // folds are CodegenFallback expressions and would drag the WHOLE
+    // project out of whole-stage codegen, confounding both the perf point
+    // and the codegen assertion below
+    val cents = centIds.zip(centVecs).map { case (id, cv) =>
+      Cent(id, cv, math.sqrt(cv.map(x => x * x).sum)) }.sortBy(_.cell)
+    val df = vecs.toDF("id", "v", "nrm").repartition(2)
+      .withColumn("cells", typedLit(cents))
+    val got = df.select(col("id"),
+      expr("graft_pick_cell(v, nrm, cells)").as("native"),
+      expr(hof).as("hof")).collect()
+    assert(got.length === 42)
+    got.foreach(r => assert(r.getStruct(1) === r.getStruct(2), s"id=${r.getInt(0)}"))
+    // the duplicate-of-centroid row maxes at cosine 1.0 on BOTH tied
+    // cells — the argmax must keep the lower cell id (3, not 8)
+    val tied = got.find(_.getInt(0) === 100).get.getStruct(1)
+    assert(tied.getDouble(0) === 1.0 && tied.getLong(1) === 3L)
+    // the zero vector scores -2 everywhere: sentinel accumulator out
+    val zero = got.find(_.getInt(0) === 101).get.getStruct(1)
+    assert(zero.getDouble(0) === -2.0 && zero.getLong(1) === -1L)
+    // null top-level input → null result (fail-safe), and an empty cell
+    // array → the (-2, -1) sentinel like the fold
+    val edge = Seq(1).toDF("x").select(
+      expr("""graft_pick_cell(CAST(NULL AS ARRAY<DOUBLE>), 1.0D,
+                array(named_struct('cell', 1L, 'cv', array(1.0D), 'cnrm', 1.0D)))""")
+        .as("nullv"),
+      expr("""graft_pick_cell(array(1.0D), 1.0D,
+                CAST(array() AS ARRAY<STRUCT<cell: BIGINT, cv: ARRAY<DOUBLE>, cnrm: DOUBLE>>))""")
+        .as("empty")).collect().head
+    assert(edge.isNullAt(0))
+    assert(edge.getStruct(1).getDouble(0) === -2.0 && edge.getStruct(1).getLong(1) === -1L)
+    // and the argmax stays inside whole-stage codegen
+    val df2 = df.select(expr("graft_pick_cell(v, nrm, cells)"))
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_pick_cell")), plan)
   }
 
   test("graft_jaccard equals the SQL array_intersect form on random distinct arrays") {
