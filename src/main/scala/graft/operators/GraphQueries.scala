@@ -83,9 +83,43 @@ object GraphQueries {
     * the node set is stable across iterations. Per iteration: one
     * broadcast join of the node-sized rank frame onto the edges and one
     * dst-keyed sum — at 100 TB the edge frame is the big side and never
-    * moves; only node-sized state shuffles.
+    * moves; only node-sized state shuffles. Sub-threshold edge frames
+    * (the capped backbone always is) skip the loop for a SINGLE-TASK
+    * replay of the identical integer recurrence — the
+    * ConnectedComponents endgame discipline: below the threshold each
+    * distributed iteration is a broadcast-exchange job of pure overhead,
+    * and integer-unit sums are order-independent so both paths are
+    * bit-identical (GraphSpec pins both against a reference fold).
     */
-  def pagerank(edges: DataFrame, iters: Int = 5, topK: Int = 20): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int = 5, topK: Int = 20,
+               localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    if (localFinishEdges > 0 &&
+        edges.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localFinishEdges) {
+      import spark.implicits._
+      val nIters = iters
+      return edges
+        .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val und = it.flatMap { case (a, b) => Iterator((a, b), (b, a)) }.toArray
+          val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+          und.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+          var r = deg.keysIterator.map(_ -> 1000000L).toMap
+          for (_ <- 1 to nIters) {
+            val s = scala.collection.mutable.HashMap.empty[Long, Long]
+            und.foreach { case (src, dst) =>
+              s(dst) = s.getOrElse(dst, 0L) + r(src) / deg(src) }
+            r = s.iterator.map { case (n, acc) => n -> (150000L + (17L * acc) / 20L) }.toMap
+          }
+          r.iterator
+        }
+        .toDF("node", "rank_units")
+        .orderBy(col("rank_units").desc, col("node"))
+        .limit(topK)
+    }
     val e = bidirectional(edges)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var rank: DataFrame = deg.select(col("src").as("node"), lit(1000000L).as("r"))

@@ -43,13 +43,20 @@ class GraphSpec extends SparkSpec {
     assert(capped === Set((20L, 30L, 2L), (10L, 20L, 1L)))
   }
 
-  test("g_pagerank core matches the integer recurrence on a planted graph") {
+  test("g_pagerank core matches the integer recurrence on a planted graph — both paths") {
     // star (1 hub, 3 spokes) + disjoint pair: hub must out-rank spokes
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val want = refPagerank(edges, 5)
+    // single-task endgame (default threshold) and the distributed loop
+    // (threshold 0 forces it) must both replay the recurrence exactly —
+    // integer-unit sums are order-independent, so bit-equal
     val got = GraphQueries.pagerank(edgesDf(edges: _*), iters = 5, topK = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = refPagerank(edges, 5)
     assert(got === want)
+    val gotDist = GraphQueries.pagerank(edgesDf(edges: _*), iters = 5, topK = 10,
+        localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === want)
     assert(got(1L) > got(2L), "hub must out-rank a spoke")
     assert(got(2L) === got(3L) && got(3L) === got(4L), "spokes symmetric")
   }
