@@ -122,6 +122,13 @@ class WatermarkSpec extends SparkSpec {
         .as[(Long, Option[Long])].collect().sortBy(_._1)
       // the advance pair (9, 999) matches itself; ordinal 2 finalizes null
       assert(rows.toSeq === Seq((1L, Some(101L)), (2L, None), (9L, Some(999L))))
+      // STATE CLEANUP under watermark: everything before the 10:50 advance
+      // is past both state watermarks, so the join state must have evicted
+      // the early rows — only the advance pair's rows (≤ ~2/side) may
+      // remain. Unbounded-state bugs show up here as state ≥ all 5 rows.
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal <= 4,
+        s"join state not evicted under watermark: ${state.head.numRowsTotal} rows")
     } finally q.stop()
   }
 }
