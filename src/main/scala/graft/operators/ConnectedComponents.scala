@@ -83,7 +83,11 @@ object ConnectedComponents {
     // un-truncated lineage would re-execute the caller's whole upstream
     // subtree (e.g. d_dedup_cluster's verified near-dup join) per read.
     // localCheckpoint is the iterative-algorithm lineage-truncation
-    // standard; recompute-on-loss applies to the edge frame only.
+    // standard. It is NON-recoverable: lineage is truncated, so a
+    // partition lost to executor failure errors the job rather than
+    // recomputing — the accepted trade for iterative loops (a reliable
+    // `checkpoint` to a cluster FS is the HA alternative when running
+    // with a checkpoint dir configured).
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
     if (localFinishEdges > 0 &&
         e0.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
@@ -96,6 +100,17 @@ object ConnectedComponents {
     val e = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // The per-round loop only ever reads the bidirectional checkpoint;
+    // free e0's blocks now so the loop doesn't hold ~3x the edge set
+    // (directed + both directions). Dataset.unpersist is a CacheManager
+    // call and ignores checkpoint blocks, so reach through the LogicalRDD
+    // to the checkpointed RDD itself; e0 is never read again (reading it
+    // after this would fail — truncated lineage cannot recompute).
+    e0.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
     // init = first neighbor-min fused into the node-set build: same
     // aggregate the plain distinct would cost, one propagation round free
     var labels = e

@@ -682,8 +682,13 @@ object SimilarityQueries {
     // member means, empty codes keeping their seed entry — and the corpus
     // is re-encoded against the refined codebook. Output: the total
     // integer-unit quantization error under each codebook plus the
-    // improved flag. Lloyd guarantees the true MSE is non-increasing, so
-    // `improved` asserts the direction, not just reports it. Scale shape:
+    // improved flag. Lloyd guarantees the TRUE (unrounded) MSE is
+    // non-increasing; `improved` compares per-(vector,subspace) distances
+    // rounded to integer units, so when the true improvement is smaller
+    // than the accumulated rounding noise the flag can legitimately come
+    // out false — it reports the direction at integer precision (the
+    // precision the oracle can reproduce exactly), it does not assert the
+    // analytic guarantee. Scale shape:
     // both encode passes are per-row native folds against broadcast flat
     // codebooks; the M-step shuffles (ss, code, pos) partial sums — ≤1024
     // groups — never vectors; the codebook rebuild joins two ≤128-row

@@ -190,6 +190,18 @@ final class StreamCoordinator {
     if (q != null && q.isActive) q.stop()
   }
 
+  /** Identity-scoped release: stop `q` and deregister it ONLY if it still
+    * holds the key. The unscoped [[release]] is for stream deletion (kill
+    * whatever holds the key); this one is for a consumer tearing down its
+    * OWN query (e.g. its socket hit EOF) — if last-connect-wins fencing has
+    * already displaced it, the replacement's live query must survive the
+    * stale consumer's teardown (same race [[requestStop]] scopes by name).
+    */
+  def release(routingKey: String, q: StreamingQuery): Unit = {
+    active.remove(routingKey, q)
+    if (q.isActive) q.stop()
+  }
+
   /** Stop requested from inside the query's own foreachBatch (POISON): a
     * synchronous stop() there would self-deadlock waiting for the running
     * batch, so hand it to a reaper thread — the analog of the reference's

@@ -51,6 +51,11 @@ final class ServiceShell(
   private var http: com.sun.net.httpserver.HttpServer = _
   private var wsServer: ServerSocket = _
   private val conns = TrieMap.empty[String, Socket] // uuid -> live WS socket
+  // routing key -> live WS socket: last-connect-wins fencing is per routing
+  // key (StreamCoordinator), so when a new consumer displaces the old
+  // query, the DISPLACED consumer's socket must be closed too — otherwise
+  // it hangs silently with a dead query until its own EOF (ADVICE r10)
+  private val connsByKey = TrieMap.empty[String, Socket]
 
   def httpPort: Int = http.getAddress.getPort
   def wsPort: Int = wsServer.getLocalPort
@@ -71,6 +76,7 @@ final class ServiceShell(
   def stop(): Unit = {
     conns.values.foreach(s => try s.close() catch { case _: Exception => })
     conns.clear()
+    connsByKey.clear()
     if (wsServer != null) try wsServer.close() catch { case _: Exception => }
     if (http != null) http.stop(0)
   }
@@ -86,7 +92,7 @@ final class ServiceShell(
           s"""{"protocol":"${v.protocol}","name":"${v.name}","version":"${v.version}"}""")
       case ("POST", "/event-stream") =>
         val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-        RoutingKeyRe.findFirstMatchIn(body).map(_.group(1)) match {
+        RoutingKeyRe.findFirstMatchIn(body).map(m => jsonUnescape(m.group(1))) match {
           case Some(rk) =>
             val rec = registry.create(rk)
             respond(ex, 201,
@@ -95,7 +101,7 @@ final class ServiceShell(
         }
       case ("GET", "/event-stream") =>
         val items = registry.list().map(r =>
-          s"""{"id":${r.id},"routing_key":"${r.routingKey}","location":"ws://127.0.0.1:$wsPort/event-stream/${r.uuid}"}""")
+          s"""{"id":${r.id},"routing_key":"${jsonEscape(r.routingKey)}","location":"ws://127.0.0.1:$wsPort/event-stream/${r.uuid}"}""")
         respond(ex, 200, items.mkString("[", ",", "]"))
       case ("DELETE", IdPath(id)) =>
         // fence-then-row ordering lives in registry.delete; the socket (if
@@ -103,7 +109,9 @@ final class ServiceShell(
         // of the DELETE handler (app/app.py:684-715)
         val rec = registry.list().find(_.id == id.toLong)
         if (registry.delete(id.toLong, coordinator)) {
-          rec.foreach(r => conns.remove(r.uuid).foreach(closeWs))
+          rec.foreach(r => conns.remove(r.uuid).foreach { s =>
+            connsByKey.remove(r.routingKey, s); closeWs(s)
+          })
           respond(ex, 204, "")
         } else respond(ex, 404, """{"error":"unknown id"}""")
       case _ => respond(ex, 404, """{"error":"not found"}""")
@@ -150,22 +158,32 @@ final class ServiceShell(
     (uuid.flatMap(registry.byUuid), Option(wsKey)) match {
       case (Some(rec), Some(key)) =>
         out.write(handshakeResponse(key).getBytes(UTF_8)); out.flush()
-        conns.put(rec.uuid, sock)
+        // displaced consumers (same uuid reconnect, or another stream with
+        // the same routing key) lose the fencing race below — close their
+        // sockets NOW so they observe the displacement instead of hanging
+        // on a dead query until their own EOF (ADVICE r10)
+        conns.put(rec.uuid, sock).filter(_ ne sock).foreach(closeWs)
+        connsByKey.put(rec.routingKey, sock).filter(_ ne sock).foreach(closeWs)
         val lock = new Object
         // the push sink: one text frame per delivered record; sends are
         // serialized per socket (the per-stream delivery is serial anyway)
         val send: String => Unit = msg => lock.synchronized {
           if (!sock.isClosed) writeTextFrame(out, msg)
         }
-        EventStreamPipeline.start(spark, sourceFor(rec.routingKey),
+        val query = EventStreamPipeline.start(spark, sourceFor(rec.routingKey),
           rec.routingKey, specFor(rec.routingKey), coordinator, send)
         // reader loop: handle client close/ping; EOF or close frame means
         // the consumer is gone — disconnect stops the consumer
         // (app/app.py:502-508), safe here because this is NOT the query's
         // own foreachBatch thread
         readFrames(in, out, lock)
-        conns.remove(rec.uuid)
-        coordinator.release(rec.routingKey)
+        // identity-scoped teardown: stop only THIS consumer's query and
+        // deregister it only if it still holds the key — if a newer
+        // consumer has displaced this one via last-connect-wins fencing,
+        // the replacement's live query and socket must survive our EOF
+        conns.remove(rec.uuid, sock)
+        connsByKey.remove(rec.routingKey, sock)
+        coordinator.release(rec.routingKey, query)
         try sock.close() catch { case _: Exception => }
       case _ =>
         out.write(("HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n" +
@@ -203,43 +221,81 @@ final class ServiceShell(
     try sock.close() catch { case _: Exception => }
   }
 
-  /** Parse masked client frames until close/EOF; answer pings. */
+  /** Parse masked client frames until close/EOF; answer pings.
+    *
+    * Every header byte is EOF-guarded: a peer vanishing mid 16/64-bit
+    * length or mid-mask must read as a clean disconnect, never as a
+    * garbage (possibly negative) length reaching `new Array` (ADVICE
+    * r10). Frames longer than [[ServiceShell.MaxClientFrame]] get an RFC
+    * 6455 1009 (message too big) close instead of an allocation attempt —
+    * clients here only ever send close/ping control frames anyway.
+    */
   private def readFrames(in: InputStream, out: OutputStream, lock: Object): Unit = {
+    // EOF-guarded byte read: -1 propagates instead of polluting arithmetic
+    def rb(): Int = in.read()
     var open = true
     while (open) {
-      val b1 = in.read()
-      if (b1 < 0) open = false
+      val b1 = rb()
+      val b2 = if (b1 < 0) -1 else rb()
+      if (b1 < 0 || b2 < 0) open = false
       else {
-        val b2 = in.read()
-        if (b2 < 0) open = false
-        else {
-          val opcode = b1 & 0x0F
-          val masked = (b2 & 0x80) != 0
-          var len: Long = b2 & 0x7F
-          if (len == 126) len = (in.read() << 8) | in.read()
-          else if (len == 127) {
-            len = 0L
-            var i = 0
-            while (i < 8) { len = (len << 8) | in.read(); i += 1 }
+        val opcode = b1 & 0x0F
+        val masked = (b2 & 0x80) != 0
+        var len: Long = b2 & 0x7F
+        var eof = false
+        if (len == 126) {
+          val h = rb(); val l = rb()
+          if (h < 0 || l < 0) eof = true else len = (h << 8) | l
+        } else if (len == 127) {
+          len = 0L
+          var i = 0
+          while (i < 8 && !eof) {
+            val b = rb()
+            if (b < 0) eof = true else len = (len << 8) | b
+            i += 1
           }
-          val mask = if (masked) Array.fill(4)(in.read().toByte) else null
-          val payload = new Array[Byte](len.toInt)
-          var off = 0
-          while (off < len) {
-            val n = in.read(payload, off, len.toInt - off)
-            if (n < 0) { open = false; off = len.toInt } else off += n
-          }
-          if (masked && open)
-            payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
-          opcode match {
-            case 0x8 => open = false // close
-            case 0x9 => lock.synchronized { // ping -> pong, same payload
-              out.write((0x8A & 0xFF).toByte)
-              out.write(payload.length)
-              out.write(payload)
+        }
+        if (eof) open = false
+        else if (len < 0 || len > MaxClientFrame) {
+          // 1009 message-too-big close, then drop the connection — never
+          // `new Array[Byte](len.toInt)` on an attacker-supplied length
+          lock.synchronized {
+            try {
+              out.write(Array(0x88.toByte, 0x02.toByte, 0x03.toByte, 0xF1.toByte))
               out.flush()
+            } catch { case _: Exception => }
+          }
+          open = false
+        } else {
+          val mask = new Array[Byte](4)
+          if (masked) {
+            var i = 0
+            while (i < 4 && !eof) {
+              val b = rb()
+              if (b < 0) eof = true else mask(i) = b.toByte
+              i += 1
             }
-            case _ => () // data/pong frames from the client are ignored
+          }
+          if (eof) open = false
+          else {
+            val payload = new Array[Byte](len.toInt)
+            var off = 0
+            while (off < len) {
+              val n = in.read(payload, off, len.toInt - off)
+              if (n < 0) { open = false; off = len.toInt } else off += n
+            }
+            if (masked && open)
+              payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+            if (open) opcode match {
+              case 0x8 => open = false // close
+              case 0x9 => lock.synchronized { // ping -> pong, same payload
+                out.write((0x8A & 0xFF).toByte)
+                out.write(payload.length)
+                out.write(payload)
+                out.flush()
+              }
+              case _ => () // data/pong frames from the client are ignored
+            }
           }
         }
       }
@@ -263,7 +319,59 @@ final class ServiceShell(
 }
 
 object ServiceShell {
-  private val RoutingKeyRe = """"routing_key"\s*:\s*"([^"]+)"""".r
+  /** Client frames here are close/ping/pong control traffic (the data
+    * plane is server→client); 1 MiB is generous headroom before a 1009.
+    */
+  private val MaxClientFrame: Long = 1L << 20
+
+  /** JSON string escape for values interpolated into hand-built response
+    * bodies — a routing key containing `"` or `\` (or a control char) must
+    * not produce invalid JSON (ADVICE r10).
+    */
+  private[streaming] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[jsonEscape]] for the request-body parse. */
+  private[streaming] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/'  => sb.append('/'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // value is any JSON-string char run: unescaped non-quote/backslash chars
+  // or backslash escapes — so escaped routing keys parse instead of
+  // truncating at the first backslash
+  private val RoutingKeyRe = """"routing_key"\s*:\s*"((?:[^"\\]|\\.)+)"""".r
   private val WsPathRe = """^/event-stream/([0-9A-Za-z]+)$""".r
   private object IdPath {
     def unapply(path: String): Option[String] =
