@@ -3,12 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Edge-case behavior of the native expressions (graft.plans). */
+object NativeExprSpec {
+  // top-level (companion) so typedLit can summon a TypeTag AND encoder
+  // codegen can instantiate it without an outer instance; the
+  // (cell, cv, cnrm) shape graft_pick_cell reads
+  case class Cent(cell: Long, cv: Seq[Double], cnrm: Double)
+}
+
 class NativeExprSpec extends SparkSpec {
   import spark.implicits._
-
-  // class-level so typedLit can summon a TypeTag (method-local case
-  // classes have none); the (cell, cv, cnrm) shape graft_pick_cell reads
-  private case class Cent(cell: Long, cv: Seq[Double], cnrm: Double)
+  import NativeExprSpec.Cent
 
   test("graft_shingles: unicode text, repeated grams, single token, empty string") {
     val df = Seq(

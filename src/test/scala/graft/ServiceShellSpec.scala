@@ -14,10 +14,15 @@ import java.util.concurrent.{CompletableFuture, LinkedBlockingQueue, TimeUnit}
   * Registry/StreamCoordinator/EventStreamPipeline objects the in-process
   * specs exercise.
   */
+// companion-object case class: nested-in-class case classes capture an
+// outer instance and break typed-encoder codegen (janino fallback storm)
+object ServiceShellSpec {
+  case class Msg(body: String, ordinal: Long, ts_ms: Long)
+}
+
 class ServiceShellSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Msg(body: String, ordinal: Long, ts_ms: Long)
+  import ServiceShellSpec.Msg
 
   test("service shell: reference lifecycle over loopback sockets") {
     val registry = new EventStreamRegistry

@@ -12,12 +12,17 @@ import java.util.concurrent.ConcurrentLinkedQueue
 /** Source coverage (SURVEY.md §2.1 S1/S10): multi-format batch round-trips
   * and a file-based streaming source feeding the event pipeline.
   */
+// companion-object case class: nested-in-class case classes capture an
+// outer instance and break typed-encoder codegen (janino fallback storm)
+object SourcesSpec {
+  case class EnvMsg(body: String, ordinal: Long, ts_ms: Long)
+}
+
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
+  import SourcesSpec.EnvMsg
 
   private lazy val tmp = Files.createTempDirectory("graft-sources").toString
-
-  private case class EnvMsg(body: String, ordinal: Long, ts_ms: Long)
 
   test("S10: csv/json/parquet round-trip the events subset identically") {
     val src = Tables.events(spark, "/root/testdata/sf0.001")

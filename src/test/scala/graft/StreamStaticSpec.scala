@@ -11,10 +11,15 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * envelope joined to a static (broadcastable) dimension before delivery.
   * At scale the static side broadcasts; the stream never shuffles.
   */
+// companion-object case class: nested-in-class case classes capture an
+// outer instance and break typed-encoder codegen (janino fallback storm)
+object StreamStaticSpec {
+  case class Msg(body: String, ordinal: Long, ts_ms: Long, routing_key: String)
+}
+
 class StreamStaticSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Msg(body: String, ordinal: Long, ts_ms: Long, routing_key: String)
+  import StreamStaticSpec.Msg
 
   test("stream-static join enriches stream rows from the broadcast registry") {
     val registry = Seq(("account.events", 1L, "ws://h/es/a"), ("dm.events", 2L, "ws://h/es/b"))

