@@ -800,6 +800,59 @@ object SimilarityQueries {
     * array (zero corpus-wide exchange), the M-step shuffles (cell, pos)
     * partial sums — k·dim rows — never vectors.
     */
+  /** Iterated Lloyd trainer for the coarse quantizer — the OFF-GATE
+    * counterpart of [[refinedCentArr]] (VERDICT r10 §next-5): k full E/M
+    * steps instead of one, returning the converged centroid array in the
+    * same (cell, cv, cnrm) shape every IVF consumer reads PLUS the
+    * per-step cohesion trace (avg best member→centroid cosine, the
+    * v_ivf_train_gain audit re-run after every M-step; index 0 is the
+    * SEED cohesion). The oracled queries keep the 1-step
+    * [[refinedCentArr]] form — a floating iteration count would make the
+    * DuckDB replay a moving target — while SimilaritySpec pins this
+    * trainer's cohesion trace non-decreasing over ≥3 steps on the real
+    * fixtures. (Monotonicity note: plain-mean M-steps maximize the L2
+    * objective, not the cosine one, so non-decrease of cosine cohesion is
+    * pinned on these corpora rather than guaranteed analytically —
+    * 4-dp-floored, deterministic per fixture.)
+    *
+    * Scale shape per step: one per-row argmax pass over a broadcast
+    * array + the (cell, pos) M-step aggregate + one scalar cohesion
+    * aggregate; the one-row centroid frame is localCheckpoint'd each step
+    * so the plan stays constant-size across iterations (the
+    * ConnectedComponents discipline), and nothing corpus-sized ever
+    * exchanges.
+    */
+  private[graft] def trainCoarse(e: DataFrame, seedStride: Int = 13,
+      steps: Int = 3): (DataFrame, Seq[Double]) = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    def cohesionOf(cells: DataFrame): Double =
+      e.crossJoin(broadcast(cells))
+        .select(expr("graft_pick_cell(v, nrm, cells).best").as("best"))
+        .agg(floorRound(avg(col("best")), 4)).head().getDouble(0)
+    var cells = e.filter(col("vec_id") % seedStride === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
+      .localCheckpoint(true)
+    val trace = scala.collection.mutable.ArrayBuffer(cohesionOf(cells))
+    var step = 0
+    while (step < steps) {
+      cells = e.crossJoin(broadcast(cells))
+        .select(col("v"), expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
+        .withColumn("cnrm", l2Norm(col("cv")))
+        .agg(array_sort(collect_list(struct(col("cell"), col("cv"),
+          col("cnrm")))).as("cells"))
+        .localCheckpoint(true)
+      trace += cohesionOf(cells)
+      step += 1
+    }
+    (cells, trace.toSeq)
+  }
+
   private[graft] def refinedCentArr(e: DataFrame, seedStride: Int = 13): DataFrame = {
     val seedArr = e.filter(col("vec_id") % seedStride === 0)
       .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),

@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("R19: iterated Lloyd trainer — cohesion trace non-decreasing over 3 steps on real embeddings") {
+    // The off-gate trainer (VERDICT r10 §next-5): the oracled queries run
+    // exactly ONE E/M step (refinedCentArr) so the DuckDB replay stays
+    // closed-form; this pins the k-step trainer's convergence on the real
+    // sf0.01 fixture — the v_ivf_train_gain audit re-run per step. The
+    // trace is 4-dp-floored and the fixture is fixed, so the assertion is
+    // deterministic, not statistical.
+    import graft.functions.VectorFunctions.{asDouble, l2Norm}
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .filter(size($"v") === 64)
+      .withColumn("nrm", l2Norm($"v"))
+    graft.plans.GraftFunctions.register(spark)
+    val (cells, trace) = graft.operators.SimilarityQueries.trainCoarse(e, 13, 3)
+    assert(trace.length === 4, s"trace = seed + 3 steps, got $trace")
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"cohesion decreased along the trace: $trace")
+    }
+    assert(trace.last > trace.head,
+      s"3 Lloyd steps bought no cohesion at all: $trace")
+    // step 1 of the trainer IS refinedCentArr's one step — the oracled
+    // form and the trainer must agree at k=1 (same E/M arithmetic)
+    val oneStep = graft.operators.SimilarityQueries.refinedCentArr(e, 13)
+    val coh1 = e.crossJoin(broadcast(oneStep))
+      .select(expr("graft_pick_cell(v, nrm, cells).best").as("best"))
+      .agg(graft.functions.ParityMath.floorRound(avg($"best"), 4))
+      .head().getDouble(0)
+    assert(coh1 === trace(1),
+      s"trainer step-1 cohesion ${trace(1)} != refinedCentArr's $coh1")
+    // the trained cells remain a valid serve-shape artifact: one row, k cells
+    val arr = cells.head().getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.nonEmpty && arr.length === e.filter($"vec_id" % 13 === 0).count().toInt)
+  }
+
   test("R19: PQ codes — codebook members encode to themselves with zero error") {
     // 16 codebook vectors (vec_id 0-15) + planted probes: a vector EQUAL
     // to codebook entry 3 must pick code 3 in every subspace (pq_code =
