@@ -52,6 +52,61 @@ object Bench {
     } finally deleteTree(base)
   }
 
+  /** Watermarked stream–stream join throughput (VERDICT r10 §next-6):
+    * `correlateStreams` was spec-verified but invisible to the bench, so
+    * its state/throughput cost was untracked per round. Publishes the
+    * events fixture as two GraftLog logs — the right twin shifted +60 s
+    * into the left's [ts, ts+5 min] correlation window, keyed by the
+    * unique event id so every left row pairs exactly once (the
+    * request→response shape) — then drives both through the REAL
+    * watermarked interval join in ~10 paced micro-batches. The fixture's
+    * event time is monotone in ordinal (corr ≈ 1.0, ~26 s median gap), so
+    * the 10-minute watermark absorbs intra-batch jitter and evicts state
+    * batch-over-batch — the bench exercises eviction, not an ever-growing
+    * store. Returns (pairs delivered, seconds); delivered must equal the
+    * log row count or the run fails loudly.
+    */
+  private def streamJoinBench(spark: SparkSession, sfDir: String): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val fmt = classOf[graft.sources.GraftLogProvider].getName
+    val target = 100000
+    val base = java.nio.file.Files.createTempDirectory("graft-bench-sjoin")
+    try {
+      val (srcL, srcR, ckpt) = (s"$base/l", s"$base/r", s"$base/ckpt")
+      val ev = Tables.events(spark, sfDir).limit(target)
+        .select(col("event_id").cast("string").as("body"),
+          col("event_id").cast("long").as("ordinal"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .repartitionByRange(10, col("ordinal"))
+      ev.write.format(fmt).option("path", srcL).mode("append").save()
+      ev.withColumn("ts_ms", col("ts_ms") + 60000L)
+        .write.format(fmt).option("path", srcR).mode("append").save()
+      val rows = spark.read.format(fmt).option("path", srcL).load().count()
+      val per = math.max(1L, rows / 10).toString
+      def side(path: String) = spark.readStream.format(fmt)
+        .option("path", path).option("maxOrdinalsPerTrigger", per).load()
+      val left = side(srcL).select(col("body").as("routing_key"),
+        col("ordinal"), timestamp_millis(col("ts_ms")).as("ts"))
+      val right = side(srcR).select(col("body").as("routing_key"),
+        col("ordinal").as("r_ordinal"), timestamp_millis(col("ts_ms")).as("r_ts"))
+      val joined = graft.streaming.StreamingAggs.correlateStreams(
+        left, right, watermark = "10 minutes", within = "5 minutes")
+      val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = joined.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          delivered.addAndGet(batch.count()); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(delivered.get() == rows,
+        s"stream join delivered ${delivered.get()} of $rows pairs")
+      (delivered.get(), secs)
+    } finally deleteTree(base)
+  }
+
   /** Bench fixtures are throwaway: two 100k-row logs plus a checkpoint per
     * run would otherwise accumulate in the system temp dir forever.
     */
@@ -133,6 +188,18 @@ object Bench {
           .map(c => if (c < ' ') ' ' else c))
         0L
     }
+    // Stream–stream join throughput (pairs/sec through the watermarked
+    // interval join); 0 = failed, reason in errors.
+    val streamJoinRps: Long = try {
+      val (pairs, secs) = streamJoinBench(spark, sfDir)
+      math.round(pairs / secs)
+    } catch {
+      case e: Throwable =>
+        errors += ("stream_join: " + Option(e.getMessage)
+          .getOrElse(e.getClass.getSimpleName).take(80)
+          .map(c => if (c < ' ') ' ' else c))
+        0L
+    }
     // The driver tail-captures ~2000 chars of the run log, so the printed
     // line must stay well under that (round 1's full-precision line got
     // truncated and the bench metric was lost). The line carries the
@@ -151,13 +218,13 @@ object Bench {
     val errJson = errors.take(10).map(e => "\"" + e + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"errors":$errJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")
+      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no executor/shutdown logging can land
     // after the metric line — it must be the final line of stdout for the
     // driver's parse.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
