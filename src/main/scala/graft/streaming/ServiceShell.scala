@@ -44,7 +44,15 @@ final class ServiceShell(
     registry: EventStreamRegistry,
     coordinator: StreamCoordinator,
     sourceFor: String => DataFrame,
-    specFor: String => Replay.OffsetSpec = _ => Replay.Next) {
+    specFor: String => Replay.OffsetSpec = _ => Replay.Next,
+    // TLS for the WS data plane (the reference's `wss://` location scheme
+    // switch, app/app.py:104-108): pass an SSLContext initialized with a
+    // server certificate and the accept loop speaks TLS — same RFC 6455
+    // framing over an SSLSocket — and advertised locations flip to
+    // `wss://`. None (default) keeps plaintext loopback; the control
+    // plane stays HTTP either way (the reference terminates TLS at the
+    // ingress for both planes — transport config, not engine semantics).
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   import ServiceShell._
 
@@ -60,8 +68,14 @@ final class ServiceShell(
   def httpPort: Int = http.getAddress.getPort
   def wsPort: Int = wsServer.getLocalPort
 
+  private def wsScheme: String = if (tls.isDefined) "wss" else "ws"
+
   def start(): Unit = {
-    wsServer = new ServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
+    wsServer = tls match {
+      case Some(ctx) => ctx.getServerSocketFactory
+        .createServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
+      case None => new ServerSocket(0, 16, java.net.InetAddress.getLoopbackAddress)
+    }
     http = com.sun.net.httpserver.HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
     http.createContext("/event-stream", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -96,12 +110,12 @@ final class ServiceShell(
           case Some(rk) =>
             val rec = registry.create(rk)
             respond(ex, 201,
-              s"""{"id":${rec.id},"location":"ws://127.0.0.1:$wsPort/event-stream/${rec.uuid}"}""")
+              s"""{"id":${rec.id},"location":"$wsScheme://127.0.0.1:$wsPort/event-stream/${rec.uuid}"}""")
           case None => respond(ex, 400, """{"error":"routing_key required"}""")
         }
       case ("GET", "/event-stream") =>
         val items = registry.list().map(r =>
-          s"""{"id":${r.id},"routing_key":"${jsonEscape(r.routingKey)}","location":"ws://127.0.0.1:$wsPort/event-stream/${r.uuid}"}""")
+          s"""{"id":${r.id},"routing_key":"${jsonEscape(r.routingKey)}","location":"$wsScheme://127.0.0.1:$wsPort/event-stream/${r.uuid}"}""")
         respond(ex, 200, items.mkString("[", ",", "]"))
       case ("DELETE", IdPath(id)) =>
         // fence-then-row ordering lives in registry.delete; the socket (if

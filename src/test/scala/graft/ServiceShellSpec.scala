@@ -119,4 +119,93 @@ class ServiceShellSpec extends SparkSpec {
       coord.release("rk-shell")
     }
   }
+
+  test("service shell: wss data plane over TLS loopback") {
+    // Self-signed server cert via the JDK's own keytool (no new
+    // dependency; cert generation is not a JDK public API). The client
+    // trusts-all — the spec pins the TLS handshake + framing path, not
+    // PKI hygiene.
+    val ksDir = java.nio.file.Files.createTempDirectory("graft-tls")
+    val ksPath = s"$ksDir/server.p12"
+    val pw = "changeit"
+    val gen = new ProcessBuilder("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-storetype", "PKCS12", "-keystore", ksPath, "-storepass", pw,
+      "-dname", "CN=127.0.0.1",
+      // the JDK client verifies the hostname against the SAN regardless
+      // of the trust manager — the cert must carry the loopback IP
+      "-ext", "SAN=IP:127.0.0.1").redirectErrorStream(true).start()
+    assert(gen.waitFor(60, TimeUnit.SECONDS) && gen.exitValue() == 0,
+      "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath)
+    try ks.load(fis, pw.toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pw.toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val trustAll = javax.net.ssl.SSLContext.getInstance("TLS")
+    trustAll.init(null, Array[javax.net.ssl.TrustManager](
+      new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(
+          c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }), null)
+
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF(),
+      tls = Some(serverCtx))
+    shell.start()
+    val http = HttpClient.newBuilder().sslContext(trustAll).build()
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-tls"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(created.statusCode() === 201, created.body)
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      // the scheme switch the reference derives from X-Forwarded-Proto
+      // (app/app.py:104-108): TLS on => wss://
+      assert(loc.startsWith("wss://127.0.0.1:"), loc)
+
+      val received = new LinkedBlockingQueue[String]()
+      val listener = new WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.setLength(0) }
+          ws.request(1)
+          null
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), listener).join()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-tls").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val q = coord.activeQuery("rk-tls").getOrElse(
+          fail("consumer did not attach within 30 s"))
+        stream.addData(Msg("""{"message_type": "tls"}""", 1, 100L))
+        q.processAllAvailable()
+        val first = received.poll(30, TimeUnit.SECONDS)
+        assert(first === """{"ess_ordinal": 1, "ess_timestamp": 100, "message_type": "tls"}""")
+      } finally {
+        try ws.abort() catch { case _: Exception => }
+      }
+    } finally {
+      shell.stop()
+      coord.release("rk-tls")
+    }
+  }
 }
