@@ -54,13 +54,21 @@ object AnalyticsQueries {
       .filter(col("db") > col("da") &&
         lit(5) * least(col("na"), col("nb")) >= lit(3) * greatest(col("na"), col("nb")))
       .select(col("da"), col("db")).distinct()
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("h")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    // Exact verify via the sorted-hash-array merge (r11, the verifyPairs
+    // discipline): the exploded formulation joined cand to the posting
+    // rows TWICE — |cand| × ~|shingles| rows through two shuffles and a
+    // count aggregate. Collapsing each doc's hashes into one sorted array
+    // and merge-counting per pair (native graft_intersect_count) ships
+    // one array per pair side and zero aggregate: the integer threshold
+    // arithmetic (8i ≥ 3(na+nb)) is unchanged, so completeness is still
+    // the prefix-filter theorem.
+    val arr = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    cand
+      .join(arr.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")), Seq("da"))
+      .join(arr.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        expr("graft_intersect_count(ha, hb)").as("i"))
       .filter(lit(8) * col("i") >= lit(3) * (col("na") + col("nb")))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         floorRound(col("i").cast("double") /

@@ -185,3 +185,74 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)
 }
+
+/** Native distinct-intersection count of two SORTED long arrays (the
+  * hashed-shingle layout [[JaccardSim]]'s sorted form consumes) — for the
+  * exact-τ-join verifiers (ppjoin) that need the raw intersection COUNT
+  * to run integer threshold arithmetic (8i ≥ 3(na+nb)) rather than a
+  * float similarity. Same linear merge with inline dedup; returns LONG.
+  * Either side empty → 0.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_intersect_count expects sorted (array<bigint>, array<bigint>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var ia = 0; var ib = 0; var inter = 0L
+    while (ia < na && ib < nb) {
+      val va = a.getLong(ia); val vb = b.getLong(ib)
+      if (va == vb) {
+        inter += 1L
+        while (ia < na && a.getLong(ia) == va) ia += 1
+        while (ib < nb && b.getLong(ib) == vb) ib += 1
+      } else if (va < vb) ia += 1
+      else ib += 1
+    }
+    java.lang.Long.valueOf(inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ia = ctx.freshName("ia")
+      val ib = ctx.freshName("ib")
+      val inter = ctx.freshName("inter")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $ia = 0, $ib = 0;
+         |long $inter = 0L;
+         |while ($ia < $na && $ib < $nb) {
+         |  final long $va = $a.getLong($ia);
+         |  final long $vb = $b.getLong($ib);
+         |  if ($va == $vb) {
+         |    $inter++;
+         |    while ($ia < $na && $a.getLong($ia) == $va) { $ia++; }
+         |    while ($ib < $nb && $b.getLong($ib) == $vb) { $ib++; }
+         |  } else if ($va < $vb) { $ia++; } else { $ib++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+    copy(left = l, right = r)
+}

@@ -136,6 +136,9 @@ object GraftFunctions {
       exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }),
     ("graft_jaccard", "graft_jaccard(a, b) - exact Jaccard of distinct-element string arrays",
       exprs => { arity("graft_jaccard", exprs, 2); JaccardSim(exprs.head, exprs(1)) }),
+    ("graft_intersect_count", "graft_intersect_count(a, b) - distinct-intersection count of sorted long arrays",
+      exprs => { arity("graft_intersect_count", exprs, 2)
+        IntersectCount(exprs.head, exprs(1)) }),
     ("graft_cms_est", "graft_cms_est(sketch, item) - Count-Min sketch count estimate for a string item",
       exprs => { arity("graft_cms_est", exprs, 2); CmsEstimate(exprs.head, exprs(1)) }),
     ("graft_pq_encode", "graft_pq_encode(v, cbflat) - PQ [pq_code, mse_units] for a 64-dim vector vs a flat 8x16x8 codebook",

@@ -253,6 +253,44 @@ class NativeExprSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_jaccard")), plan)
   }
 
+  test("graft_jaccard sorted-long form and graft_intersect_count match the string-set arithmetic") {
+    import org.apache.spark.sql.functions._
+    // the same fixtures as the string test, hashed+sorted: the sorted-long
+    // merge must agree with the string-set jaccard, and the intersect
+    // count with array_intersect — including dup values inside one array
+    // (the intra-doc hash-collision shape the merge dedups inline)
+    val rows = (0 until 200).map { i =>
+      val a = (0 until (i % 17)).map(k => ((i * 7 + k * 3) % 40).toLong).distinct.sorted
+      val b = (0 until (i % 13)).map(k => ((i * 5 + k * 11) % 40).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(3L), Seq.empty[Long])) :+
+      ((Seq(1L, 1L, 2L, 5L, 5L), Seq(1L, 5L, 5L, 9L))) // dup-value arrays
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val got = df.select(
+      expr("graft_jaccard(a, b)").as("native"),
+      expr("graft_intersect_count(a, b)").as("icount"),
+      expr("""CASE WHEN size(array_distinct(a)) + size(array_distinct(b))
+                        - size(array_intersect(a, b)) > 0
+                THEN CAST(size(array_intersect(a, b)) AS DOUBLE)
+                     / (size(array_distinct(a)) + size(array_distinct(b))
+                        - size(array_intersect(a, b)))
+                ELSE 0.0 END""").as("sqlj"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("sqli"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.toString)
+      assert(r.getLong(1) === r.getLong(3), r.toString)
+    }
+    // both long forms must stay inside whole-stage codegen too
+    val df2 = df.repartition(2).select(
+      expr("graft_jaccard(a, b)"), expr("graft_intersect_count(a, b)"))
+    df2.collect()
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") &&
+      l.contains("graft_intersect_count")), plan)
+  }
+
   test("shingles/simhash/minhash stay inside whole-stage codegen (no fallback split)") {
     import org.apache.spark.sql.functions._
     // a CodegenFallback on any of these would split the stage and cost
