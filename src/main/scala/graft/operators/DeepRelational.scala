@@ -268,22 +268,33 @@ object DeepRelational {
     // non-materialized CTEs on every recursive step, which turned the
     // token self-join into a per-iteration cost.
     //
-    // The recursive member strides TWO hops per iteration over a
-    // precomputed two-hop edge table (pairs of consecutive edges), and a
-    // final one-hop expansion fills in the odd depths — the result set is
-    // identical to the naive one-hop walk (the unchanged oracle
-    // hash-proves it) but iteration count halves. Each recursion step is
-    // driver-overhead-bound (the worktable is tiny), so at any corpus
-    // scale step count, not per-step data, is the cost to cut.
+    // The recursive member strides FOUR hops per iteration (r11; two
+    // until then) over a precomputed four-hop edge table, and one-shot
+    // 1/2/3-hop expansions fill the other depth residues — the result
+    // set is identical to the naive one-hop walk (the unchanged oracle
+    // hash-proves it) but iteration count quarters (longest chain at
+    // sf0.1 is 27 edges: 27 driver rounds naive, 7 here). Each recursion
+    // step is driver-overhead-bound (the worktable is tiny), so at any
+    // corpus scale step count, not per-step data, is the cost to cut;
+    // the residue tables are three cheap self-joins paid once.
     "q_recursive_cte" -> ((s, d) => {
       val e = DedupQueries.adjacentJaccard(s, d).filter(col("jaccard") >= 0.5)
         .select(col("doc_a")).localCheckpoint(true)
       e.createOrReplaceTempView("graft_rc_edge")
-      e.as("e1").join(e.as("e2"), col("e2.doc_a") === col("e1.doc_a") + 1)
-        .select(col("e1.doc_a")).localCheckpoint(true)
-        .createOrReplaceTempView("graft_rc_edge2")
-      // the even-depth walk is referenced twice below (identity + one-hop
-      // expansion); checkpoint it so the recursion executes ONCE
+      // k-hop tables: doc has edges doc .. doc+k-1 (contiguous runs, so
+      // e_k = e_{k/2} stitched with itself shifted k/2; e3 = e2 + e)
+      val e2 = e.as("a").join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 1)
+        .select(col("a.doc_a")).localCheckpoint(true)
+      e2.createOrReplaceTempView("graft_rc_edge2")
+      e2.as("a").join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
+        .select(col("a.doc_a")).localCheckpoint(true)
+        .createOrReplaceTempView("graft_rc_edge3")
+      e2.as("a").join(e2.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
+        .select(col("a.doc_a")).localCheckpoint(true)
+        .createOrReplaceTempView("graft_rc_edge4")
+      // the stride-4 walk is referenced four times below (identity +
+      // three residue expansions); checkpoint it so the recursion
+      // executes ONCE
       s.sql(
         """WITH RECURSIVE
              roots AS (
@@ -293,8 +304,8 @@ object DeepRelational {
              walk(root, doc_id, depth) AS (
                SELECT doc_id, doc_id, 0 FROM roots
                UNION ALL
-               SELECT w.root, w.doc_id + 2, w.depth + 2
-               FROM walk w JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id)
+               SELECT w.root, w.doc_id + 4, w.depth + 4
+               FROM walk w JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id)
            SELECT root, doc_id, depth FROM walk""")
         .localCheckpoint(true)
         .createOrReplaceTempView("graft_rc_walk")
@@ -303,6 +314,12 @@ object DeepRelational {
            UNION ALL
            SELECT w.root, w.doc_id + 1, CAST(w.depth + 1 AS BIGINT) AS depth
            FROM graft_rc_walk w JOIN graft_rc_edge e ON e.doc_a = w.doc_id
+           UNION ALL
+           SELECT w.root, w.doc_id + 2, CAST(w.depth + 2 AS BIGINT) AS depth
+           FROM graft_rc_walk w JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id
+           UNION ALL
+           SELECT w.root, w.doc_id + 3, CAST(w.depth + 3 AS BIGINT) AS depth
+           FROM graft_rc_walk w JOIN graft_rc_edge3 e3 ON e3.doc_a = w.doc_id
            ORDER BY root, doc_id""")
     }),
 
