@@ -120,6 +120,147 @@ class ServiceShellSpec extends SparkSpec {
     }
   }
 
+  test("service shell: displaced consumer's socket closes; its EOF cannot kill the replacement") {
+    // ADVICE r10 regression spec: a second consumer for the same stream
+    // wins last-connect-wins fencing — the shell must (a) close the
+    // DISPLACED socket so that client observes the takeover instead of
+    // hanging on a dead query, and (b) scope the loser's teardown to its
+    // OWN query, so the stale socket's EOF path cannot stop the
+    // replacement's live query.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-fence"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      def mkListener(rec: LinkedBlockingQueue[String],
+                     closed: CompletableFuture[Integer]) = new WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { rec.add(sb.toString); sb.setLength(0) }
+          ws.request(1)
+          null
+        }
+        override def onClose(ws: WebSocket, statusCode: Int,
+                             reason: String): java.util.concurrent.CompletionStage[_] = {
+          closed.complete(statusCode); null
+        }
+        override def onError(ws: WebSocket, error: Throwable): Unit = {
+          closed.complete(-1); ()
+        }
+      }
+      val rec1 = new LinkedBlockingQueue[String]()
+      val closed1 = new CompletableFuture[Integer]()
+      val ws1 = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), mkListener(rec1, closed1)).join()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (coord.activeQuery("rk-fence").isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val q1 = coord.activeQuery("rk-fence").getOrElse(
+        fail("first consumer did not attach"))
+
+      // second consumer to the SAME stream displaces the first
+      val rec2 = new LinkedBlockingQueue[String]()
+      val closed2 = new CompletableFuture[Integer]()
+      val ws2 = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), mkListener(rec2, closed2)).join()
+      try {
+        // (a) the displaced socket is closed by the shell
+        assert(closed1.get(30, TimeUnit.SECONDS) !== null,
+          "displaced consumer's socket was not closed on takeover")
+        // the replacement holds the key with a DIFFERENT query
+        val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while ((coord.activeQuery("rk-fence").isEmpty ||
+                coord.activeQuery("rk-fence").exists(_.name == q1.name)) &&
+               System.nanoTime() < d2)
+          Thread.sleep(50)
+        val q2 = coord.activeQuery("rk-fence").getOrElse(
+          fail("replacement consumer did not attach"))
+        assert(q2.name !== q1.name)
+        // (b) give the stale socket's teardown path time to run its
+        // scoped release — the replacement must survive it and deliver
+        Thread.sleep(500)
+        assert(coord.activeQuery("rk-fence").exists(_.name == q2.name),
+          "stale consumer's EOF killed the replacement's query")
+        stream.addData(Msg("""{"message_type": "after-takeover"}""", 1, 100L))
+        q2.processAllAvailable()
+        val got = rec2.poll(30, TimeUnit.SECONDS)
+        assert(got != null && got.contains("after-takeover"),
+          s"replacement did not receive after takeover: $got")
+        assert(rec1.isEmpty, "displaced consumer must not receive post-takeover data")
+      } finally {
+        try ws2.abort() catch { case _: Exception => }
+        try ws1.abort() catch { case _: Exception => }
+      }
+    } finally {
+      shell.stop()
+      coord.release("rk-fence")
+    }
+  }
+
+  test("service shell: oversized client frame gets a 1009 close, not an allocation") {
+    // drive the RFC 6455 parser directly with a raw socket: a crafted
+    // header claiming a 2^31 payload must produce a 1009
+    // (message-too-big) close frame and a dropped connection — never a
+    // NegativeArraySizeException-sized allocation (ADVICE r10)
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    try {
+      val rec = registry.create("rk-big")
+      val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+      try {
+        sock.setSoTimeout(30000)
+        val out = sock.getOutputStream
+        val in = sock.getInputStream
+        out.write((s"GET /event-stream/${rec.uuid} HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+          "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+        out.flush()
+        // read through the 101 response's blank line (exactly to the
+        // CRLFCRLF, never a byte past it — the next bytes are the close
+        // frame and only arrive after we send the oversized header)
+        var tail = 0
+        var done = false
+        while (!done) {
+          val c = in.read()
+          assert(c >= 0, "EOF during handshake")
+          tail = ((tail << 8) | c) & 0xFFFFFFFF
+          if (tail == 0x0D0A0D0A) done = true
+        }
+        // binary frame header: FIN+binary, MASK bit + 127 (64-bit len),
+        // length 2^31, mask 0 — no payload follows
+        out.write(Array[Byte](0x82.toByte, 0xFF.toByte,
+          0, 0, 0, 0, 0x80.toByte, 0, 0, 0, 0, 0, 0, 0))
+        out.flush()
+        // expect the close frame 0x88 0x02 0x03 0xF1 (status 1009)
+        val h1 = in.read()
+        val h2 = in.read(); val s1 = in.read(); val s2 = in.read()
+        assert(h1 === 0x88, f"expected close opcode, got 0x$h1%02x")
+        assert(h2 === 0x02 && ((s1 << 8) | s2) === 1009,
+          f"expected 1009 close, got len=$h2 status=${(s1 << 8) | s2}")
+        assert(in.read() === -1, "server must drop the connection after 1009")
+      } finally sock.close()
+    } finally {
+      shell.stop()
+      coord.release("rk-big")
+    }
+  }
+
   test("service shell: wss data plane over TLS loopback") {
     // Self-signed server cert via the JDK's own keytool (no new
     // dependency; cert generation is not a JDK public API). The client
