@@ -171,6 +171,52 @@ object WarehouseQueries {
       .orderBy("custkey", "seq")
   }
 
+  /** CDC MERGE-apply (r_cdc_merge): collapse the event log into the final
+    * per-user snapshot a warehouse MERGE would produce — the missing
+    * sibling of q_scd2_orders (which keeps history; this keeps the
+    * endstate). The log's own ordinal is the application order (the
+    * reference's core guarantee: delivery in stream-offset order,
+    * reference/app/app.py:404-409), and event types map onto CDC ops:
+    * `signup` = INSERT/upsert, `error` = DELETE (full tombstone),
+    * `click`/`view`/`purchase` = UPDATE. MERGE semantics, folded exactly:
+    * a tombstone wipes everything before it (only events after the LAST
+    * delete can contribute), updates against a non-existent key are
+    * no-ops (only events at/after the first post-tombstone insert apply),
+    * and a user with no live insert is absent from the snapshot.
+    *
+    * Purchase value is lifted to integer units (floor(value·10⁴)) BEFORE
+    * the sum, so the per-user totals are exact long arithmetic in any
+    * aggregation order.
+    *
+    * Scale: the fold is NOT an ordered per-key iteration — both cut
+    * points (last tombstone, first live insert) are plain conditional
+    * MIN/MAX window aggregates over the user partition, so the whole
+    * query is ONE user_id exchange: two whole-partition Window passes and
+    * the final groupBy all reuse the same hash partitioning. At 100 TB
+    * this is the standard log-compaction shape; the streaming twin is the
+    * batch-partitioned state pattern of startIncrementalDedup.
+    */
+  def cdcMergeApply(eventsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    eventsDf.select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("last_del",
+        max(when(col("event_type") === "error", col("event_id"))).over(w))
+      .filter(col("last_del").isNull || col("event_id") > col("last_del"))
+      .withColumn("live_since",
+        min(when(col("event_type") === "signup", col("event_id"))).over(w))
+      .filter(col("live_since").isNotNull && col("event_id") >= col("live_since"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("live_since")).as("live_since"),
+        max(col("event_id")).as("last_event_id"),
+        sum(when(col("event_type").isin("click", "view", "purchase"), 1L)
+          .otherwise(0L)).as("n_updates"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 10000).cast("long")).otherwise(0L))
+          .as("purchase_units"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R7/R12-adjacent — robust (median/MAD) outlier monitoring: the
     // heavy-tail-safe twin of r_zscore_outliers. Stats frame broadcast;
@@ -189,7 +235,12 @@ object WarehouseQueries {
 
     // R6/R17-adjacent — SCD type-2 history build over order status:
     // run-collapse via fused windows, custkey-partitioned end to end.
-    "q_scd2_orders" -> ((s, d) => scd2(Tables.orders(s, d)))
+    "q_scd2_orders" -> ((s, d) => scd2(Tables.orders(s, d))),
+
+    // R6-adjacent — CDC MERGE-apply: event log → final per-user snapshot
+    // in log-ordinal order (insert/update/delete fold as conditional
+    // window cuts); one user_id exchange end to end, integer-unit sums.
+    "r_cdc_merge" -> ((s, d) => cdcMergeApply(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -291,6 +342,31 @@ object WarehouseQueries {
                 n_orders,
                 CASE WHEN lead(valid_from) OVER (PARTITION BY custkey ORDER BY run) IS NULL
                      THEN 1 ELSE 0 END AS is_current
-         FROM seg ORDER BY custkey, seq"""
+         FROM seg ORDER BY custkey, seq""",
+    // WHERE is evaluated before window functions in the same SELECT, so
+    // the live_since window in `alive` sees only post-tombstone rows —
+    // the same order the Spark side's filter-then-window enforces.
+    "r_cdc_merge" ->
+      """WITH cut AS (
+           SELECT user_id, event_id, event_type, value,
+                  max(CASE WHEN event_type = 'error' THEN event_id END)
+                    OVER (PARTITION BY user_id) AS last_del
+           FROM events),
+         alive AS (
+           SELECT *, min(CASE WHEN event_type = 'signup' THEN event_id END)
+                       OVER (PARTITION BY user_id) AS live_since
+           FROM cut
+           WHERE last_del IS NULL OR event_id > last_del),
+         app AS (
+           SELECT * FROM alive
+           WHERE live_since IS NOT NULL AND event_id >= live_since)
+         SELECT user_id, min(live_since) AS live_since,
+                max(event_id) AS last_event_id,
+                CAST(sum(CASE WHEN event_type IN ('click', 'view', 'purchase')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(floor(value * 10000) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS purchase_units
+         FROM app GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -263,6 +263,17 @@ class PlanSpec extends SparkSpec {
       s"prefix strings shuffle:\n$e"))
   }
 
+  test("r_cdc_merge: one user_id exchange feeds both window cuts and the final fold") {
+    // the MERGE fold's scale claim: tombstone cut, live-insert cut, and the
+    // snapshot groupBy all reuse ONE user_id hash partitioning — a second
+    // keyed exchange means a window or aggregate stopped aligning with it
+    val p = plan("r_cdc_merge")
+    val keyed = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size === 1, s"expected exactly one keyed exchange:\n${keyed.mkString("\n")}")
+    assert(keyed.head.contains("user_id"), keyed.head)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sketch aggregates combine map-side: partial CMS / GK before the exchange") {
     // the scale claim for every sketch is that the shuffle carries
     // fixed-size summaries, not rows — which requires the PARTIAL

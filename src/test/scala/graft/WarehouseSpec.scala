@@ -103,4 +103,32 @@ class WarehouseSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("seq"), r.getAs[String]("status")))
     assert(got.toSeq === Seq((1, "F"), (2, "O")))
   }
+
+  test("r_cdc_merge core: MERGE fold — tombstone wipes, re-insert revives, orphan updates are no-ops") {
+    val ev = Seq(
+      // user 1: inserted, updated, then deleted; the post-delete click has
+      // no insert after it ⇒ absent from the snapshot
+      (1L, 1L, "signup", 0.0), (1L, 2L, "click", 0.0),
+      (1L, 3L, "purchase", 10.5), (1L, 4L, "error", 0.0), (1L, 5L, "click", 0.0),
+      // user 2: full lifecycle then revival — only events from the
+      // re-insert (14) on contribute
+      (2L, 10L, "signup", 0.0), (2L, 11L, "purchase", 2.0), (2L, 12L, "error", 0.0),
+      (2L, 13L, "click", 0.0), (2L, 14L, "signup", 0.0), (2L, 15L, "view", 0.0),
+      (2L, 16L, "purchase", 1.5),
+      // user 3: updates with no insert ever ⇒ absent
+      (3L, 20L, "click", 0.0), (3L, 21L, "view", 0.0),
+      // user 4: bare insert ⇒ present, no updates
+      (4L, 30L, "signup", 0.0),
+      // user 5: delete before any insert, then insert+update ⇒ live
+      (5L, 40L, "error", 0.0), (5L, 41L, "signup", 0.0), (5L, 42L, "click", 0.0)
+    ).toDF("user_id", "event_id", "event_type", "value")
+    val got = WarehouseQueries.cdcMergeApply(ev).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("live_since"),
+        r.getAs[Long]("last_event_id"), r.getAs[Long]("n_updates"),
+        r.getAs[Long]("purchase_units")))
+    assert(got.toSeq === Seq(
+      (2L, 14L, 16L, 2L, 15000L),
+      (4L, 30L, 30L, 0L, 0L),
+      (5L, 41L, 42L, 1L, 0L)))
+  }
 }
