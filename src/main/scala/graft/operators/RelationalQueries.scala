@@ -117,6 +117,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), floorRound(sum(col("value")), 2).as("total_value"))
         .orderBy("hour_ms")),
 
+    // R13 — event-time HOPPING window (1 hour wide, 30-minute slide): the
+    // third window shape next to tumbling (q_hourly_window) and session
+    // (q_sessionize) — each event lands in width/slide = 2 overlapping
+    // windows, the smoothing shape monitoring dashboards use. Spark's
+    // window() aligns starts to the slide grid from the epoch; the oracle
+    // replays that alignment arithmetically (start_k = (t div s - k)·s,
+    // k < w/s — when w is a multiple of s every event is in exactly w/s
+    // windows, no boundary filter needed). Scale: the window expansion is
+    // a per-row flatMap (×2 rows) BEFORE one keyed aggregate that
+    // partial-aggregates map-side — the same single-exchange shape as the
+    // tumbling query, just double the input to the combine.
+    "q_hopping_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), floorRound(sum(col("value")), 2).as("total_value"))
+        .select(unix_millis(col("window.start")).as("win_ms"), col("n"), col("total_value"))
+        .orderBy("win_ms")),
+
     // R14 — session windows per user (30-minute inactivity gap), the batch
     // gaps-and-islands formulation; streaming twin is session_window() in
     // graft.streaming. One shuffle on user_id; windows run per key.
@@ -208,6 +226,13 @@ object RelationalQueries {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
                 CAST(count(*) AS BIGINT) AS n, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
+    "q_hopping_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS tms, value FROM events),
+         x AS (SELECT ((tms // 1800000) - h.k) * 1800000 AS win_ms, value
+               FROM e, unnest(generate_series(0, 1)) AS h(k))
+         SELECT win_ms, CAST(count(*) AS BIGINT) AS n,
+                floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+         FROM x GROUP BY win_ms ORDER BY win_ms""",
     "q_sessionize" ->
       """WITH t AS (
            SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),

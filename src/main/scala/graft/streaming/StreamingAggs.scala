@@ -15,11 +15,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAggs {
 
-  /** R13 streaming — tumbling event-time window counts with bounded state. */
+  /** R13 streaming — event-time window counts with bounded state. Tumbling
+    * by default; pass `slide` < window for HOPPING windows (each event
+    * lands in window/slide overlapping windows — state grows by that
+    * factor, still bounded by the watermark horizon, and each window
+    * still finalizes exactly once when the watermark passes its end).
+    */
   def windowedCounts(df: DataFrame, tsCol: String, window_ : String,
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes",
+                     slide: Option[String] = None): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), window_), col("routing_key"))
+      .groupBy(window(col(tsCol), window_, slide.getOrElse(window_)), col("routing_key"))
       .agg(count(lit(1)).as("n"))
 
   /** R14 streaming — session windows per key (inactivity gap). */

@@ -48,6 +48,31 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("R13 streaming: hopping windows — each event counted in window/slide overlapping windows") {
+    val stream = MemoryStream[Ev](spark)
+    val out = StreamingAggs.windowedCounts(
+      stream.toDF(), "ts", "10 minutes", watermark = "5 minutes",
+      slide = Some("5 minutes"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hop_out").start()
+    try {
+      stream.addData(Ev("rk", 1, t(1)), Ev("rk", 2, t(4)), Ev("rk", 3, t(12)))
+      q.processAllAvailable()
+      stream.addData(Ev("rk", 4, t(40))) // advance watermark past all hops
+      q.processAllAvailable()
+      val rows = spark.table("hop_out")
+        .select(col("window.start").cast("string"), col("n")).as[(String, Long)]
+        .collect().sortBy(_._1)
+      // 10:01 and 10:04 land in [09:55,10:05) and [10:00,10:10);
+      // 10:12 lands in [10:05,10:15) and [10:10,10:20)
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 09:55:00", 2L),
+        ("2024-01-01 10:00:00", 2L),
+        ("2024-01-01 10:05:00", 1L),
+        ("2024-01-01 10:10:00", 1L)))
+    } finally q.stop()
+  }
+
   test("R17 streaming: dropDuplicatesWithinWatermark drops re-delivered ordinals") {
     val stream = MemoryStream[Ev](spark)
     val out = StreamingAggs.dedupWithinWatermark(stream.toDF(), "ts", "10 minutes")
