@@ -178,4 +178,42 @@ class PropertySpec extends SparkSpec {
       .selectExpr("graft_pq_adc(pq_code, lut)").collect()
     assert(bad.forall(_.isNullAt(0)))
   }
+
+  test("R6 ∀ event logs: cdcMergeApply == a literal per-user MERGE fold") {
+    // The window-cut formulation (last-tombstone / first-live-insert) is an
+    // algebraic shortcut; the ground truth is the sequential CDC fold a
+    // MERGE engine runs. Generate random per-user op logs and replay both.
+    val opGen = Gen.frequency(
+      3 -> Gen.const("signup"), 2 -> Gen.const("error"),
+      3 -> Gen.const("click"), 2 -> Gen.const("view"), 3 -> Gen.const("purchase"))
+    val logGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 4L), opGen,
+      Gen.chooseNum(0, 9999).map(_ / 100.0)))
+    samples(logGen, 12).foreach { raw =>
+      // unique, order-defining event ids
+      val log = raw.zipWithIndex.map { case ((u, op, v), i) => (u, i + 1L, op, v) }
+      // ground truth: sequential fold per user
+      case class St(liveSince: Long, lastId: Long, nUpd: Long, units: Long)
+      val truth = log.groupBy(_._1).flatMap { case (u, evs) =>
+        var st: Option[St] = None
+        evs.sortBy(_._2).foreach { case (_, id, op, v) =>
+          op match {
+            case "error" => st = None
+            case "signup" => st = st match {
+              case Some(s) => Some(s.copy(lastId = id)) // upsert on existing
+              case None => Some(St(id, id, 0L, 0L))
+            }
+            case upd => st = st.map { s =>
+              s.copy(lastId = id, nUpd = s.nUpd + 1,
+                units = s.units + (if (upd == "purchase") math.floor(v * 10000).toLong else 0L))
+            } // no-op when absent
+          }
+        }
+        st.map(s => (u, s.liveSince, s.lastId, s.nUpd, s.units))
+      }.toSet
+      val got = graft.operators.WarehouseQueries.cdcMergeApply(
+          log.toDF("user_id", "event_id", "event_type", "value"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === truth, s"log=$log")
+    }
+  }
 }
