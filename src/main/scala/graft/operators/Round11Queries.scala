@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParityMath.floorRound
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 third-session additions (SURVEY.md §2): four pipeline shapes the
+  * inventory did not yet cover —
+  *
+  *   - `t_classifier_score`: a hashed-feature linear quality classifier
+  *     (the fastText-style "model-based quality filter" every modern
+  *     pre-training pipeline runs after the heuristic gates; the reference's
+  *     per-message dispatch loop `app/app.py:463-494` is the closest analog
+  *     of a per-record scoring pass).
+  *   - `q_approx_groupby_ci`: sampled GROUP BY with a Horvitz–Thompson
+  *     estimate and a 95% confidence half-width — the approximate-
+  *     aggregation shape (BlinkDB-style) that answers "roughly how big is
+  *     each group" by reading a fixed fraction of a 100 TB table.
+  *   - `q_entity_resolution`: blocked fuzzy entity matching — exact-dedup to
+  *     a vocabulary-sized entity table, block on a cheap key, pair-join only
+  *     within blocks, edit-distance verify. The canonical ER shape (the
+  *     all-pairs join it avoids is quadratic in the corpus).
+  *   - `r_resample_gapfill`: per-key calendar resampling — generate the full
+  *     day grid per key, left-join observed daily aggregates, LOCF-fill the
+  *     gaps (the time-series feature-table normalization step; extends
+  *     `q_ignore_nulls`, which fills only over EXISTING rows, with grid
+  *     generation for MISSING ones).
+  *
+  * All four are built from codegen'd built-ins; every shuffle is keyed on a
+  * group/block column whose cardinality is bounded (6 agg groups, noun-count
+  * blocks, user×day grid), never on the corpus itself.
+  */
+object Round11Queries {
+
+  /** Per-token hashed-feature weight in integer "milli-units": bucket =
+    * first 16 bits of md5(token), weight = LCG(bucket) mapped to
+    * [-1024, 1024). Integer end-to-end so the corpus sum is exact
+    * cross-engine; the only float op is the final normalized score.
+    * Mirrors the mechanics of a hashed linear classifier (fastText's
+    * hashing-trick bag-of-features with a fixed weight table) with a
+    * deterministic weight function standing in for trained weights —
+    * swapping in a broadcast weight array keeps the identical plan shape.
+    */
+  private val tokenWeightUnits =
+    """(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT)
+        * 1103515245 + 12345) % 2048 - 1024"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R20 — model-based quality filter: score = mean hashed-feature weight
+    // over the token bag, kept = positive score. One scan, zero shuffles
+    // before the per-row project; the whole scoring expression lives inside
+    // whole-stage codegen (aggregate over split — no explode, so a 100 TB
+    // corpus pays one pass and no token-level exchange).
+    "t_classifier_score" -> ((s, d) => {
+      val units = expr(
+        s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+      val nTok = size(split(col("text"), " ")).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), units.as("score_units"))
+        .withColumn("score",
+          floorRound(col("score_units").cast("double") /
+            (col("n_tokens").cast("double") * lit(1024.0)), 4))
+        .withColumn("kept", col("score_units") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // R7 — approximate GROUP BY with error bars: a deterministic 10%
+    // Bernoulli sample (LCG on the line's unique key — reproducible across
+    // engines AND across runs, the property a production sampled-agg needs
+    // for incremental refresh), Horvitz–Thompson estimate est = sum/p, and
+    // the Bernoulli-design 95% half-width 1.96·sqrt(Σx²·(1-p))/p. The exact
+    // column is the AUDIT (same as v_ivf_train_gain's one-row audit): at
+    // 100 TB only the sample branch runs — against a 10%-sample table or a
+    // storage-pushed sample — reading a tenth of the data; here both
+    // branches fold into ONE conditional aggregation pass (6 groups, exact
+    // integer sums, map-side partial agg).
+    "q_approx_groupby_ci" -> ((s, d) => {
+      val rk = col("l_orderkey") * lit(16L) + col("l_linenumber").cast("long")
+      val sampled = (rk * lit(1103515245L) + lit(12345L)) % lit(2147483648L) <
+        lit(214748365L)
+      val q = col("l_quantity")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(when(sampled, lit(1L)).otherwise(lit(0L))).as("n_sampled"),
+          (sum(when(sampled, q).otherwise(lit(0.0))).cast("long") * lit(10L))
+            .as("est_sum_qty"),
+          sum(when(sampled, q * q).otherwise(lit(0.0))).cast("long").as("sum_x2"),
+          sum(q).cast("long").as("exact_sum_qty"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"), col("n_sampled"),
+          col("est_sum_qty"),
+          floorRound(lit(19.6) * sqrt(col("sum_x2").cast("double") * lit(0.9)), 2)
+            .as("ci_half"),
+          col("exact_sum_qty"),
+          (abs(col("est_sum_qty") - col("exact_sum_qty")).cast("double") <=
+            floorRound(lit(19.6) * sqrt(col("sum_x2").cast("double") * lit(0.9)), 2))
+            .as("covered"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // R18/R4 — blocked entity resolution over part names: exact-dedup the
+    // corpus to its distinct-name entity table FIRST (vocabulary-sized by
+    // Heaps' law — the corpus-sized work is one hash agg carrying support
+    // counts), then block on the head noun and pair-join only within
+    // blocks. The pair join touches C(names-per-block, 2) per block — never
+    // the corpus — and the edit-distance verify is a codegen'd built-in.
+    // Match rule: normalized Levenshtein similarity ≥ 0.55; merged_key is
+    // the union-find-style canonical (min partkey) the merge step would
+    // propagate.
+    "q_entity_resolution" -> ((s, d) => {
+      val ents = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(count(lit(1)).as("support"), min(col("p_partkey")).as("canon_key"))
+        .withColumn("block", regexp_extract(col("p_name"), "[^ ]+$", 0))
+      val a = ents.as("a"); val b = ents.as("b")
+      a.join(b,
+          col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+        .select(
+          col("a.block").as("block"),
+          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          (col("a.support") + col("b.support")).as("pair_support"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"),
+          least(col("a.canon_key"), col("b.canon_key")).as("merged_key"))
+        .withColumn("sim", floorRound(lit(1.0) -
+          col("edit_dist").cast("double") /
+            greatest(length(col("name_a")), length(col("name_b"))).cast("double"), 4))
+        .withColumn("is_match", col("sim") >= 0.55)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // R13 — calendar resample + LOCF gap fill: build the complete per-user
+    // day grid (bounds from a one-row broadcast agg — the scalar-subquery
+    // pattern), left-join the observed daily aggregate, and carry the last
+    // observation forward over the grid. Grid size = keys × days (a
+    // metadata-scale frame, NOT corpus-scale); the corpus pays one
+    // grouped-agg pass. The LOCF window scans per-user day rows — bounded
+    // by the calendar, so no single-partition risk at any corpus size.
+    "r_resample_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+                          to_date(max(col("ts"))).as("d1"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(floorRound(avg(col("value")), 4).as("day_avg"),
+             count(lit(1)).as("n_events"))
+      val locf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("day_avg"),
+          last(col("day_avg"), ignoreNulls = true).over(locf).as("filled"),
+          col("day_avg").isNull.as("was_gap"))
+        .orderBy("user_id", "day")
+    })
+  )
+
+  private val bucketSql =
+    """CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
+            (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
+            (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT)"""
+
+  val oracles: Map[String, String] = Map(
+    "t_classifier_score" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          u AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(($bucketSql * 1103515245 + 12345) % 2048 - 1024)
+                        AS BIGINT) AS score_units
+            FROM tok GROUP BY doc_id)
+          SELECT doc_id, n_tokens, score_units,
+                 floor(CAST(score_units AS DOUBLE)
+                       / (CAST(n_tokens AS DOUBLE) * 1024.0) * 10000 + 0.5)
+                   / 10000 AS score,
+                 score_units > 0 AS kept
+          FROM u ORDER BY doc_id""",
+
+    "q_approx_groupby_ci" ->
+      """WITH base AS (
+           SELECT l_returnflag, l_linestatus, l_quantity,
+                  ((l_orderkey * 16 + l_linenumber) * 1103515245 + 12345)
+                    % 2147483648 < 214748365 AS s
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                  CAST(CAST(sum(CASE WHEN s THEN l_quantity ELSE 0.0 END) AS BIGINT)
+                       * 10 AS BIGINT) AS est_sum_qty,
+                  CAST(sum(CASE WHEN s THEN l_quantity * l_quantity ELSE 0.0 END)
+                       AS BIGINT) AS sum_x2,
+                  CAST(sum(l_quantity) AS BIGINT) AS exact_sum_qty
+           FROM base GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, n_sampled, est_sum_qty,
+                floor(19.6 * sqrt(CAST(sum_x2 AS DOUBLE) * 0.9) * 100 + 0.5) / 100
+                  AS ci_half,
+                exact_sum_qty,
+                CAST(abs(est_sum_qty - exact_sum_qty) AS DOUBLE) <=
+                  floor(19.6 * sqrt(CAST(sum_x2 AS DOUBLE) * 0.9) * 100 + 0.5) / 100
+                  AS covered
+         FROM g ORDER BY l_returnflag, l_linestatus""",
+
+    "q_entity_resolution" ->
+      """WITH ents AS (
+           SELECT p_name, CAST(count(*) AS BIGINT) AS support,
+                  min(p_partkey) AS canon_key,
+                  regexp_extract(p_name, '[^ ]+$') AS block
+           FROM part GROUP BY p_name),
+         pairs AS (
+           SELECT a.block AS block, a.p_name AS name_a, b.p_name AS name_b,
+                  a.support + b.support AS pair_support,
+                  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+                  least(a.canon_key, b.canon_key) AS merged_key,
+                  floor((1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                         / CAST(greatest(len(a.p_name), len(b.p_name)) AS DOUBLE))
+                        * 10000 + 0.5) / 10000 AS sim
+           FROM ents a JOIN ents b
+             ON a.block = b.block AND a.p_name < b.p_name)
+         SELECT block, name_a, name_b, pair_support, edit_dist, merged_key,
+                sim, sim >= 0.55 AS is_match
+         FROM pairs ORDER BY name_a, name_b""",
+
+    "r_resample_gapfill" ->
+      """WITH b AS (
+           SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events),
+         u AS (SELECT DISTINCT user_id FROM events),
+         g AS (
+           SELECT user_id,
+                  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS day
+           FROM u, b),
+         dl AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  floor(avg(value) * 10000 + 0.5) / 10000 AS day_avg,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT g.user_id, g.day,
+                coalesce(dl.n_events, 0) AS n_events,
+                dl.day_avg,
+                last_value(dl.day_avg IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+                dl.day_avg IS NULL AS was_gap
+         FROM g LEFT JOIN dl
+           ON dl.user_id = g.user_id AND dl.day = g.day
+         ORDER BY g.user_id, g.day"""
+  )
+}

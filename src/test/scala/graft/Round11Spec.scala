@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Round11Queries
+import org.apache.spark.sql.functions._
+
+/** Round-11 third-session operators: hashed-feature classifier scoring,
+  * sampled GROUP BY with confidence half-widths, blocked entity resolution,
+  * calendar resample + LOCF gap fill.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- t_classifier_score --------------------------------------------
+
+  test("classifier: planted token bag sums to the cross-engine value") {
+    // 'key agg row' = 289 units, independently computed in DuckDB from the
+    // md5-prefix bucket + LCG weight — pins the Spark expression (conv/md5/
+    // aggregate) to the oracle's strpos arithmetic.
+    val df = Seq((1L, "key agg row")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("r11_planted")
+    val units = spark.sql(
+      """SELECT aggregate(split(text, ' '), 0L, (acc, t) -> acc +
+           ((CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT)
+             * 1103515245 + 12345) % 2048 - 1024)) AS u
+         FROM r11_planted""").head().getLong(0)
+    assert(units === 289L)
+  }
+
+  test("t_classifier_score: kept iff positive units; score bounded in [-1,1]") {
+    val out = Round11Queries.defs("t_classifier_score")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val units = r.getAs[Long]("score_units")
+      val score = r.getAs[Double]("score")
+      assert(r.getAs[Boolean]("kept") === (units > 0))
+      assert(score >= -1.0 && score <= 1.0)
+    }
+  }
+
+  // ---- q_approx_groupby_ci -------------------------------------------
+
+  test("q_approx_groupby_ci: deterministic sample, ~10% rate, sane CI") {
+    val a = Round11Queries.defs("q_approx_groupby_ci")(spark, sf).collect()
+    val b = Round11Queries.defs("q_approx_groupby_ci")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq) // reproducible across runs — the HT refresh property
+    val nSampled = a.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    val total = Tables.lineitem(spark, sf).count().toDouble
+    assert(math.abs(nSampled / total - 0.1) < 0.02) // Bernoulli 10% +- noise
+    a.foreach { r =>
+      assert(r.getAs[Double]("ci_half") > 0.0)
+      // estimate is within ~5 half-widths of truth even when not covered —
+      // a gross-error guard (an estimator bug lands orders away)
+      val err = math.abs(r.getAs[Long]("est_sum_qty") - r.getAs[Long]("exact_sum_qty"))
+      assert(err.toDouble <= 5.0 * r.getAs[Double]("ci_half"))
+    }
+  }
+
+  // ---- q_entity_resolution -------------------------------------------
+
+  test("q_entity_resolution: pairs stay within blocks and cover C(n,2)") {
+    val out = Round11Queries.defs("q_entity_resolution")(spark, sf)
+    val pairs = out.collect()
+    assert(pairs.nonEmpty)
+    // block key is the trailing noun of both names
+    pairs.foreach { r =>
+      val blk = r.getAs[String]("block")
+      assert(r.getAs[String]("name_a").endsWith(blk))
+      assert(r.getAs[String]("name_b").endsWith(blk))
+      assert(r.getAs[String]("name_a") < r.getAs[String]("name_b"))
+    }
+    // pair count = sum over blocks of C(names-in-block, 2)
+    val perBlock = Tables.part(spark, sf)
+      .select(regexp_extract(col("p_name"), "[^ ]+$", 0).as("block"), col("p_name"))
+      .distinct().groupBy("block").count().collect()
+      .map(r => r.getAs[Long]("count")).map(n => n * (n - 1) / 2).sum
+    assert(pairs.length.toLong === perBlock)
+  }
+
+  test("q_entity_resolution: planted typo pair matches, distant pair does not") {
+    val fixture = Seq(
+      (1L, "red widget"), (2L, "rose widget"), (3L, "industrial widget"))
+      .toDF("p_partkey", "p_name")
+    // replay the production shape over the fixture
+    val ents = fixture.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("support"), min(col("p_partkey")).as("canon_key"))
+      .withColumn("block", regexp_extract(col("p_name"), "[^ ]+$", 0))
+    val m = ents.as("a").join(ents.as("b"),
+        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        (lit(1.0) - levenshtein(col("a.p_name"), col("b.p_name")).cast("double") /
+          greatest(length(col("a.p_name")), length(col("b.p_name"))).cast("double"))
+          .as("sim"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("red widget", "rose widget")) >= 0.55)       // 2 edits over 11
+    assert(m(("industrial widget", "red widget")) < 0.55)  // far adjective
+  }
+
+  // ---- r_resample_gapfill --------------------------------------------
+
+  test("r_resample_gapfill: complete grid, LOCF semantics, gap flags") {
+    val out = Round11Queries.defs("r_resample_gapfill")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    val days = ev.agg(
+      (datediff(to_date(max(col("ts"))), to_date(min(col("ts")))) + 1).as("n"))
+      .head().getAs[Int]("n").toLong
+    assert(out.length.toLong === users * days) // no missing grid cells
+    // LOCF: walk each user's days in order; filled must equal the running
+    // last non-null day_avg; was_gap iff no events that day
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      var lastSeen: Option[Double] = None
+      rows.sortBy(_.getAs[java.sql.Date]("day").toString).foreach { r =>
+        val avg = Option(r.getAs[java.lang.Double]("day_avg")).map(_.doubleValue)
+        avg.foreach(v => lastSeen = Some(v))
+        val filled = Option(r.getAs[java.lang.Double]("filled")).map(_.doubleValue)
+        assert(filled === lastSeen)
+        assert(r.getAs[Boolean]("was_gap") === avg.isEmpty)
+        assert((r.getAs[Long]("n_events") == 0L) === avg.isEmpty)
+      }
+    }
+  }
+}
