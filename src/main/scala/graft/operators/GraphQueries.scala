@@ -71,6 +71,26 @@ object GraphQueries {
       .localCheckpoint(true)
   }
 
+  /** Key-ordered variant of [[coPurchaseEdges]] for g_kcore: same pair
+    * generation, capped by (a, b) order instead of weight. The top-weight
+    * cap concentrates on hub parts and turns tree-like at larger scale
+    * factors (the sf0.1 2-core under it is EMPTY); the key-ordered cap is a
+    * deterministic slice spread across the graph, cyclic at every tested
+    * SF, so the peel demonstrates a non-trivial fixpoint at bench scale.
+    */
+  def coPurchaseEdgesByKey(lineitemDf: DataFrame, cap: Int = 2000): DataFrame = {
+    val li = lineitemDf.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .select(explode(expr(
+        """filter(flatten(transform(pks, x -> transform(pks, y -> struct(x AS a, y AS b)))),
+                  p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
+      .orderBy(col("a"), col("b"))
+      .limit(cap)
+      .localCheckpoint(true)
+  }
+
   /** Both-direction edge view (src, dst) over a capped (a, b) frame. */
   private def bidirectional(edges: DataFrame): DataFrame =
     edges.select(col("a").as("src"), col("b").as("dst"))
@@ -185,6 +205,53 @@ object GraphQueries {
       .orderBy(col("size").desc, col("label"))
   }
 
+  /** K-core decomposition core (g_kcore): iterative degree peeling — drop
+    * every node with fewer than `k` neighbors inside the surviving set,
+    * repeat up to `rounds` times or until stable (the alive set only
+    * shrinks, so equal counts between rounds = identical sets = the exact
+    * k-core fixpoint; further rounds are no-ops, which is why the early
+    * exit stays bit-equal to the oracle's fixed unroll). The dense-core
+    * extraction step graph-based curation uses to find the
+    * mutually-reinforcing backbone of a similarity graph. Per round: the
+    * node-sized alive frame joins onto the edges twice (broadcast — at a
+    * scale where the node set outgrows broadcast, drop the hint and the
+    * same plan runs as a co-partitioned shuffle join keyed like `e`) and
+    * one src-keyed count; the edge frame itself never re-shuffles. Each
+    * round's alive set is localCheckpoint'd — node-sized, the iterative
+    * lineage-truncation discipline of [[ConnectedComponents.ofEdges]].
+    * Output: surviving nodes with their within-core degree and a
+    * `converged` flag (false = `rounds` exhausted while still peeling —
+    * the result is then a superset of the true k-core, never reported
+    * silently).
+    */
+  def kcore(edges: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+    val e = bidirectional(edges)
+    var alive = e.select(col("src").as("n")).distinct().localCheckpoint(true)
+    var prev = alive.count()
+    var stable = prev == 0L
+    var done = 0
+    while (done < rounds && !stable) {
+      val next = e
+        .join(broadcast(alive.select(col("n").as("src"))), Seq("src"))
+        .join(broadcast(alive.select(col("n").as("dst"))), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("n"))
+        .localCheckpoint(true)
+      val cnt = next.count()
+      stable = cnt == prev
+      prev = cnt
+      alive = next
+      done += 1
+    }
+    e.join(broadcast(alive.select(col("n").as("src"))), Seq("src"))
+      .join(broadcast(alive.select(col("n").as("dst"))), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"),
+        lit(stable).as("converged"))
+      .orderBy("node")
+  }
+
   /** The capped-edge CTE prefix shared by all three oracles. */
   private val edgeCte =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -211,7 +278,13 @@ object GraphQueries {
     // Graph family — connected-component size census via the shared
     // min-label-propagation engine (pointer jumping, O(log path) rounds);
     // ordered by (size desc, label) — a total order, labels unique.
-    "g_components" -> ((s, d) => components(coPurchaseEdges(Tables.lineitem(s, d))))
+    "g_components" -> ((s, d) => components(coPurchaseEdges(Tables.lineitem(s, d)))),
+
+    // Graph family (r11) — 2-core of the co-purchase backbone: iterative
+    // degree peel to the fixpoint (converges in ≤5 rounds here; the
+    // `converged` column is oracled so a non-fixpoint can never pass
+    // silently). The dense-backbone extraction step of graph curation.
+    "g_kcore" -> ((s, d) => kcore(coPurchaseEdgesByKey(Tables.lineitem(s, d))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +340,34 @@ object GraphQueries {
           m AS (SELECT node, min(label) AS root FROM reach GROUP BY node)
           SELECT root AS label, CAST(count(*) AS BIGINT) AS size
           FROM m GROUP BY root
-          ORDER BY size DESC, label"""
+          ORDER BY size DESC, label""",
+    "g_kcore" -> {
+      // a0..a8 unrolled peel, k = 2 — MATERIALIZED is required: each round
+      // references the previous twice, and DuckDB's default CTE inlining
+      // would re-evaluate the whole chain 2^8 times.
+      val peel = (i: Int) =>
+        s"""a$i AS MATERIALIZED (
+              SELECT e.src AS n FROM e
+              JOIN a${i - 1} s ON e.src = s.n
+              JOIN a${i - 1} t ON e.dst = t.n
+              GROUP BY e.src HAVING count(*) >= 2)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                    FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                    GROUP BY x.pk, y.pk),
+          capped AS MATERIALIZED (SELECT a, b FROM pairs ORDER BY a, b LIMIT 2000),
+          e AS MATERIALIZED (SELECT a AS src, b AS dst FROM capped
+                             UNION ALL SELECT b, a FROM capped),
+          a0 AS MATERIALIZED (SELECT DISTINCT src AS n FROM e),
+          ${(1 to 8).map(peel).mkString(",\n")},
+          conv AS (SELECT (SELECT count(*) FROM a8) = (SELECT count(*) FROM a7)
+                     AS converged)
+          SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg,
+                 conv.converged
+          FROM e JOIN a8 s ON e.src = s.n
+                 JOIN a8 t ON e.dst = t.n, conv
+          GROUP BY e.src, conv.converged
+          ORDER BY node"""
+    }
   )
 }

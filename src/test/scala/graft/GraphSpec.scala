@@ -101,4 +101,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(capped.toSeq === Seq((1L, 2L)), "cap must keep the heaviest edge")
   }
+
+  test("g_kcore: planted triangle + pendant chain peels to the triangle") {
+    // 1-2-3 triangle, 3-4-5 pendant chain: the chain peels in two rounds
+    // (5 first, then 4), the triangle survives with within-core degree 2.
+    val out = GraphQueries.kcore(
+        edgesDf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet === Set((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+  }
+
+  test("g_kcore: closure holds on real data — every member has >=2 in-core neighbors") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = GraphQueries.coPurchaseEdgesByKey(Tables.lineitem(spark, sf))
+    val core = GraphQueries.kcore(edges).collect()
+    assert(core.nonEmpty && core.forall(_.getBoolean(2)), "must reach the fixpoint")
+    val members = core.map(_.getLong(0)).toSet
+    val adj = edges.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    core.foreach { r =>
+      val inCore = adj(r.getLong(0)).count(members.contains)
+      assert(inCore >= 2, s"node ${r.getLong(0)} has only $inCore in-core neighbors")
+      assert(inCore.toLong === r.getLong(1), "core_deg must count in-core neighbors")
+    }
+  }
+
+  test("g_kcore: unconverged peel reports converged=false, never silently") {
+    // a long path peels one node per end per round; with rounds=1 the
+    // 8-node path is still mid-peel => converged must be false
+    val path = (1L to 7L).map(i => (i, i + 1))
+    val out = GraphQueries.kcore(edgesDf(path: _*), k = 2, rounds = 1).collect()
+    assert(out.nonEmpty && out.forall(!_.getBoolean(2)))
+  }
 }
