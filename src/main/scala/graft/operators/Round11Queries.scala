@@ -131,6 +131,55 @@ object Round11Queries {
         .orderBy("name_a", "name_b")
     }),
 
+    // R20 — tokenizer train→apply (t_bpe_pairs' missing second half): mine
+    // the top-3 corpus word bigrams (count desc, pair asc — a total
+    // order), then apply them as sequential greedy merges. The merge pass
+    // is pure string rewriting on a space-doubled text (every token owns
+    // one space on each side, so a merge consumes only its own
+    // delimiters): `replace` is leftmost non-overlapping in both engines —
+    // exactly BPE's greedy application semantics — and a merged token's
+    // '§' joint makes it opaque to later merge patterns, exactly
+    // BPE-sequential. The mined merges travel as a ONE-ROW broadcast
+    // (scalar-subquery pattern); the corpus pays one bigram-count agg +
+    // one rewrite scan. `reversible` (un-merging restores the original
+    // text, oracled per doc) pins the rewrite round trip.
+    "t_bpe_apply" -> ((s, d) => {
+      val docsDf = Tables.documents(s, d)
+      val top3 = docsDf
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+               i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(3)
+      val merges = top3
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("pair"))))
+        .agg(
+          max(when(col("rk") === 1, col("pair"))).as("p1"),
+          max(when(col("rk") === 2, col("pair"))).as("p2"),
+          max(when(col("rk") === 3, col("pair"))).as("p3"))
+      def mergeStep(src: String, p: String, dst: String) =
+        expr(s"""replace($src, concat(' ', replace($p, ' ', '  '), ' '),
+                               concat(' ', replace($p, ' ', '§'), ' '))""")
+          .as(dst)
+      val nBefore = size(split(col("text"), " ")).cast("long")
+      val nAfter = size(split(col("merged"), " ")).cast("long")
+      docsDf.crossJoin(broadcast(merges))
+        .withColumn("s0", concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")))
+        .withColumn("s1", mergeStep("s0", "p1", "s1"))
+        .withColumn("s2", mergeStep("s1", "p2", "s2"))
+        .withColumn("s3", mergeStep("s2", "p3", "s3"))
+        .withColumn("merged", trim(expr("replace(s3, '  ', ' ')")))
+        .select(col("doc_id"), col("p1"), col("p2"), col("p3"),
+          nBefore.as("n_before"), nAfter.as("n_after"),
+          floorRound(nAfter.cast("double") / nBefore.cast("double"), 4)
+            .as("compression"),
+          (expr("replace(merged, '§', ' ')") === col("text")).as("reversible"))
+        .orderBy("doc_id")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -228,6 +277,44 @@ object Round11Queries {
          SELECT block, name_a, name_b, pair_support, edit_dist, merged_key,
                 sim, sim >= 0.55 AS is_match
          FROM pairs ORDER BY name_a, name_b""",
+
+    "t_bpe_apply" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+         big AS (
+           SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))
+             AS pair
+           FROM tok),
+         cnt AS (SELECT pair, count(*) AS c FROM big GROUP BY pair),
+         rk3 AS (SELECT pair, row_number() OVER (ORDER BY c DESC, pair) AS rk
+                 FROM cnt QUALIFY rk <= 3),
+         p AS (SELECT max(CASE WHEN rk = 1 THEN pair END) AS p1,
+                      max(CASE WHEN rk = 2 THEN pair END) AS p2,
+                      max(CASE WHEN rk = 3 THEN pair END) AS p3
+               FROM rk3),
+         m0 AS (SELECT doc_id, text,
+                       ' ' || replace(text, ' ', '  ') || ' ' AS s0, p1, p2, p3
+                FROM documents, p),
+         m1 AS (SELECT *, replace(s0, ' ' || replace(p1, ' ', '  ') || ' ',
+                                      ' ' || replace(p1, ' ', '§') || ' ') AS s1
+                FROM m0),
+         m2 AS (SELECT *, replace(s1, ' ' || replace(p2, ' ', '  ') || ' ',
+                                      ' ' || replace(p2, ' ', '§') || ' ') AS s2
+                FROM m1),
+         m3 AS (SELECT *, replace(s2, ' ' || replace(p3, ' ', '  ') || ' ',
+                                      ' ' || replace(p3, ' ', '§') || ' ') AS s3
+                FROM m2),
+         fin AS (SELECT doc_id, text, p1, p2, p3,
+                        trim(replace(s3, '  ', ' ')) AS merged
+                 FROM m3)
+         SELECT doc_id, p1, p2, p3,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+                CAST(len(string_split(merged, ' ')) AS BIGINT) AS n_after,
+                floor(CAST(len(string_split(merged, ' ')) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                      * 10000 + 0.5) / 10000 AS compression,
+                replace(merged, '§', ' ') = text AS reversible
+         FROM fin ORDER BY doc_id""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

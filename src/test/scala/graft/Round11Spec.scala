@@ -97,6 +97,33 @@ class Round11Spec extends SparkSpec {
     assert(m(("industrial widget", "red widget")) < 0.55)  // far adjective
   }
 
+  // ---- t_bpe_apply ---------------------------------------------------
+
+  test("bpe apply: greedy leftmost non-overlapping merge, reversible") {
+    // the exact rewrite chain the query runs, on a planted overlap case:
+    // merging 'a b' in 'a b a b b' must produce [a§b, a§b, b] — greedy
+    // left-to-right, no overlap, later b untouched
+    val out = spark.sql(
+      """SELECT trim(replace(
+           replace(concat(' ', replace('a b a b b', ' ', '  '), ' '),
+                   concat(' ', replace('a b', ' ', '  '), ' '),
+                   concat(' ', replace('a b', ' ', '§'), ' ')),
+           '  ', ' ')) AS m""").head().getString(0)
+    assert(out === "a§b a§b b")
+    assert(out.replace("§", " ") === "a b a b b")
+  }
+
+  test("t_bpe_apply: merges only shrink and always reverse on the corpus") {
+    val rows = Round11Queries.defs("t_bpe_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("reversible"))
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+    }
+    assert(rows.exists(r => r.getAs[Long]("n_after") < r.getAs[Long]("n_before")),
+      "top-3 corpus bigrams must actually merge somewhere")
+  }
+
   // ---- r_resample_gapfill --------------------------------------------
 
   test("r_resample_gapfill: complete grid, LOCF semantics, gap flags") {
