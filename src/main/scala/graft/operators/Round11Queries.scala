@@ -180,6 +180,69 @@ object Round11Queries {
         .orderBy("doc_id")
     }),
 
+    // R9 — sketch-algebra intersection: HLL sketches union natively but
+    // cannot intersect, so the standard workaround is inclusion–exclusion
+    // over three sketches (A, B, A∪B) — with compounded error, which is
+    // why the result ships as exact values + bound flags (the
+    // q_approx_distinct sketch-vs-exact discipline): each rsd=0.01 sketch
+    // gets a 5% bound (5σ), the I–E estimate a 5%-of-(|A|+|B|) bound
+    // (covers all three terms' absolute errors). At 100 TB the exact
+    // branch is the audit; the sketch branch reads each side once and
+    // merges constant-size state.
+    "q_hll_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val sk = a.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_a"))
+        .crossJoin(b.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_b")))
+        .crossJoin(a.union(b)
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("hll_u")))
+      val ex = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter"))
+        .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
+        .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+      sk.crossJoin(ex).select(
+        col("exact_a"), col("exact_b"), col("exact_inter"),
+        (abs(col("hll_a") - col("exact_a")) <= col("exact_a") * 0.05 &&
+         abs(col("hll_b") - col("exact_b")) <= col("exact_b") * 0.05)
+          .as("sides_within_5pct"),
+        (abs(col("hll_a") + col("hll_b") - col("hll_u") - col("exact_inter"))
+          <= (col("exact_a") + col("exact_b")) * 0.05)
+          .as("inter_within_bound"))
+    }),
+
+    // R7/R6 — incremental aggregate maintenance: the materialized-rollup
+    // refresh pattern. A day/type rollup already exists for everything up
+    // to the cutoff (here: max day − 5, derived from the data via a
+    // one-row broadcast); a late partition arrives; the refresh merges the
+    // delta's PARTIAL aggregates into the materialized ones (counts and
+    // integer-unit sums are mergeable: sum-of-partials = total) instead of
+    // recomputing. `matches_full` joins the merged result against a full
+    // recompute — exact integer equality, oracled — proving the merge is
+    // lossless. At 100 TB the full branch never runs; the refresh costs
+    // one pass over the DELTA plus a rollup-sized merge.
+    "r_rollup_delta" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * 10000).cast("long").as("units"))
+      val bounds = ev.agg(date_sub(max(col("day")), 5).as("cut"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+      def roll(df: DataFrame): DataFrame = df
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("units")).as("sum_units"))
+      val merged = roll(tagged.filter(col("day") <= col("cut")))
+        .unionByName(roll(tagged.filter(col("day") > col("cut"))))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sum_units")).as("sum_units"))
+      val full = roll(tagged).select(col("day"), col("event_type"),
+        col("cnt").as("cnt_f"), col("sum_units").as("sum_f"))
+      merged.join(full, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("cnt"), col("sum_units"),
+          (col("cnt") === col("cnt_f") && col("sum_units") === col("sum_f"))
+            .as("matches_full"))
+        .orderBy("day", "event_type")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -315,6 +378,44 @@ object Round11Queries {
                       * 10000 + 0.5) / 10000 AS compression,
                 replace(merged, '§', ' ') = text AS reversible
          FROM fin ORDER BY doc_id""",
+
+    "q_hll_intersect" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         i AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+               FROM a WHERE user_id IN (SELECT user_id FROM b)),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
+         cb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b)
+         SELECT exact_a, exact_b, exact_inter,
+                TRUE AS sides_within_5pct,
+                TRUE AS inter_within_bound
+         FROM i, ca, cb""",
+
+    "r_rollup_delta" ->
+      """WITH ev AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  CAST(floor(value * 10000) AS BIGINT) AS units
+           FROM events),
+         c AS (SELECT max(day) - 5 AS cut FROM ev),
+         base AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(sum(units) AS BIGINT) AS sum_units
+                  FROM ev, c WHERE day <= cut GROUP BY day, event_type),
+         delta AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(sum(units) AS BIGINT) AS sum_units
+                   FROM ev, c WHERE day > cut GROUP BY day, event_type),
+         merged AS (
+           SELECT day, event_type, CAST(sum(cnt) AS BIGINT) AS cnt,
+                  CAST(sum(sum_units) AS BIGINT) AS sum_units
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+           GROUP BY day, event_type),
+         full_r AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt_f,
+                           CAST(sum(units) AS BIGINT) AS sum_f
+                    FROM ev GROUP BY day, event_type)
+         SELECT m.day, m.event_type, m.cnt, m.sum_units,
+                (m.cnt = f.cnt_f AND m.sum_units = f.sum_f) AS matches_full
+         FROM merged m JOIN full_r f
+           ON f.day = m.day AND f.event_type = m.event_type
+         ORDER BY m.day, m.event_type""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -97,6 +97,25 @@ class Round11Spec extends SparkSpec {
     assert(m(("industrial widget", "red widget")) < 0.55)  // far adjective
   }
 
+  // ---- q_hll_intersect / r_rollup_delta ------------------------------
+
+  test("q_hll_intersect: bounds hold and the exact triple is consistent") {
+    val r = Round11Queries.defs("q_hll_intersect")(spark, sf).head()
+    val (a, b, i) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+      r.getAs[Long]("exact_inter"))
+    assert(i <= math.min(a, b) && i >= 0)
+    assert(r.getAs[Boolean]("sides_within_5pct"))
+    assert(r.getAs[Boolean]("inter_within_bound"))
+  }
+
+  test("r_rollup_delta: merged partials are lossless and cover every event") {
+    val rows = Round11Queries.defs("r_rollup_delta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("matches_full")))
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+
   // ---- t_bpe_apply ---------------------------------------------------
 
   test("bpe apply: greedy leftmost non-overlapping merge, reversible") {
