@@ -243,6 +243,54 @@ object Round11Queries {
         .orderBy("day", "event_type")
     }),
 
+    // R19 (r11) — dominant principal direction of the embedding corpus by
+    // integer-exact power iteration: the PCA/whitening precursor of the
+    // vector-index family (rotating onto principal axes before IVF-PQ is
+    // the standard recall lever; this query computes the first axis). The
+    // pipeline quantizes each component to integer milli-units (exact
+    // cross-engine), builds the 64×64 second-moment matrix in ONE corpus
+    // pass (per-row outer-product explode → 4096-key partial agg — the
+    // map-side-combine Gram pattern; the corpus never self-joins), then
+    // runs 6 matrix-vector iterations entirely on 64-row frames: w = S·v,
+    // renormalized each step to ~10⁶ units by exact floor division (pmod
+    // form — Spark `div` truncates, DuckDB `//` floors; negatives must
+    // agree). No driver collect, no floats until the final display ratio;
+    // `max_abs_delta` (v₆ vs v₅, integer units) is the oracled convergence
+    // measure, so a non-converged direction cannot pass silently.
+    "v_pca_power" -> ((s, d) => {
+      val S = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), j -> transform(sequence(0, 63), k ->
+               struct(j + 1 AS j, k + 1 AS k,
+                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT) *
+                 CAST(floor(CAST(embedding[k] AS DOUBLE) * 1000) AS BIGINT) AS p))))"""))
+          .as("e"))
+        .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
+        .groupBy(col("j"), col("k")).agg(sum(col("p")).as("s"))
+        .localCheckpoint(true)
+      var v = s.range(1, 65).select(col("id").cast("int").as("k"),
+        lit(1000000L).as("u")).localCheckpoint(true)
+      var prev = v
+      for (_ <- 1 to PcaSteps) {
+        val w = S.join(v, Seq("k"))
+          .groupBy(col("j")).agg(sum(col("s") * col("u")).as("w"))
+        val m = w.agg(greatest(intDiv(max(abs(col("w"))), lit(1000000L)), lit(1L))
+          .as("dnorm"))
+        prev = v
+        v = w.crossJoin(broadcast(m))
+          .select(col("j").as("k"), intDiv(col("w"), col("dnorm")).as("u"))
+          .localCheckpoint(true)
+      }
+      val delta = v.select(col("k"), col("u"))
+        .join(prev.select(col("k"), col("u").as("u_prev")), Seq("k"))
+      val conv = delta.agg(max(abs(col("u") - col("u_prev"))).as("max_abs_delta"))
+      delta.crossJoin(broadcast(conv))
+        .select(col("k").as("dim"), col("u").as("v_unit"),
+          col("u_prev").as("v_prev_unit"), col("max_abs_delta"))
+        .orderBy("dim")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -273,6 +321,25 @@ object Round11Queries {
         .orderBy("user_id", "day")
     })
   )
+
+  /** Exact-integer division, truncating toward zero — the shared semantics
+    * of Spark's `div` and DuckDB's `//` (both truncate; verified on
+    * -7/2 = -3 in each). Must be IntegralDivide, not Column `/`: that is
+    * double division, which drops ulps beyond 2⁵³ (observed as off-by-one
+    * units in the power-iteration renorm).
+    */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)).cast("long")
+  }
+
+  /** Power-iteration step count for v_pca_power (mirrored in the oracle
+    * unroll).
+    */
+  private val PcaSteps = 6
 
   private val bucketSql =
     """CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
@@ -416,6 +483,43 @@ object Round11Queries {
          FROM merged m JOIN full_r f
            ON f.day = m.day AND f.event_type = m.event_type
          ORDER BY m.day, m.event_type""",
+
+    "v_pca_power" -> {
+      // 6-step unroll of the identical integer recurrence; MATERIALIZED —
+      // each step reads the previous twice (matvec + renorm), and DuckDB's
+      // default inlining would re-evaluate the chain exponentially.
+      val step = (i: Int) =>
+        s"""w$i AS MATERIALIZED (
+              SELECT s.j, CAST(sum(s.s * v.u) AS BIGINT) AS w
+              FROM s JOIN v${i - 1} v ON s.k = v.k GROUP BY s.j),
+            m$i AS MATERIALIZED (
+              SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w$i),
+            v$i AS MATERIALIZED (
+              SELECT CAST(w.j AS INT) AS k, CAST(w.w // m.d AS BIGINT) AS u
+              FROM w$i w, m$i m)"""
+      s"""WITH el AS MATERIALIZED (
+            SELECT e.vec_id, t.j,
+                   CAST(floor(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+                              * 1000) AS BIGINT) AS q
+            FROM embeddings e, range(1, 65) t(j)
+            WHERE len(e.embedding) = 64),
+          s AS MATERIALIZED (
+            SELECT CAST(a.j AS INT) AS j, CAST(b.j AS INT) AS k,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS s
+            FROM el a JOIN el b ON a.vec_id = b.vec_id
+            GROUP BY a.j, b.j),
+          v0 AS MATERIALIZED (
+            SELECT CAST(j AS INT) AS k, CAST(1000000 AS BIGINT) AS u
+            FROM range(1, 65) t(j)),
+          ${(1 to PcaSteps).map(step).mkString(",\n")},
+          conv AS (
+            SELECT CAST(max(abs(a.u - b.u)) AS BIGINT) AS max_abs_delta
+            FROM v$PcaSteps a JOIN v${PcaSteps - 1} b ON a.k = b.k)
+          SELECT a.k AS dim, a.u AS v_unit, b.u AS v_prev_unit,
+                 conv.max_abs_delta
+          FROM v$PcaSteps a JOIN v${PcaSteps - 1} b ON a.k = b.k, conv
+          ORDER BY dim"""
+    },
 
     "r_resample_gapfill" ->
       """WITH b AS (

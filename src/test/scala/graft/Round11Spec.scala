@@ -143,6 +143,22 @@ class Round11Spec extends SparkSpec {
       "top-3 corpus bigrams must actually merge somewhere")
   }
 
+  // ---- v_pca_power ---------------------------------------------------
+
+  test("v_pca_power: renorm keeps unit scale; iteration contracts the delta") {
+    val rows = Round11Queries.defs("v_pca_power")(spark, sf).collect()
+    assert(rows.length === 64)
+    val maxAbs = rows.map(r => math.abs(r.getAs[Long]("v_unit"))).max
+    // after renorm by d = max|w| div 1e6 the peak sits in [1e6, ~2e6)
+    assert(maxAbs >= 1000000L && maxAbs < 2100000L)
+    val delta = rows.head.getAs[Long]("max_abs_delta")
+    assert(rows.forall(_.getAs[Long]("max_abs_delta") === delta), "global column")
+    // step-1 delta from v0 is ~7e5 on this corpus; 6 steps must have
+    // contracted well below it (loose: the eigengap is small, so this is
+    // a direction-estimate bound, not a tight-convergence claim)
+    assert(delta < 400000L)
+  }
+
   // ---- r_resample_gapfill --------------------------------------------
 
   test("r_resample_gapfill: complete grid, LOCF semantics, gap flags") {
