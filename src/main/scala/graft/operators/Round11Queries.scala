@@ -291,6 +291,42 @@ object Round11Queries {
         .orderBy("dim")
     }),
 
+    // R13/R8 (r11) — day-over-day distribution drift: the data-monitoring
+    // gate every production feed runs (alert when today's event-type mix
+    // moves against yesterday's). Per-day type shares in integer BASIS
+    // POINTS (cnt·10⁴ div total — truncating integral division, exact
+    // cross-engine), consecutive days aligned by a (day+1, type)
+    // full-outer join (either side may miss a type), drift = L1 distance
+    // of the share vectors, flag at >1000 bp (10% mass moved). Shuffle
+    // shape: one day/type agg over the corpus, then day-keyed joins on the
+    // calendar-sized frame — the corpus pays one pass.
+    "r_drift_detect" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
+        col("event_type"))
+      val daily = ev.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy(col("day")).agg(sum(col("cnt")).as("total"))
+      val bp = daily.join(tot, Seq("day"))
+        .select(col("day"), col("event_type"),
+          intDiv(col("cnt") * lit(10000L), col("total")).as("bp"))
+      val bounds = ev.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+      val t = bp.as("t"); val p = bp.as("p")
+      val aligned = t.join(p,
+          col("t.day") === date_add(col("p.day"), 1) &&
+            col("t.event_type") === col("p.event_type"), "full_outer")
+        .select(
+          coalesce(col("t.day"), date_add(col("p.day"), 1)).as("day"),
+          abs(coalesce(col("t.bp"), lit(0L)) - coalesce(col("p.bp"), lit(0L)))
+            .as("d_bp"))
+      aligned.groupBy(col("day")).agg(sum(col("d_bp")).as("l1_bp"))
+        .join(tot, Seq("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") > col("d_min") && col("day") <= col("d_max"))
+        .select(col("day"), col("total"), col("l1_bp"),
+          (col("l1_bp") > 1000L).as("drifted"))
+        .orderBy("day")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -520,6 +556,28 @@ object Round11Queries {
           FROM v$PcaSteps a JOIN v${PcaSteps - 1} b ON a.k = b.k, conv
           ORDER BY dim"""
     },
+
+    "r_drift_detect" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+         daily AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt
+                   FROM ev GROUP BY day, event_type),
+         tot AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS total
+                 FROM daily GROUP BY day),
+         bp AS (SELECT d.day, d.event_type,
+                       CAST((d.cnt * 10000) // t.total AS BIGINT) AS bp
+                FROM daily d JOIN tot t ON t.day = d.day),
+         bounds AS (SELECT min(day) AS d_min, max(day) AS d_max FROM ev),
+         aligned AS (
+           SELECT coalesce(t.day, p.day + 1) AS day,
+                  abs(coalesce(t.bp, 0) - coalesce(p.bp, 0)) AS d_bp
+           FROM bp t FULL OUTER JOIN bp p
+             ON t.day = p.day + 1 AND t.event_type = p.event_type),
+         l1 AS (SELECT day, CAST(sum(d_bp) AS BIGINT) AS l1_bp
+                FROM aligned GROUP BY day)
+         SELECT l1.day, tot.total, l1.l1_bp, l1.l1_bp > 1000 AS drifted
+         FROM l1 JOIN tot ON tot.day = l1.day, bounds
+         WHERE l1.day > bounds.d_min AND l1.day <= bounds.d_max
+         ORDER BY l1.day""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -143,6 +143,20 @@ class Round11Spec extends SparkSpec {
       "top-3 corpus bigrams must actually merge somewhere")
   }
 
+  // ---- r_drift_detect ------------------------------------------------
+
+  test("r_drift_detect: covers every day but the first; flag tracks the metric") {
+    val rows = Round11Queries.defs("r_drift_detect")(spark, sf).collect()
+    val nDays = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day")).distinct().count()
+    assert(rows.length.toLong === nDays - 1, "one row per day after the first")
+    rows.foreach { r =>
+      val l1 = r.getAs[Long]("l1_bp")
+      assert(l1 >= 0L && l1 <= 20000L, "L1 of two share vectors is <= 2e4 bp")
+      assert(r.getAs[Boolean]("drifted") === (l1 > 1000L))
+    }
+  }
+
   // ---- v_pca_power ---------------------------------------------------
 
   test("v_pca_power: renorm keeps unit scale; iteration contracts the delta") {
