@@ -327,6 +327,59 @@ object Round11Queries {
         .orderBy("day")
     }),
 
+    // R14/R13 (r11) — global session-concurrency curve: "how many sessions
+    // are active each hour" — the capacity-planning sweep-line over the
+    // q_sessionize islands. Sessions bucket to hours (active from
+    // trunc(start) through trunc(end) inclusive); each contributes +1 at
+    // its start hour and −1 one hour after its end hour; the running sum
+    // over the full hour grid is the concurrency curve. The cumsum window
+    // is GLOBAL but calendar-bounded (≤ grid-size rows after the per-hour
+    // pre-aggregation — the same justification as r_resample_gapfill's
+    // LOCF window): the corpus-sized work is the per-user sessionization
+    // shuffle + hour-keyed delta aggs; nothing row-level ever crosses a
+    // single partition.
+    "r_concurrency_curve" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      val ses = ev
+        .withColumn("new_sess",
+          when(col("ms") - lag(col("ms"), 1).over(wOrd) > 1800000L ||
+               lag(col("ms"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("sh"),
+             date_trunc("hour", max(col("ts"))).as("eh"))
+      val starts = ses.groupBy(col("sh").as("hour"))
+        .agg(count(lit(1)).as("n_start"))
+      val ends = ses.groupBy(col("eh").as("hour"))
+        .agg(count(lit(1)).as("n_end"))
+      val deltas = ses.select(col("sh").as("hour"), lit(1L).as("delta"))
+        .unionByName(ses.select(
+          (col("eh") + expr("INTERVAL 1 HOUR")).as("hour"), lit(-1L).as("delta")))
+        .groupBy(col("hour")).agg(sum(col("delta")).as("delta"))
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+                          date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val wH = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = grid
+        .join(starts, Seq("hour"), "left")
+        .join(ends, Seq("hour"), "left")
+        .join(deltas, Seq("hour"), "left")
+        .select(col("hour"),
+          coalesce(col("n_start"), lit(0L)).as("n_start"),
+          coalesce(col("n_end"), lit(0L)).as("n_end"),
+          sum(coalesce(col("delta"), lit(0L))).over(wH).as("active"))
+      val peak = curve.agg(max(col("active")).as("peak"))
+      curve.crossJoin(broadcast(peak))
+        .select(col("hour"), col("n_start"), col("n_end"), col("active"),
+          (col("active") === col("peak")).as("is_peak"))
+        .orderBy("hour")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -578,6 +631,52 @@ object Round11Queries {
          FROM l1 JOIN tot ON tot.day = l1.day, bounds
          WHERE l1.day > bounds.d_min AND l1.day <= bounds.d_max
          ORDER BY l1.day""",
+
+    "r_concurrency_curve" ->
+      """WITH t AS (SELECT user_id, ts, epoch_ms(ts) AS ms FROM events),
+         flagged AS (
+           SELECT user_id, ts, ms,
+                  CASE WHEN ms - lag(ms) OVER w > 1800000
+                         OR lag(ms) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged),
+         ses AS (
+           SELECT user_id, session_id,
+                  date_trunc('hour', min(ts)) AS sh,
+                  date_trunc('hour', max(ts)) AS eh
+           FROM sess GROUP BY user_id, session_id),
+         starts AS (SELECT sh AS hour, CAST(count(*) AS BIGINT) AS n_start
+                    FROM ses GROUP BY sh),
+         ends AS (SELECT eh AS hour, CAST(count(*) AS BIGINT) AS n_end
+                  FROM ses GROUP BY eh),
+         deltas AS (
+           SELECT hour, CAST(sum(delta) AS BIGINT) AS delta FROM (
+             SELECT sh AS hour, 1 AS delta FROM ses
+             UNION ALL
+             SELECT eh + INTERVAL 1 HOUR AS hour, -1 AS delta FROM ses)
+           GROUP BY hour),
+         b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM t),
+         grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                    AS hour FROM b),
+         curve AS (
+           SELECT g.hour,
+                  coalesce(s.n_start, 0) AS n_start,
+                  coalesce(e.n_end, 0) AS n_end,
+                  CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY g.hour
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+           FROM grid g
+           LEFT JOIN starts s ON s.hour = g.hour
+           LEFT JOIN ends e ON e.hour = g.hour
+           LEFT JOIN deltas d ON d.hour = g.hour)
+         SELECT hour, n_start, n_end, active,
+                active = max(active) OVER () AS is_peak
+         FROM curve ORDER BY hour""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -143,6 +143,27 @@ class Round11Spec extends SparkSpec {
       "top-3 corpus bigrams must actually merge somewhere")
   }
 
+  // ---- r_concurrency_curve -------------------------------------------
+
+  test("r_concurrency_curve: sweep-line conservation and peak flag") {
+    val rows = Round11Queries.defs("r_concurrency_curve")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val starts = rows.map(_.getAs[Long]("n_start")).sum
+    val ends = rows.map(_.getAs[Long]("n_end")).sum
+    assert(starts === ends, "every session that starts must end")
+    // active is the running fold of starts minus PRIOR-hour ends
+    var run = 0L; var prevEnd = 0L
+    rows.foreach { r =>
+      run += r.getAs[Long]("n_start") - prevEnd
+      assert(r.getAs[Long]("active") === run)
+      assert(run >= 0L)
+      prevEnd = r.getAs[Long]("n_end")
+    }
+    val peak = rows.map(_.getAs[Long]("active")).max
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("is_peak") === (r.getAs[Long]("active") == peak)))
+  }
+
   // ---- r_drift_detect ------------------------------------------------
 
   test("r_drift_detect: covers every day but the first; flag tracks the metric") {
