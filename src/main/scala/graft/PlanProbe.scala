@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool (QueryProbe's plan twin): print `explain("formatted")` for
+  * registered queries at bench-like settings. With query names as args it
+  * explains exactly those; with none it runs the original demo set (star
+  * join + seek pushdown) whose annotations the round-4 plan audit used.
+  * Usage: runMain graft.PlanProbe [sfDir] [query ...]
+  */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -7,21 +14,28 @@ object PlanProbe {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    def time(name: String): Unit = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, d).count()
-      println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    if (names.nonEmpty) {
+      names.foreach { n =>
+        println(s"== $n ==")
+        SparkEntry.queries(n)(spark, d).explain("formatted")
+      }
+    } else {
+      def time(name: String): Unit = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, d).count()
+        println(f"TIMED $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+      SparkEntry.queries("q1_agg")(spark, d).count() // warmup
+      time("d_minhash_lsh"); time("d_minhash_lsh")
+      time("v_ann_lsh")
+      time("t_rolling_fingerprint")
+      println("== star join plan (expect 2x BroadcastHashJoin, PushedFilters) ==")
+      SparkEntry.queries("q_star_join")(spark, d).explain("formatted")
+      println("== seek pushdown ==")
+      SparkEntry.queries("s_seek_ordinal")(spark, d).explain("formatted")
     }
-    SparkEntry.queries("q1_agg")(spark, d).count() // warmup
-    time("d_minhash_lsh"); time("d_minhash_lsh")
-    time("v_ann_lsh")
-    time("t_rolling_fingerprint")
-    // plan checks
-    println("== star join plan (expect 2x BroadcastHashJoin, PushedFilters) ==")
-    SparkEntry.queries("q_star_join")(spark, d).explain("formatted")
-    println("== seek pushdown ==")
-    SparkEntry.queries("s_seek_ordinal")(spark, d).explain("formatted")
     spark.stop()
   }
 }

@@ -111,10 +111,16 @@ object Round11Queries {
     // the union-find-style canonical (min partkey) the merge step would
     // propagate.
     "q_entity_resolution" -> ((s, d) => {
+      // localCheckpoint: both sides of the self-join consume this frame —
+      // without it the corpus-sized dedup agg executes twice (the plan
+      // showed two parquet scans). Vocabulary-sized, so the materialization
+      // is trivially cheap; the iterative-frame discipline applied to a
+      // reused one.
       val ents = Tables.part(s, d)
         .groupBy(col("p_name"))
         .agg(count(lit(1)).as("support"), min(col("p_partkey")).as("canon_key"))
         .withColumn("block", regexp_extract(col("p_name"), "[^ ]+$", 0))
+        .localCheckpoint(true)
       val a = ents.as("a"); val b = ents.as("b")
       a.join(b,
           col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
@@ -227,15 +233,20 @@ object Round11Queries {
         floor(col("value") * 10000).cast("long").as("units"))
       val bounds = ev.agg(date_sub(max(col("day")), 5).as("cut"))
       val tagged = ev.crossJoin(broadcast(bounds))
-      def roll(df: DataFrame): DataFrame = df
-        .groupBy(col("day"), col("event_type"))
+      // ONE corpus pass builds both partial sets: the late flag joins the
+      // grouping key, so "materialized" and "delta" partials fall out of a
+      // single rollup (a plan audit showed the filter-twice form scanning
+      // the corpus 2 extra times); the refresh merge then re-aggregates
+      // the flagged partials — rollup-sized work.
+      val partials = tagged
+        .groupBy(col("day"), col("event_type"), (col("day") > col("cut")).as("late"))
         .agg(count(lit(1)).as("cnt"), sum(col("units")).as("sum_units"))
-      val merged = roll(tagged.filter(col("day") <= col("cut")))
-        .unionByName(roll(tagged.filter(col("day") > col("cut"))))
+      val merged = partials
         .groupBy(col("day"), col("event_type"))
         .agg(sum(col("cnt")).as("cnt"), sum(col("sum_units")).as("sum_units"))
-      val full = roll(tagged).select(col("day"), col("event_type"),
-        col("cnt").as("cnt_f"), col("sum_units").as("sum_f"))
+      val full = ev
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt_f"), sum(col("units")).as("sum_f"))
       merged.join(full, Seq("day", "event_type"))
         .select(col("day"), col("event_type"), col("cnt"), col("sum_units"),
           (col("cnt") === col("cnt_f") && col("sum_units") === col("sum_f"))
