@@ -391,6 +391,37 @@ object Round11Queries {
         .orderBy("hour")
     }),
 
+    // R10/R13 (r11) — trending leaderboard with rank deltas: top-5 parts
+    // per ship-month through the NATIVE TopKPerKey operator (bounded
+    // per-partition heaps, no per-month sort), then each month's board
+    // left-joins the previous month's on (month−1, part) for the rank
+    // movement (`new` / `up` / `down` / `flat`). The corpus pays one
+    // month/part agg; everything after is leaderboard-sized (k × months).
+    // The join is on the top-k frames only — never on the full ranking.
+    "q_trending_rank_delta" -> ((s, d) => {
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"),
+                 col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      val board = graft.plans.TopK.perKey(monthly, keys = Seq("month"),
+          order = Seq(graft.plans.TopK.Ord("qty", desc = true),
+                      graft.plans.TopK.Ord("l_partkey")), k = 5)
+        .select(col("month"), col("l_partkey"), col("qty"),
+          col("rk").cast("int").as("rk"))
+        .localCheckpoint(true) // consumed twice (current + shifted previous)
+      val prev = board.select(
+        add_months(col("month"), 1).as("month"),
+        col("l_partkey"), col("rk").as("prev_rk"))
+      board.join(prev, Seq("month", "l_partkey"), "left")
+        .select(col("month"), col("rk"), col("l_partkey"), col("qty"),
+          col("prev_rk"),
+          when(col("prev_rk").isNull, lit("new"))
+            .when(col("prev_rk") > col("rk"), lit("up"))
+            .when(col("prev_rk") < col("rk"), lit("down"))
+            .otherwise(lit("flat")).as("movement"))
+        .orderBy("month", "rk")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -688,6 +719,26 @@ object Round11Queries {
          SELECT hour, n_start, n_end, active,
                 active = max(active) OVER () AS is_peak
          FROM curve ORDER BY hour""",
+
+    "q_trending_rank_delta" ->
+      """WITH monthly AS (
+           SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_partkey,
+                  CAST(sum(l_quantity) AS BIGINT) AS qty
+           FROM lineitem GROUP BY 1, 2),
+         board AS (
+           SELECT month, l_partkey, qty,
+                  CAST(row_number() OVER (PARTITION BY month
+                         ORDER BY qty DESC, l_partkey) AS INT) AS rk
+           FROM monthly QUALIFY rk <= 5)
+         SELECT b.month, b.rk, b.l_partkey, b.qty, p.rk AS prev_rk,
+                CASE WHEN p.rk IS NULL THEN 'new'
+                     WHEN p.rk > b.rk THEN 'up'
+                     WHEN p.rk < b.rk THEN 'down'
+                     ELSE 'flat' END AS movement
+         FROM board b LEFT JOIN board p
+           ON CAST(p.month + INTERVAL 1 MONTH AS DATE) = b.month
+          AND p.l_partkey = b.l_partkey
+         ORDER BY b.month, b.rk""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

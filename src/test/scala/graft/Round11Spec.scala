@@ -143,6 +143,35 @@ class Round11Spec extends SparkSpec {
       "top-3 corpus bigrams must actually merge somewhere")
   }
 
+  // ---- q_trending_rank_delta -----------------------------------------
+
+  test("q_trending_rank_delta: boards are exact top-5, movement is consistent") {
+    val rows = Round11Queries.defs("q_trending_rank_delta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byMonth = rows.groupBy(_.getAs[java.sql.Date]("month").toString)
+    byMonth.values.foreach { board =>
+      assert(board.length <= 5)
+      assert(board.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to board.length).toSeq, "dense ranks 1..k")
+      // qty non-increasing with rank (the Ord contract)
+      val sorted = board.sortBy(_.getAs[Int]("rk"))
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Long]("qty") >= lo.getAs[Long]("qty"))
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val mv = r.getAs[String]("movement")
+      Option(r.getAs[Integer]("prev_rk")) match {
+        case None => assert(mv === "new")
+        case Some(p) =>
+          val d = p - r.getAs[Int]("rk")
+          assert(mv === (if (d > 0) "up" else if (d < 0) "down" else "flat"))
+      }
+    }
+  }
+
   // ---- r_concurrency_curve -------------------------------------------
 
   test("r_concurrency_curve: sweep-line conservation and peak flag") {
