@@ -224,7 +224,49 @@ object GraphQueries {
     * the result is then a superset of the true k-core, never reported
     * silently).
     */
-  def kcore(edges: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+  def kcore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
+            localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    if (localFinishEdges > 0 &&
+        edges.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localFinishEdges) {
+      // Sub-threshold single-task endgame (the pagerank/components
+      // discipline): below the threshold every distributed peel round is a
+      // broadcast-exchange job of pure overhead — QueryProbe measured the
+      // loop at ~3.3 s steady-state for a ≤2000-edge backbone. The replay
+      // is the IDENTICAL recurrence on the same edge rows (neighbor
+      // multiset per node, count ≥ k within the surviving set, early exit
+      // on a no-removal round), so both paths are bit-equal — pinned by
+      // GraphSpec's dual-path test.
+      import spark.implicits._
+      val (kk, rr) = (k, rounds)
+      return edges
+        .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val und = it.flatMap { case (a, b) => Iterator((a, b), (b, a)) }.toArray
+          val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+          var alive = adj.keySet
+          var stable = alive.isEmpty
+          var done = 0
+          while (done < rr && !stable) {
+            val next = alive.filter(n => adj(n).count(alive.contains) >= kk)
+            stable = next.size == alive.size
+            alive = next
+            done += 1
+          }
+          val conv = stable
+          // the distributed form derives output by joining edges to the
+          // final alive set (a node with zero in-core neighbors yields no
+          // row — possible only mid-peel); mirror that exactly
+          alive.iterator
+            .map(n => (n, adj(n).count(alive.contains).toLong, conv))
+            .filter(_._2 > 0L)
+        }
+        .toDF("node", "core_deg", "converged")
+        .orderBy("node")
+    }
     val e = bidirectional(edges)
     var alive = e.select(col("src").as("n")).distinct().localCheckpoint(true)
     var prev = alive.count()

@@ -269,36 +269,71 @@ object Round11Queries {
     // `max_abs_delta` (v₆ vs v₅, integer units) is the oracled convergence
     // measure, so a non-converged direction cannot pass silently.
     "v_pca_power" -> ((s, d) => {
-      val S = Tables.embeddings(s, d)
+      // Gram build: per-partition 64×64 Long accumulators, then a 4096-key
+      // merge of the per-partition partials — the classic distributed Gram
+      // partial aggregation. The naive alternative (explode 4096
+      // (j, k, product) structs per row into a hash agg) shuffles
+      // rows×4096 entries and measured ~4-5 s of the query's steady-state
+      // at sf0.1; this form exchanges only partitions×4096 integers.
+      // Integer partials are order-independent, so parity is exact.
+      import s.implicits._
+      val quant = Tables.embeddings(s, d)
         .filter(size(col("embedding")) === 64)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, 63), j -> transform(sequence(0, 63), k ->
-               struct(j + 1 AS j, k + 1 AS k,
-                 CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000) AS BIGINT) *
-                 CAST(floor(CAST(embedding[k] AS DOUBLE) * 1000) AS BIGINT) AS p))))"""))
-          .as("e"))
-        .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("q"))
+        .as[Seq[Long]]
+      val S = quant
+        .mapPartitions { rows =>
+          val acc = Array.ofDim[Long](64, 64)
+          rows.foreach { arr =>
+            val a = arr.toArray
+            var j = 0
+            while (j < 64) {
+              val aj = a(j); var k = 0
+              while (k < 64) { acc(j)(k) += aj * a(k); k += 1 }
+              j += 1
+            }
+          }
+          Iterator.range(0, 64).flatMap(j =>
+            Iterator.range(0, 64).map(k => (j + 1, k + 1, acc(j)(k))))
+        }
+        .toDF("j", "k", "p")
         .groupBy(col("j"), col("k")).agg(sum(col("p")).as("s"))
-        .localCheckpoint(true)
-      var v = s.range(1, 65).select(col("id").cast("int").as("k"),
-        lit(1000000L).as("u")).localCheckpoint(true)
-      var prev = v
-      for (_ <- 1 to PcaSteps) {
-        val w = S.join(v, Seq("k"))
-          .groupBy(col("j")).agg(sum(col("s") * col("u")).as("w"))
-        val m = w.agg(greatest(intDiv(max(abs(col("w"))), lit(1000000L)), lit(1L))
-          .as("dnorm"))
-        prev = v
-        v = w.crossJoin(broadcast(m))
-          .select(col("j").as("k"), intDiv(col("w"), col("dnorm")).as("u"))
-          .localCheckpoint(true)
-      }
-      val delta = v.select(col("k"), col("u"))
-        .join(prev.select(col("k"), col("u").as("u_prev")), Seq("k"))
-      val conv = delta.agg(max(abs(col("u") - col("u_prev"))).as("max_abs_delta"))
-      delta.crossJoin(broadcast(conv))
-        .select(col("k").as("dim"), col("u").as("v_unit"),
-          col("u_prev").as("v_prev_unit"), col("max_abs_delta"))
+      // The 4096-entry matrix is sub-threshold by construction, so the
+      // iteration runs as a SINGLE-TASK replay of the integer recurrence
+      // (the graph-family endgame discipline): the distributed form —
+      // per-step join + agg + max + renorm on 64-row frames — measured
+      // ~9-11 s steady-state of pure barrier overhead at sf0.1. The
+      // corpus-scale stage (the one-pass Gram build above) stays
+      // distributed; JVM Long division truncates toward zero exactly like
+      // IntegralDivide LEGACY and DuckDB `//`, and integer sums are
+      // order-independent, so this path is bit-equal to the oracle unroll.
+      import s.implicits._
+      val steps = PcaSteps
+      S.as[(Int, Int, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val m = Array.ofDim[Long](64, 64)
+          it.foreach { case (j, k, sv) => m(j - 1)(k - 1) = sv }
+          var v = Array.fill(64)(1000000L)
+          var prev = v
+          for (_ <- 1 to steps) {
+            val w = Array.tabulate(64) { j =>
+              var acc = 0L
+              var k = 0
+              while (k < 64) { acc += m(j)(k) * v(k); k += 1 }
+              acc
+            }
+            val mx = w.map(math.abs).max
+            val dnorm = math.max(mx / 1000000L, 1L)
+            prev = v
+            v = w.map(_ / dnorm)
+          }
+          val delta = (0 until 64).map(i => math.abs(v(i) - prev(i))).max
+          (0 until 64).iterator.map(i => (i + 1, v(i), prev(i), delta))
+        }
+        .toDF("dim", "v_unit", "v_prev_unit", "max_abs_delta")
         .orderBy("dim")
     }),
 

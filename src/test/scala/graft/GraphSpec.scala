@@ -127,6 +127,16 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g_kcore: single-task endgame and distributed loop are bit-equal") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = GraphQueries.coPurchaseEdgesByKey(Tables.lineitem(spark, sf))
+    val local = GraphQueries.kcore(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dist = GraphQueries.kcore(edges, localFinishEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(local === dist)
+  }
+
   test("g_kcore: unconverged peel reports converged=false, never silently") {
     // a long path peels one node per end per round; with rounds=1 the
     // 8-node path is still mid-peel => converged must be false
