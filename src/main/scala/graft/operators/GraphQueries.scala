@@ -158,6 +158,69 @@ object GraphQueries {
       .limit(topK)
   }
 
+  /** Weighted PageRank core (g_pagerank_weighted): the [[pagerank]]
+    * recurrence with edge-weight-proportional mass splitting — the
+    * co-purchase backbone carries co-occurrence counts (`w`) the
+    * unweighted walk ignores, and importance should flow along frequent
+    * pairings. Integer discipline: one truncating division per node per
+    * iteration (c_u = r_u div wdeg_u, wdeg = Σ outgoing w), then exact
+    * integer edge contributions c_u·w_e summed at dst —
+    * r' = 150000 + (17·Σ) div 20, all order-independent. Same dual-path
+    * shape as [[pagerank]]: sub-threshold frames replay in one task,
+    * the distributed loop shuffles node-sized frames only.
+    */
+  def pagerankWeighted(edges: DataFrame, iters: Int = 5, topK: Int = 20,
+                       localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    if (localFinishEdges > 0 &&
+        edges.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
+          .count() <= localFinishEdges) {
+      import spark.implicits._
+      val nIters = iters
+      return edges
+        .select(col("a").cast("long"), col("b").cast("long"), col("w").cast("long"))
+        .as[(Long, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val und = it.flatMap { case (a, b, w) =>
+            Iterator((a, b, w), (b, a, w)) }.toArray
+          val wdeg = scala.collection.mutable.HashMap.empty[Long, Long]
+          und.foreach { case (s, _, w) => wdeg(s) = wdeg.getOrElse(s, 0L) + w }
+          var r = wdeg.keysIterator.map(_ -> 1000000L).toMap
+          for (_ <- 1 to nIters) {
+            val c = r.map { case (n, rv) => n -> rv / wdeg(n) }
+            val s = scala.collection.mutable.HashMap.empty[Long, Long]
+            und.foreach { case (src, dst, w) =>
+              s(dst) = s.getOrElse(dst, 0L) + c(src) * w }
+            r = s.iterator.map { case (n, acc) =>
+              n -> (150000L + (17L * acc) / 20L) }.toMap
+          }
+          r.iterator
+        }
+        .toDF("node", "rank_units")
+        .orderBy(col("rank_units").desc, col("node"))
+        .limit(topK)
+    }
+    val e = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    var rank: DataFrame = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = rank
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("node").as("src"), expr("r div wdeg").as("c"))
+      rank = e.join(broadcast(contrib), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c") * col("w")).as("s"))
+        .select(col("node"), (lit(150000L) + expr("(17 * s) div 20")).as("r"))
+    }
+    rank
+      .select(col("node"), col("r").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("node"))
+      .limit(topK)
+  }
+
   /** Triangle/wedge census core (g_triangles): exact triangle count over
     * the capped canonical (a < b) edge set via the oriented two-join
     * enumeration (each triangle x<y<z counted exactly once as
@@ -322,6 +385,12 @@ object GraphQueries {
     // ordered by (size desc, label) — a total order, labels unique.
     "g_components" -> ((s, d) => components(coPurchaseEdges(Tables.lineitem(s, d)))),
 
+    // Graph family (r11) — edge-weighted PageRank: importance flows along
+    // frequent co-purchase pairings instead of splitting evenly; same
+    // integer recurrence, weight-proportional mass split, dual-path.
+    "g_pagerank_weighted" -> ((s, d) =>
+      pagerankWeighted(coPurchaseEdges(Tables.lineitem(s, d)))),
+
     // Graph family (r11) — 2-core of the co-purchase backbone: iterative
     // degree peel to the fixpoint (converges in ≤5 rounds here; the
     // `converged` column is oracled so a non-fixpoint can never pass
@@ -383,6 +452,30 @@ object GraphQueries {
           SELECT root AS label, CAST(count(*) AS BIGINT) AS size
           FROM m GROUP BY root
           ORDER BY size DESC, label""",
+    "g_pagerank_weighted" -> {
+      // the weighted recurrence unrolled: one truncating div per node
+      // (c = r // wdeg), exact integer edge contributions c·w summed at dst
+      val iter = (i: Int) =>
+        s"""r$i AS (SELECT e.dst AS node,
+                    CAST(150000 + (17 * sum((r${i - 1}.r // d.wdeg) * e.w)) // 20
+                         AS BIGINT) AS r
+             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+                    JOIN d ON d.src = e.src
+             GROUP BY e.dst)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                    FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                    GROUP BY x.pk, y.pk),
+          capped AS (SELECT a, b, w FROM pairs ORDER BY w DESC, a, b LIMIT 2000),
+          e AS (SELECT a AS src, b AS dst, w FROM capped
+                UNION ALL SELECT b, a, w FROM capped),
+          d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+          r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+          ${(1 to 5).map(iter).mkString(",\n")}
+          SELECT node, r AS rank_units FROM r5
+          ORDER BY rank_units DESC, node LIMIT 20"""
+    },
+
     "g_kcore" -> {
       // a0..a8 unrolled peel, k = 2 — MATERIALIZED is required: each round
       // references the previous twice, and DuckDB's default CTE inlining

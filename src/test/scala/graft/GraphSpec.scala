@@ -102,6 +102,34 @@ class GraphSpec extends SparkSpec {
     assert(capped.toSeq === Seq((1L, 2L)), "cap must keep the heaviest edge")
   }
 
+  test("g_pagerank_weighted: reference fold + dual-path + weight sensitivity") {
+    // star: hub 1 connected to 2,3,4; edge (1,2) carries weight 8 vs 1 —
+    // node 2 must outrank 3 and 4 under the weighted walk (it would tie
+    // under the unweighted one)
+    val edges = Seq((1L, 2L, 8L), (1L, 3L, 1L), (1L, 4L, 1L))
+      .toDF("a", "b", "w")
+    def ref(es: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val und = es.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      val wdeg = und.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._3).sum }
+      var r = wdeg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val c = r.map { case (n, rv) => n -> rv / wdeg(n) }
+        val s = und.groupBy(_._2).map { case (dst, in) =>
+          dst -> in.map { case (src, _, w) => c(src) * w }.sum }
+        r = s.map { case (n, acc) => n -> (150000L + (17L * acc) / 20L) }
+      }
+      r
+    }
+    val expect = ref(Seq((1L, 2L, 8L), (1L, 3L, 1L), (1L, 4L, 1L)), 5)
+    val local = GraphQueries.pagerankWeighted(edges, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphQueries.pagerankWeighted(edges, topK = 10, localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expect)
+    assert(dist === expect)
+    assert(local(2L) > local(3L) && local(3L) === local(4L))
+  }
+
   test("g_kcore: planted triangle + pendant chain peels to the triangle") {
     // 1-2-3 triangle, 3-4-5 pendant chain: the chain peels in two rounds
     // (5 first, then 4), the triangle survives with within-core degree 2.
