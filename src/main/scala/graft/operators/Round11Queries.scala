@@ -457,6 +457,42 @@ object Round11Queries {
         .orderBy("month", "rk")
     }),
 
+    // R22/R8 (r11) — Benford first-digit audit: the classic forensic
+    // data-quality gate (natural multiplicative quantities follow
+    // P(d) = log10(1+1/d); fabricated or truncated feeds don't). Exact
+    // integer path to the leading digit: price → cents (floor·100), then
+    // digit = n div 10^(len-1) via the decimal string length — no
+    // float log10, whose power-of-ten boundaries would be an ulp trap.
+    // Shares in basis points vs the Benford expectation (literal
+    // constants, floor(log10(1+1/d)·10⁴)); total L1 deviation as the
+    // verdict column (uniform-ish synthetic prices are far from Benford —
+    // the audit FLAGS this data, which is the point of an audit). One
+    // 9-group aggregation pass over the corpus.
+    "q_benford" -> ((s, d) => {
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val digit = expr(
+        s"""CAST(n div CASE length(CAST(n AS STRING))
+              ${(1 to 12).map(l => s"WHEN $l THEN ${"1" + "0" * (l - 1)}L").mkString(" ")}
+              END AS INT)""")
+      val expBp = "array(3010, 1760, 1249, 969, 791, 669, 579, 511, 457)"
+      val byDigit = Tables.orders(s, d)
+        .select(cents.as("n"))
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      val tot = byDigit.agg(sum(col("cnt")).as("total"))
+      val scored = byDigit.crossJoin(broadcast(tot))
+        .select(col("digit"), col("cnt"),
+          intDiv(col("cnt") * lit(10000L), col("total")).as("obs_bp"),
+          expr(s"CAST(element_at($expBp, digit) AS BIGINT)").as("exp_bp"))
+        .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      val l1 = scored.agg(sum(col("dev_bp")).as("total_dev_bp"))
+      scored.crossJoin(broadcast(l1))
+        .select(col("digit"), col("cnt"), col("obs_bp"), col("exp_bp"),
+          col("dev_bp"), col("total_dev_bp"),
+          (col("total_dev_bp") <= 1500L).as("benford_like"))
+        .orderBy("digit")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -774,6 +810,33 @@ object Round11Queries {
            ON CAST(p.month + INTERVAL 1 MONTH AS DATE) = b.month
           AND p.l_partkey = b.l_partkey
          ORDER BY b.month, b.rk""",
+
+    "q_benford" ->
+      """WITH cents AS (
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS n FROM orders),
+         dig AS (
+           SELECT CAST(n // CASE len(CAST(n AS VARCHAR))
+                    WHEN 1 THEN 1 WHEN 2 THEN 10 WHEN 3 THEN 100
+                    WHEN 4 THEN 1000 WHEN 5 THEN 10000 WHEN 6 THEN 100000
+                    WHEN 7 THEN 1000000 WHEN 8 THEN 10000000
+                    WHEN 9 THEN 100000000 WHEN 10 THEN 1000000000
+                    WHEN 11 THEN 10000000000 WHEN 12 THEN 100000000000
+                    END AS INT) AS digit
+           FROM cents),
+         byd AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+                 FROM dig GROUP BY digit),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM byd),
+         scored AS (
+           SELECT digit, cnt,
+                  CAST((cnt * 10000) // total AS BIGINT) AS obs_bp,
+                  CAST([3010, 1760, 1249, 969, 791, 669, 579, 511, 457][digit]
+                       AS BIGINT) AS exp_bp
+           FROM byd, tot),
+         dev AS (SELECT *, abs(obs_bp - exp_bp) AS dev_bp FROM scored),
+         l1 AS (SELECT CAST(sum(dev_bp) AS BIGINT) AS total_dev_bp FROM dev)
+         SELECT digit, cnt, obs_bp, exp_bp, dev_bp, total_dev_bp,
+                total_dev_bp <= 1500 AS benford_like
+         FROM dev, l1 ORDER BY digit""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -143,6 +143,33 @@ class Round11Spec extends SparkSpec {
       "top-3 corpus bigrams must actually merge somewhere")
   }
 
+  // ---- q_benford -----------------------------------------------------
+
+  test("benford: integer leading-digit extraction avoids the log10 ulp trap") {
+    val out = spark.sql(
+      """SELECT CAST(n div CASE length(CAST(n AS STRING))
+           WHEN 1 THEN 1L WHEN 2 THEN 10L WHEN 3 THEN 100L WHEN 4 THEN 1000L
+           WHEN 5 THEN 10000L WHEN 6 THEN 100000L WHEN 7 THEN 1000000L
+           END AS INT) AS d
+         FROM VALUES (101370L), (9999999L), (1000000L), (5L) t(n)""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(out === Seq(1, 9, 1, 5))
+  }
+
+  test("q_benford: full digit coverage, share accounting, honest verdict") {
+    val rows = Round11Queries.defs("q_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    assert(rows.map(_.getAs[Long]("cnt")).sum ===
+      Tables.orders(spark, sf).count())
+    val bpSum = rows.map(_.getAs[Long]("obs_bp")).sum
+    assert(bpSum > 9990L && bpSum <= 10000L, "floor losses only")
+    val l1 = rows.map(_.getAs[Long]("dev_bp")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_dev_bp") === l1)
+      assert(r.getAs[Boolean]("benford_like") === (l1 <= 1500L))
+    }
+  }
+
   // ---- q_trending_rank_delta -----------------------------------------
 
   test("q_trending_rank_delta: boards are exact top-5, movement is consistent") {
