@@ -347,30 +347,11 @@ object Round11Queries {
     // shape: one day/type agg over the corpus, then day-keyed joins on the
     // calendar-sized frame — the corpus pays one pass.
     "r_drift_detect" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
-        col("event_type"))
-      val daily = ev.groupBy(col("day"), col("event_type"))
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      val tot = daily.groupBy(col("day")).agg(sum(col("cnt")).as("total"))
-      val bp = daily.join(tot, Seq("day"))
-        .select(col("day"), col("event_type"),
-          intDiv(col("cnt") * lit(10000L), col("total")).as("bp"))
-      val bounds = ev.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
-      val t = bp.as("t"); val p = bp.as("p")
-      val aligned = t.join(p,
-          col("t.day") === date_add(col("p.day"), 1) &&
-            col("t.event_type") === col("p.event_type"), "full_outer")
-        .select(
-          coalesce(col("t.day"), date_add(col("p.day"), 1)).as("day"),
-          abs(coalesce(col("t.bp"), lit(0L)) - coalesce(col("p.bp"), lit(0L)))
-            .as("d_bp"))
-      aligned.groupBy(col("day")).agg(sum(col("d_bp")).as("l1_bp"))
-        .join(tot, Seq("day"))
-        .crossJoin(broadcast(bounds))
-        .filter(col("day") > col("d_min") && col("day") <= col("d_max"))
-        .select(col("day"), col("total"), col("l1_bp"),
-          (col("l1_bp") > 1000L).as("drifted"))
-        .orderBy("day")
+      driftCore(daily, "day", b => date_add(b, 1))
     }),
 
     // R14/R13 (r11) — global session-concurrency curve: "how many sessions
@@ -542,6 +523,40 @@ object Round11Queries {
     * unroll).
     */
   private val PcaSteps = 6
+
+  /** Distribution-drift core shared by `r_drift_detect` (day buckets) and
+    * its STREAMING twin (finalized event-time windows — Round11Spec pins
+    * that `StreamingAggs.windowedCounts` output fed here equals the batch
+    * path on the same data): takes pre-aggregated (bucket, event_type,
+    * cnt) rows and a bucket successor, aligns consecutive buckets per
+    * type by full-outer join, and emits the integer basis-point L1
+    * distance per bucket with the >1000 bp drift flag.
+    */
+  def driftCore(counts: DataFrame, bucketCol: String,
+                succ: Column => Column): DataFrame = {
+    val daily = counts.withColumnRenamed(bucketCol, "bucket")
+    val tot = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("total"))
+    val bp = daily.join(tot, Seq("bucket"))
+      .select(col("bucket"), col("event_type"),
+        intDiv(col("cnt") * lit(10000L), col("total")).as("bp"))
+    val bounds = daily.agg(min(col("bucket")).as("b_min"),
+                           max(col("bucket")).as("b_max"))
+    val t = bp.as("t"); val p = bp.as("p")
+    val aligned = t.join(p,
+        col("t.bucket") === succ(col("p.bucket")) &&
+          col("t.event_type") === col("p.event_type"), "full_outer")
+      .select(
+        coalesce(col("t.bucket"), succ(col("p.bucket"))).as("bucket"),
+        abs(coalesce(col("t.bp"), lit(0L)) - coalesce(col("p.bp"), lit(0L)))
+          .as("d_bp"))
+    aligned.groupBy(col("bucket")).agg(sum(col("d_bp")).as("l1_bp"))
+      .join(tot, Seq("bucket"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("bucket") > col("b_min") && col("bucket") <= col("b_max"))
+      .select(col("bucket").as(bucketCol), col("total"), col("l1_bp"),
+        (col("l1_bp") > 1000L).as("drifted"))
+      .orderBy(bucketCol)
+  }
 
   private val bucketSql =
     """CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +

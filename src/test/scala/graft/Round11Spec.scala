@@ -234,6 +234,47 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- r_drift_detect streaming twin ---------------------------------
+
+  test("drift streaming twin: finalized windowed counts replay the batch path") {
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import WatermarkSpec.Ev
+    def t(minute: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    // three 10-minute windows with a deliberate mix shift in the middle one
+    val evs = Seq(
+      Ev("click", 1, t(1)), Ev("click", 2, t(2)), Ev("view", 3, t(4)),
+      Ev("view", 4, t(11)), Ev("view", 5, t(13)), Ev("view", 6, t(14)),
+      Ev("click", 7, t(21)), Ev("click", 8, t(22)), Ev("view", 9, t(24)))
+    val stream = MemoryStream[Ev](spark)
+    val out = StreamingAggs.windowedCounts(
+      stream.toDF(), "ts", "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_twin").start()
+    try {
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+      stream.addData(Ev("view", 99, t(59))) // close all three windows
+      q.processAllAvailable()
+      val streamed = spark.table("drift_twin")
+        .select(col("window.start").as("bucket"),
+          col("routing_key").as("event_type"), col("n").as("cnt"))
+      val batch = evs.toDF("event_type", "ordinal", "ts")
+        .groupBy(window(col("ts"), "10 minutes")("start").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val succ = (b: org.apache.spark.sql.Column) => b + expr("INTERVAL 10 MINUTES")
+      val a = Round11Queries.driftCore(streamed, "bucket", succ)
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      val b = Round11Queries.driftCore(batch, "bucket", succ)
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      assert(a === b, "finalized stream counts must replay the batch drift")
+      assert(a.length === 2 && a.forall(_._4), "the planted mix shifts must flag")
+    } finally q.stop()
+  }
+
   // ---- v_pca_power ---------------------------------------------------
 
   test("v_pca_power: renorm keeps unit scale; iteration contracts the delta") {
