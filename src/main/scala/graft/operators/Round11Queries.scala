@@ -268,74 +268,7 @@ object Round11Queries {
     // agree). No driver collect, no floats until the final display ratio;
     // `max_abs_delta` (v₆ vs v₅, integer units) is the oracled convergence
     // measure, so a non-converged direction cannot pass silently.
-    "v_pca_power" -> ((s, d) => {
-      // Gram build: per-partition 64×64 Long accumulators, then a 4096-key
-      // merge of the per-partition partials — the classic distributed Gram
-      // partial aggregation. The naive alternative (explode 4096
-      // (j, k, product) structs per row into a hash agg) shuffles
-      // rows×4096 entries and measured ~4-5 s of the query's steady-state
-      // at sf0.1; this form exchanges only partitions×4096 integers.
-      // Integer partials are order-independent, so parity is exact.
-      import s.implicits._
-      val quant = Tables.embeddings(s, d)
-        .filter(size(col("embedding")) === 64)
-        .select(expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("q"))
-        .as[Seq[Long]]
-      val S = quant
-        .mapPartitions { rows =>
-          val acc = Array.ofDim[Long](64, 64)
-          rows.foreach { arr =>
-            val a = arr.toArray
-            var j = 0
-            while (j < 64) {
-              val aj = a(j); var k = 0
-              while (k < 64) { acc(j)(k) += aj * a(k); k += 1 }
-              j += 1
-            }
-          }
-          Iterator.range(0, 64).flatMap(j =>
-            Iterator.range(0, 64).map(k => (j + 1, k + 1, acc(j)(k))))
-        }
-        .toDF("j", "k", "p")
-        .groupBy(col("j"), col("k")).agg(sum(col("p")).as("s"))
-      // The 4096-entry matrix is sub-threshold by construction, so the
-      // iteration runs as a SINGLE-TASK replay of the integer recurrence
-      // (the graph-family endgame discipline): the distributed form —
-      // per-step join + agg + max + renorm on 64-row frames — measured
-      // ~9-11 s steady-state of pure barrier overhead at sf0.1. The
-      // corpus-scale stage (the one-pass Gram build above) stays
-      // distributed; JVM Long division truncates toward zero exactly like
-      // IntegralDivide LEGACY and DuckDB `//`, and integer sums are
-      // order-independent, so this path is bit-equal to the oracle unroll.
-      import s.implicits._
-      val steps = PcaSteps
-      S.as[(Int, Int, Long)]
-        .repartition(1)
-        .mapPartitions { it =>
-          val m = Array.ofDim[Long](64, 64)
-          it.foreach { case (j, k, sv) => m(j - 1)(k - 1) = sv }
-          var v = Array.fill(64)(1000000L)
-          var prev = v
-          for (_ <- 1 to steps) {
-            val w = Array.tabulate(64) { j =>
-              var acc = 0L
-              var k = 0
-              while (k < 64) { acc += m(j)(k) * v(k); k += 1 }
-              acc
-            }
-            val mx = w.map(math.abs).max
-            val dnorm = math.max(mx / 1000000L, 1L)
-            prev = v
-            v = w.map(_ / dnorm)
-          }
-          val delta = (0 until 64).map(i => math.abs(v(i) - prev(i))).max
-          (0 until 64).iterator.map(i => (i + 1, v(i), prev(i), delta))
-        }
-        .toDF("dim", "v_unit", "v_prev_unit", "max_abs_delta")
-        .orderBy("dim")
-    }),
+    "v_pca_power" -> ((s, d) => pcaAxis(s, d).orderBy("dim")),
 
     // R13/R8 (r11) — day-over-day distribution drift: the data-monitoring
     // gate every production feed runs (alert when today's event-type mix
@@ -474,6 +407,33 @@ object Round11Queries {
         .orderBy("digit")
     }),
 
+    // R19 (r11) — PCA APPLY (v_pca_power's second half, the train→apply
+    // symmetry of v_ivfpq_trained): project every embedding onto the
+    // trained principal axis. The axis rides a ONE-ROW broadcast (the
+    // scalar-subquery pattern — no driver collect: the single-task
+    // iteration's 64 rows fold into one array column via a sorted
+    // collect), and each row's coordinate is the exact integer dot
+    // product of its milli-quantized components with the axis units —
+    // one corpus pass, the projection entirely inside codegen'd HOFs.
+    // At 100 TB this is the whitening/rotation pass an IVF-PQ build runs
+    // before quantizer training.
+    "v_whiten_project" -> ((s, d) => {
+      val axis = pcaAxis(s, d)
+        .agg(expr(
+          """transform(array_sort(collect_list(struct(dim, v_unit))),
+               p -> p.v_unit)""").as("axis"))
+      Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+        .crossJoin(broadcast(axis))
+        .select(col("vec_id"),
+          expr(
+            """aggregate(zip_with(
+                 transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                 axis, (q, v) -> q * v),
+               0L, (acc, x) -> acc + x)""").as("coord_units"))
+        .orderBy("vec_id")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -517,6 +477,83 @@ object Round11Queries {
     ColumnBridge.column(IntegralDivide(
       ColumnBridge.expression(a), ColumnBridge.expression(b),
       evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)).cast("long")
+  }
+
+
+  /** Trained principal-axis core shared by `v_pca_power` (reports it) and
+    * `v_whiten_project` (applies it): per-partition Gram partial agg over
+    * milli-quantized components, then the 6-step integer power iteration
+    * as a single-task replay. Returns one row per dimension:
+    * (dim, v_unit, v_prev_unit, max_abs_delta). See the v_pca_power
+    * Scaladoc/oracle for the exactness argument (truncating integral
+    * division shared by JVM Long `/`, Spark `div`, and DuckDB `//`).
+    */
+  def pcaAxis(s: SparkSession, d: String): DataFrame = {
+    // Gram build: per-partition 64×64 Long accumulators, then a 4096-key
+    // merge of the per-partition partials — the classic distributed Gram
+    // partial aggregation. The naive alternative (explode 4096
+    // (j, k, product) structs per row into a hash agg) shuffles
+    // rows×4096 entries and measured ~4-5 s of the query's steady-state
+    // at sf0.1; this form exchanges only partitions×4096 integers.
+    // Integer partials are order-independent, so parity is exact.
+    import s.implicits._
+    val quant = Tables.embeddings(s, d)
+      .filter(size(col("embedding")) === 64)
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+      .as[Seq[Long]]
+    val S = quant
+      .mapPartitions { rows =>
+        val acc = Array.ofDim[Long](64, 64)
+        rows.foreach { arr =>
+          val a = arr.toArray
+          var j = 0
+          while (j < 64) {
+            val aj = a(j); var k = 0
+            while (k < 64) { acc(j)(k) += aj * a(k); k += 1 }
+            j += 1
+          }
+        }
+        Iterator.range(0, 64).flatMap(j =>
+          Iterator.range(0, 64).map(k => (j + 1, k + 1, acc(j)(k))))
+      }
+      .toDF("j", "k", "p")
+      .groupBy(col("j"), col("k")).agg(sum(col("p")).as("s"))
+    // The 4096-entry matrix is sub-threshold by construction, so the
+    // iteration runs as a SINGLE-TASK replay of the integer recurrence
+    // (the graph-family endgame discipline): the distributed form —
+    // per-step join + agg + max + renorm on 64-row frames — measured
+    // ~9-11 s steady-state of pure barrier overhead at sf0.1. The
+    // corpus-scale stage (the one-pass Gram build above) stays
+    // distributed; JVM Long division truncates toward zero exactly like
+    // IntegralDivide LEGACY and DuckDB `//`, and integer sums are
+    // order-independent, so this path is bit-equal to the oracle unroll.
+    import s.implicits._
+    val steps = PcaSteps
+    S.as[(Int, Int, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val m = Array.ofDim[Long](64, 64)
+        it.foreach { case (j, k, sv) => m(j - 1)(k - 1) = sv }
+        var v = Array.fill(64)(1000000L)
+        var prev = v
+        for (_ <- 1 to steps) {
+          val w = Array.tabulate(64) { j =>
+            var acc = 0L
+            var k = 0
+            while (k < 64) { acc += m(j)(k) * v(k); k += 1 }
+            acc
+          }
+          val mx = w.map(math.abs).max
+          val dnorm = math.max(mx / 1000000L, 1L)
+          prev = v
+          v = w.map(_ / dnorm)
+        }
+        val delta = (0 until 64).map(i => math.abs(v(i) - prev(i))).max
+        (0 until 64).iterator.map(i => (i + 1, v(i), prev(i), delta))
+      }
+      .toDF("dim", "v_unit", "v_prev_unit", "max_abs_delta")
   }
 
   /** Power-iteration step count for v_pca_power (mirrored in the oracle
@@ -736,6 +773,40 @@ object Round11Queries {
                  conv.max_abs_delta
           FROM v$PcaSteps a JOIN v${PcaSteps - 1} b ON a.k = b.k, conv
           ORDER BY dim"""
+    },
+
+    "v_whiten_project" -> {
+      // same trained-axis unroll as v_pca_power, then the exact integer
+      // projection: coord = Σ_k floor(e[k]·1000) · v6.u(k) per vector
+      val step = (i: Int) =>
+        s"""w$i AS MATERIALIZED (
+              SELECT s.j, CAST(sum(s.s * v.u) AS BIGINT) AS w
+              FROM s JOIN v${i - 1} v ON s.k = v.k GROUP BY s.j),
+            m$i AS MATERIALIZED (
+              SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w$i),
+            v$i AS MATERIALIZED (
+              SELECT CAST(w.j AS INT) AS k, CAST(w.w // m.d AS BIGINT) AS u
+              FROM w$i w, m$i m)"""
+      s"""WITH el AS MATERIALIZED (
+            SELECT e.vec_id, t.j,
+                   CAST(floor(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+                              * 1000) AS BIGINT) AS q
+            FROM embeddings e, range(1, 65) t(j)
+            WHERE len(e.embedding) = 64),
+          s AS MATERIALIZED (
+            SELECT CAST(a.j AS INT) AS j, CAST(b.j AS INT) AS k,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS s
+            FROM el a JOIN el b ON a.vec_id = b.vec_id
+            GROUP BY a.j, b.j),
+          v0 AS MATERIALIZED (
+            SELECT CAST(j AS INT) AS k, CAST(1000000 AS BIGINT) AS u
+            FROM range(1, 65) t(j)),
+          ${(1 to PcaSteps).map(step).mkString(",\n")}
+          SELECT el.vec_id,
+                 CAST(sum(el.q * v.u) AS BIGINT) AS coord_units
+          FROM el JOIN v$PcaSteps v ON v.k = el.j
+          GROUP BY el.vec_id
+          ORDER BY el.vec_id"""
     },
 
     "r_drift_detect" ->

@@ -291,6 +291,33 @@ class Round11Spec extends SparkSpec {
     assert(delta < 400000L)
   }
 
+  // ---- v_whiten_project ----------------------------------------------
+
+  test("v_whiten_project: the learned axis beats every coordinate axis") {
+    // the top principal direction maximizes the uncentered second moment
+    // over unit vectors, so the projection's energy (normalized by |v|^2)
+    // must be >= the energy along each raw coordinate axis — a semantic
+    // pin that the iteration actually learned the dominant direction
+    val axis = Round11Queries.pcaAxis(spark, sf).collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("v_unit"))
+    val q = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .selectExpr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val coords = Round11Queries.defs("v_whiten_project")(spark, sf)
+      .collect().map(_.getAs[Long]("coord_units"))
+    val vNorm2 = axis.map(v => v.toDouble * v).sum
+    val projEnergy = coords.map(c => c.toDouble * c).sum / vNorm2
+    (0 until 64).foreach { j =>
+      val axisEnergy = q.map(r => r(j).toDouble * r(j)).sum
+      assert(projEnergy >= axisEnergy,
+        s"axis $j energy $axisEnergy exceeds projection energy $projEnergy")
+    }
+    // and the projection is the exact dot product of the published axis
+    val recomputed = q.map(r => r.zip(axis).map { case (a, b) => a * b }.sum)
+    assert(recomputed.sorted.toSeq === coords.sorted.toSeq)
+  }
+
   // ---- r_resample_gapfill --------------------------------------------
 
   test("r_resample_gapfill: complete grid, LOCF semantics, gap flags") {
