@@ -434,6 +434,38 @@ object Round11Queries {
         .orderBy("vec_id")
     }),
 
+    // R17/R18/R20 (r11) — quality-aware near-dup representative selection:
+    // real pipelines keep the BEST member of a near-dup cluster, not the
+    // first — d_dedup_cluster's min-doc_id label is arbitrary when members
+    // differ in quality (near-dup texts DO differ, so the classifier score
+    // discriminates; exact-dup groups would all tie). Clusters come from
+    // the shared edge-subgraph components (iteration cost tracks
+    // duplicates found, not corpus size); representative = argmax
+    // (classifier score units, then min doc_id) per cluster. The naive
+    // pick ships alongside — `same_as_naive` makes the policy difference
+    // auditable instead of silent.
+    "d_dedup_keep_best" -> ((s, d) => {
+      val units = expr(
+        s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+      val edges = DedupQueries.adjacentJaccard(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = ConnectedComponents.ofEdges(edges)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), units.as("score_units"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("score_units").desc, col("doc_id"))
+      labels.join(scored, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("kept_doc_id"),
+          max(when(col("rk") === 1, col("score_units"))).as("kept_score_units"),
+          min(col("doc_id")).as("naive_doc_id"))
+        .withColumn("same_as_naive", col("kept_doc_id") === col("naive_doc_id"))
+        .orderBy("cluster_id")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -923,6 +955,48 @@ object Round11Queries {
          SELECT digit, cnt, obs_bp, exp_bp, dev_bp, total_dev_bp,
                 total_dev_bp <= 1500 AS benford_like
          FROM dev, l1 ORDER BY digit""",
+
+    "d_dedup_keep_best" ->
+      s"""WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, CAST(count(*) AS BIGINT) AS i
+           FROM tok a JOIN tok b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+           GROUP BY a.doc_id),
+         edge AS (
+           SELECT doc_a FROM inter
+             JOIN sz sa ON sa.doc_id = doc_a
+             JOIN sz sb ON sb.doc_id = doc_a + 1
+           WHERE floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.5),
+         marks AS (
+           SELECT d.doc_id,
+                  CASE WHEN e.doc_a IS NULL THEN d.doc_id END AS start_id
+           FROM documents d LEFT JOIN edge e ON e.doc_a = d.doc_id - 1),
+         comp AS (
+           SELECT doc_id,
+                  max(start_id) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
+           FROM marks),
+         bag AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         score AS (
+           SELECT doc_id,
+                  CAST(sum(($bucketSql * 1103515245 + 12345) % 2048 - 1024)
+                       AS BIGINT) AS score_units
+           FROM bag GROUP BY doc_id),
+         mem AS (
+           SELECT c.doc_id, c.cluster_id, s.score_units,
+                  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+                  row_number() OVER (PARTITION BY cluster_id
+                    ORDER BY s.score_units DESC, c.doc_id) AS rk,
+                  min(c.doc_id) OVER (PARTITION BY cluster_id) AS naive_doc_id
+           FROM comp c JOIN score s ON s.doc_id = c.doc_id)
+         SELECT cluster_id, n_members, doc_id AS kept_doc_id,
+                score_units AS kept_score_units, naive_doc_id,
+                doc_id = naive_doc_id AS same_as_naive
+         FROM mem WHERE rk = 1 AND n_members > 1
+         ORDER BY cluster_id""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -143,6 +143,37 @@ class Round11Spec extends SparkSpec {
       "top-3 corpus bigrams must actually merge somewhere")
   }
 
+  // ---- d_dedup_keep_best ---------------------------------------------
+
+  test("d_dedup_keep_best: kept member maximizes score within its cluster") {
+    val rows = Round11Queries.defs("d_dedup_keep_best")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // memberships from the registered cluster census; scores from the
+    // registered classifier — two independent oracled queries
+    val members = SparkEntry.queries("d_dedup_cluster")(spark, sf)
+      .filter(col("cluster_size") > 1)
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+    val scores = Round11Queries.defs("t_classifier_score")(spark, sf)
+      .select(col("doc_id"), col("score_units")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet === members.keySet)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val kept = r.getAs[Long]("kept_doc_id")
+      val ms = members(cid)
+      assert(ms.contains(kept), s"kept $kept must be in cluster $cid")
+      assert(ms.forall(m => scores(m) < scores(kept) ||
+        (scores(m) == scores(kept) && m >= kept)),
+        s"cluster $cid: kept $kept is not the argmax")
+      assert(r.getAs[Long]("kept_score_units") === scores(kept))
+      assert(r.getAs[Long]("naive_doc_id") === ms.min)
+      assert(r.getAs[Long]("n_members") === ms.length.toLong)
+    }
+    // the policy must actually differ from naive somewhere on real data
+    assert(rows.exists(!_.getAs[Boolean]("same_as_naive")))
+  }
+
   // ---- q_benford -----------------------------------------------------
 
   test("benford: integer leading-digit extraction avoids the log10 ulp trap") {
