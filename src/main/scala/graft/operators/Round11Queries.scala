@@ -466,6 +466,46 @@ object Round11Queries {
         .orderBy("cluster_id")
     }),
 
+    // R13/R8 (r11) — seasonality-aware drift: `r_drift_detect` flags any
+    // day-over-day movement, but feeds with weekly rhythm (weekend mix ≠
+    // weekday mix) need the baseline to be "prior days of the SAME
+    // weekday", not yesterday. Each (day, type) share in basis points is
+    // compared against the truncating-integer mean of all PRIOR
+    // same-weekday shares (an expanding window per (weekday, type) —
+    // rows-between-unbounded-and-1-preceding, calendar-sized); the first
+    // week has no baseline and is excluded rather than flagged. Shares
+    // come off the complete day×type grid so a type absent on one day
+    // still contributes its |0 − baseline| deviation.
+    "r_drift_seasonal" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+      val grid = ev.select(col("day")).distinct()
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val daily = ev.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy(col("day")).agg(sum(col("cnt")).as("total"))
+      val bp = grid
+        .join(daily, Seq("day", "event_type"), "left")
+        .join(tot, Seq("day"))
+        .select(col("day"), col("event_type"), col("total"),
+          intDiv(coalesce(col("cnt"), lit(0L)) * lit(10000L), col("total"))
+            .as("bp"),
+          dayofweek(col("day")).as("weekday"))
+      val prior = Window.partitionBy(col("weekday"), col("event_type"))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bp
+        .withColumn("base_sum", sum(col("bp")).over(prior))
+        .withColumn("base_n", count(lit(1)).over(prior))
+        .filter(col("base_n") > 0)
+        .withColumn("baseline_bp", intDiv(col("base_sum"), col("base_n")))
+        .groupBy(col("day"))
+        .agg(max(col("weekday")).as("weekday"), max(col("total")).as("total"),
+          sum(abs(col("bp") - col("baseline_bp"))).as("l1_bp"))
+        .withColumn("drifted", col("l1_bp") > 1000L)
+        .orderBy("day")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -997,6 +1037,38 @@ object Round11Queries {
                 doc_id = naive_doc_id AS same_as_naive
          FROM mem WHERE rk = 1 AND n_members > 1
          ORDER BY cluster_id""",
+
+    "r_drift_seasonal" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+         grid AS (SELECT d.day, t.event_type
+                  FROM (SELECT DISTINCT day FROM ev) d,
+                       (SELECT DISTINCT event_type FROM ev) t),
+         daily AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS cnt
+                   FROM ev GROUP BY day, event_type),
+         tot AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS total
+                 FROM daily GROUP BY day),
+         bp AS (
+           SELECT g.day, g.event_type, tot.total,
+                  CAST((coalesce(d.cnt, 0) * 10000) // tot.total AS BIGINT) AS bp,
+                  CAST(dayofweek(g.day) + 1 AS INT) AS weekday
+           FROM grid g
+           LEFT JOIN daily d ON d.day = g.day AND d.event_type = g.event_type
+           JOIN tot ON tot.day = g.day),
+         based AS (
+           SELECT *,
+                  sum(bp) OVER w AS base_sum,
+                  count(*) OVER w AS base_n
+           FROM bp
+           WINDOW w AS (PARTITION BY weekday, event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT day, CAST(max(weekday) AS INT) AS weekday,
+                CAST(max(total) AS BIGINT) AS total,
+                CAST(sum(abs(bp - CAST(base_sum // base_n AS BIGINT))) AS BIGINT)
+                  AS l1_bp,
+                CAST(sum(abs(bp - CAST(base_sum // base_n AS BIGINT))) AS BIGINT)
+                  > 1000 AS drifted
+         FROM based WHERE base_n > 0
+         GROUP BY day ORDER BY day""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -230,6 +230,27 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- r_drift_seasonal ----------------------------------------------
+
+  test("r_drift_seasonal: weekday baseline absorbs rhythm the daily diff flags") {
+    val seasonal = Round11Queries.defs("r_drift_seasonal")(spark, sf).collect()
+    val daily = Round11Queries.defs("r_drift_detect")(spark, sf).collect()
+    // first full week has no same-weekday prior: 7 fewer rows than days
+    val nDays = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(seasonal.length.toLong === nDays - 7)
+    seasonal.foreach { r =>
+      val wd = r.getAs[Int]("weekday")
+      assert(wd >= 1 && wd <= 7)
+      assert(r.getAs[Boolean]("drifted") === (r.getAs[Long]("l1_bp") > 1000L))
+    }
+    // the seasonal baseline should flag no MORE days than the naive
+    // adjacent-day comparison on this deterministic corpus
+    val flaggedSeasonal = seasonal.count(_.getAs[Boolean]("drifted"))
+    val flaggedDaily = daily.count(_.getAs[Boolean]("drifted"))
+    assert(flaggedSeasonal <= flaggedDaily)
+  }
+
   // ---- r_concurrency_curve -------------------------------------------
 
   test("r_concurrency_curve: sweep-line conservation and peak flag") {
