@@ -506,6 +506,32 @@ object Round11Queries {
         .orderBy("day")
     }),
 
+    // R19 (r11) — per-dimension quantile normalization: the rank-transform
+    // preprocessing step that makes heavy-tailed embedding dimensions
+    // comparable before quantization (int8/PQ codebooks train better on
+    // uniformized marginals). Each component's rank within its dimension
+    // maps to a basis-point quantile (rank−1)·10⁴ div (n−1) — exact
+    // integers; ordering is on the raw float values (identical bits in
+    // both engines ⇒ identical order) with vec_id as the total-order
+    // tie-break. Scale shape: one explode to (dim, value) and a 64-way
+    // partitioned rank — each dimension sorts independently, the classic
+    // per-feature parallelism; nothing global.
+    "v_quantile_norm" -> ((s, d) => {
+      val el = Tables.embeddings(s, d)
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), (col("i") + 1).as("dim"),
+          col("x").cast("double").as("x"))
+      val byDim = Window.partitionBy(col("dim")).orderBy(col("x"), col("vec_id"))
+      val n = el.groupBy(col("dim")).agg(count(lit(1)).as("n"))
+      el.withColumn("rk", row_number().over(byDim))
+        .join(broadcast(n), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          intDiv((col("rk") - 1).cast("long") * lit(10000L),
+                 (col("n") - 1).cast("long")).as("quantile_bp"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -1069,6 +1095,22 @@ object Round11Queries {
                   > 1000 AS drifted
          FROM based WHERE base_n > 0
          GROUP BY day ORDER BY day""",
+
+    "v_quantile_norm" ->
+      """WITH el AS (
+           SELECT vec_id, CAST(t.i AS INT) AS dim,
+                  CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+           FROM embeddings, range(1, 65) t(i)
+           WHERE len(embedding) = 64),
+         n AS (SELECT dim, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY dim),
+         rk AS (
+           SELECT vec_id, dim,
+                  row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rk
+           FROM el)
+         SELECT rk.vec_id, rk.dim,
+                CAST(((rk.rk - 1) * 10000) // (n.n - 1) AS BIGINT) AS quantile_bp
+         FROM rk JOIN n ON n.dim = rk.dim
+         ORDER BY rk.vec_id, rk.dim""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -370,6 +370,33 @@ class Round11Spec extends SparkSpec {
     assert(recomputed.sorted.toSeq === coords.sorted.toSeq)
   }
 
+  // ---- v_quantile_norm -----------------------------------------------
+
+  test("v_quantile_norm: each dim is a 0..10000 permutation preserving order") {
+    val rows = Round11Queries.defs("v_quantile_norm")(spark, sf).collect()
+    val byDim = rows.groupBy(_.getAs[Int]("dim"))
+    assert(byDim.size === 64)
+    val raw = Tables.embeddings(spark, sf)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    byDim.foreach { case (dim, rs) =>
+      val qs = rs.map(_.getAs[Long]("quantile_bp"))
+      assert(qs.min === 0L && qs.max === 10000L)
+      assert(qs.distinct.length === qs.length, s"dim $dim: ranks must be unique")
+      // monotone: higher raw value => higher quantile (vec_id tie-break)
+      val sorted = rs.sortBy(_.getAs[Long]("quantile_bp"))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          val (lv, hv) = (raw(lo.getAs[Long]("vec_id"))(dim - 1),
+            raw(hi.getAs[Long]("vec_id"))(dim - 1))
+          assert(lv < hv || (lv == hv &&
+            lo.getAs[Long]("vec_id") < hi.getAs[Long]("vec_id")))
+        case _ =>
+      }
+    }
+  }
+
   // ---- r_resample_gapfill --------------------------------------------
 
   test("r_resample_gapfill: complete grid, LOCF semantics, gap flags") {
