@@ -532,6 +532,43 @@ object Round11Queries {
         .orderBy("vec_id", "dim")
     }),
 
+    // R17/R18/R20 capstone v3 (r11) — the corpus build re-based on this
+    // session's gates: model-based classifier gate (positive hashed-
+    // feature score — the fastText stage real pipelines run AFTER
+    // heuristics) → near-dup clusters over the SURVIVORS → quality-aware
+    // keep-best representative per cluster (not min-id). v1/v2 stay
+    // registered unchanged; v3 extends the regression family with the
+    // policy modern pipelines actually ship. Output = per-source
+    // survivor census (docs + token budget) — the mixing-table input.
+    // Every stage is a keyed shuffle or per-row scan; cluster iteration
+    // cost tracks duplicates found, not corpus size.
+    "d_corpus_build_v3" -> ((s, d) => {
+      val units = expr(
+        s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          units.as("score_units"))
+        .filter(col("score_units") > 0)
+        .localCheckpoint(true) // consumed by edges-restrict, scoring, and census
+      val edges = DedupQueries.adjacentJaccard(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .join(gated.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(gated.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = ConnectedComponents.ofEdges(edges)
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("score_units").desc, col("doc_id"))
+      val dropped = labels.join(gated, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select(col("doc_id"))
+      gated.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -1111,6 +1148,54 @@ object Round11Queries {
                 CAST(((rk.rk - 1) * 10000) // (n.n - 1) AS BIGINT) AS quantile_bp
          FROM rk JOIN n ON n.dim = rk.dim
          ORDER BY rk.vec_id, rk.dim""",
+
+    "d_corpus_build_v3" ->
+      s"""WITH bag AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         score AS (
+           SELECT doc_id,
+                  CAST(sum(($bucketSql * 1103515245 + 12345) % 2048 - 1024)
+                       AS BIGINT) AS score_units,
+                  CAST(count(*) AS BIGINT) AS n_tokens
+           FROM bag GROUP BY doc_id),
+         gated AS (
+           SELECT d.doc_id, d.source, s.n_tokens, s.score_units
+           FROM documents d JOIN score s ON s.doc_id = d.doc_id
+           WHERE s.score_units > 0),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, CAST(count(*) AS BIGINT) AS i
+           FROM tok a JOIN tok b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+           GROUP BY a.doc_id),
+         edge AS (
+           SELECT doc_a FROM inter
+             JOIN sz sa ON sa.doc_id = doc_a
+             JOIN sz sb ON sb.doc_id = doc_a + 1
+           WHERE floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5) / 10000 >= 0.5
+             AND doc_a IN (SELECT doc_id FROM gated)
+             AND doc_a + 1 IN (SELECT doc_id FROM gated)),
+         marks AS (
+           SELECT g.doc_id,
+                  CASE WHEN e.doc_a IS NULL THEN g.doc_id END AS start_id
+           FROM gated g LEFT JOIN edge e ON e.doc_a = g.doc_id - 1),
+         comp AS (
+           SELECT doc_id,
+                  max(start_id) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster_id
+           FROM marks),
+         ranked AS (
+           SELECT c.doc_id, c.cluster_id,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                    ORDER BY g.score_units DESC, c.doc_id) AS rk
+           FROM comp c JOIN gated g ON g.doc_id = c.doc_id)
+         SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(g.n_tokens) AS BIGINT) AS n_tokens
+         FROM gated g JOIN ranked r ON r.doc_id = g.doc_id
+         WHERE r.rk = 1
+         GROUP BY g.source ORDER BY g.source""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

@@ -174,6 +174,50 @@ class Round11Spec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("same_as_naive")))
   }
 
+  // ---- d_corpus_build_v3 ---------------------------------------------
+
+  test("d_corpus_build_v3: survivors match an independent Scala fold") {
+    val out = Round11Queries.defs("d_corpus_build_v3")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent replay: gate by classifier score, cluster gated adjacents
+    // at jaccard >= 0.5 (rounded as the engine rounds), keep the argmax
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val scores = Round11Queries.defs("t_classifier_score")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_units"))
+      .toMap
+    val gated = docs.filter(d => scores(d._1) > 0)
+    val gatedIds = gated.map(_._1).toSet
+    def toks(t: String) = t.split(" ").toSet
+    def jacc(a: Set[String], b: Set[String]) = {
+      val i = (a & b).size.toDouble
+      math.floor(i / (a.size + b.size - i) * 10000 + 0.5) / 10000
+    }
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val edge = gated.map(_._1).filter(id => gatedIds.contains(id + 1) &&
+      byId.contains(id) && jacc(toks(byId(id)), toks(byId(id + 1))) >= 0.5).toSet
+    // runs over gated ids: a run starts where no edge arrives from id-1
+    var kept = List.empty[Long]
+    var cluster = List.empty[Long]
+    def flush(): Unit = if (cluster.nonEmpty) {
+      kept ::= cluster.maxBy(id => (scores(id), -id))
+      cluster = Nil
+    }
+    gated.map(_._1).foreach { id =>
+      if (!edge.contains(id - 1)) flush()
+      cluster ::= id
+    }
+    flush()
+    val keptSet = kept.toSet
+    val bySource = gated.filter(d => keptSet.contains(d._1))
+      .groupBy(_._2).map { case (s, ds) =>
+        s -> (ds.length.toLong, ds.map(d => d._3.split(" ").length.toLong).sum)
+      }
+    assert(out === bySource)
+  }
+
   // ---- q_benford -----------------------------------------------------
 
   test("benford: integer leading-digit extraction avoids the log10 ulp trap") {
