@@ -569,6 +569,30 @@ object Round11Queries {
         .orderBy("source")
     }),
 
+    // R10/R17 (r11) — multi-epoch shuffle plan: training needs each epoch
+    // to visit every document exactly once in a DIFFERENT pseudo-random
+    // order, reproducibly — and a global sort per epoch is exactly what a
+    // 100 TB corpus cannot afford. The shuffle-free plan: shard =
+    // LCG(doc, epoch) mod S (a hash partition), position = rank within
+    // the shard by a second keyed hash — each shard sorts independently
+    // (per-shard parallelism, shard size ≈ corpus/S), and determinism
+    // makes the schedule resumable mid-epoch. Three epochs emitted; the
+    // spec pins the permutation property and that epochs actually differ.
+    "d_epoch_shuffle" -> ((s, d) => {
+      val h = (col("doc_id") * lit(2654435761L) + col("epoch") * lit(40503L)
+        + lit(12345L)) % lit(2147483648L)
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("epoch"))
+        .withColumn("h", h)
+        .withColumn("shard", (col("h") % lit(8L)).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("epoch").cast("int").as("epoch"), col("shard"),
+          col("doc_id"), col("pos"))
+        .orderBy("epoch", "shard", "pos")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -1196,6 +1220,24 @@ object Round11Queries {
          FROM gated g JOIN ranked r ON r.doc_id = g.doc_id
          WHERE r.rk = 1
          GROUP BY g.source ORDER BY g.source""",
+
+    "d_epoch_shuffle" ->
+      """WITH base AS (
+           SELECT doc_id, unnest(generate_series(0, 2)) AS epoch
+           FROM documents),
+         hashed AS (
+           SELECT CAST(epoch AS INT) AS epoch, doc_id,
+                  (doc_id * 2654435761 + epoch * 40503 + 12345)
+                    % 2147483648 AS h
+           FROM base),
+         sharded AS (
+           SELECT epoch, doc_id, h, CAST(h % 8 AS INT) AS shard
+           FROM hashed)
+         SELECT epoch, shard, doc_id,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                       ORDER BY h, doc_id) AS INT) AS pos
+         FROM sharded
+         ORDER BY epoch, shard, pos""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

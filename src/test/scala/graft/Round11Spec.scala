@@ -218,6 +218,31 @@ class Round11Spec extends SparkSpec {
     assert(out === bySource)
   }
 
+  // ---- d_epoch_shuffle -----------------------------------------------
+
+  test("d_epoch_shuffle: per-epoch permutation, distinct orders, resumable") {
+    val rows = Round11Queries.defs("d_epoch_shuffle")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    val orders = byEpoch.map { case (e, rs) =>
+      // every doc exactly once per epoch
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length.toLong === nDocs)
+      // positions are dense 1..k within each shard
+      rs.groupBy(_.getAs[Int]("shard")).foreach { case (_, srs) =>
+        assert(srs.map(_.getAs[Int]("pos")).sorted.toSeq ===
+          (1 to srs.length).toSeq)
+      }
+      e -> rs.sortBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+        .map(_.getAs[Long]("doc_id")).toSeq
+    }
+    // epochs must actually reorder the corpus
+    assert(orders(0) != orders(1) && orders(1) != orders(2))
+    // determinism: a second run yields the identical schedule
+    val again = Round11Queries.defs("d_epoch_shuffle")(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
   // ---- q_benford -----------------------------------------------------
 
   test("benford: integer leading-digit extraction avoids the log10 ulp trap") {
