@@ -6,31 +6,30 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-11 third-session additions (SURVEY.md §2): four pipeline shapes the
-  * inventory did not yet cover —
+/** Round-11 third-session additions (SURVEY.md §2) — the operator-expansion
+  * wave. Pipeline hygiene / quality: `t_classifier_score` (hashed-feature
+  * fastText-style quality filter), `t_bpe_apply` (tokenizer train→apply
+  * with a reversibility round-trip), `d_dedup_keep_best` (quality-aware
+  * near-dup representative), `d_corpus_build_v3` (capstone composing the
+  * classifier gate + keep-best selection), `d_epoch_shuffle` (deterministic
+  * multi-epoch shard shuffle plan). Approximate / sketch algebra:
+  * `q_approx_groupby_ci` (Horvitz–Thompson sampled GROUP BY with 95%
+  * half-widths), `q_hll_intersect` (inclusion–exclusion sketch
+  * intersection). Warehouse / time series: `q_entity_resolution` (blocked
+  * fuzzy matching), `r_resample_gapfill` (calendar grid + LOCF),
+  * `r_rollup_delta` (incremental rollup refresh by partial-agg merge),
+  * `r_drift_detect` / `r_drift_seasonal` (+ the shared streaming-twin
+  * `driftCore`), `r_concurrency_curve` (session sweep line),
+  * `q_trending_rank_delta` (native-TopKPerKey leaderboard movement),
+  * `q_benford` (first-digit forensic audit). Vector: `v_pca_power`
+  * (integer-exact power iteration), `v_whiten_project` (its apply half),
+  * `v_quantile_norm` (per-dimension rank transform).
   *
-  *   - `t_classifier_score`: a hashed-feature linear quality classifier
-  *     (the fastText-style "model-based quality filter" every modern
-  *     pre-training pipeline runs after the heuristic gates; the reference's
-  *     per-message dispatch loop `app/app.py:463-494` is the closest analog
-  *     of a per-record scoring pass).
-  *   - `q_approx_groupby_ci`: sampled GROUP BY with a Horvitz–Thompson
-  *     estimate and a 95% confidence half-width — the approximate-
-  *     aggregation shape (BlinkDB-style) that answers "roughly how big is
-  *     each group" by reading a fixed fraction of a 100 TB table.
-  *   - `q_entity_resolution`: blocked fuzzy entity matching — exact-dedup to
-  *     a vocabulary-sized entity table, block on a cheap key, pair-join only
-  *     within blocks, edit-distance verify. The canonical ER shape (the
-  *     all-pairs join it avoids is quadratic in the corpus).
-  *   - `r_resample_gapfill`: per-key calendar resampling — generate the full
-  *     day grid per key, left-join observed daily aggregates, LOCF-fill the
-  *     gaps (the time-series feature-table normalization step; extends
-  *     `q_ignore_nulls`, which fills only over EXISTING rows, with grid
-  *     generation for MISSING ones).
-  *
-  * All four are built from codegen'd built-ins; every shuffle is keyed on a
-  * group/block column whose cardinality is bounded (6 agg groups, noun-count
-  * blocks, user×day grid), never on the corpus itself.
+  * Shared discipline: every shuffle is keyed on a bounded-cardinality
+  * column (agg groups, blocks, calendar cells, shards, matrix indices) —
+  * never the corpus; iterative state below the sub-threshold runs as a
+  * single-task replay of the identical integer recurrence; float ops are
+  * floorRound-pinned or avoided via integer units end to end.
   */
 object Round11Queries {
 
