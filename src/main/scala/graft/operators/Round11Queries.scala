@@ -46,6 +46,14 @@ object Round11Queries {
     """(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT)
         * 1103515245 + 12345) % 2048 - 1024"""
 
+  /** The per-doc classifier score fold — ONE definition shared by
+    * `t_classifier_score`, `d_dedup_keep_best`, and `d_corpus_build_v3`
+    * so a scoring tweak cannot silently desynchronize the gate from the
+    * reported score.
+    */
+  private def scoreUnitsExpr: Column = expr(
+    s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R20 — model-based quality filter: score = mean hashed-feature weight
     // over the token bag, kept = positive score. One scan, zero shuffles
@@ -53,8 +61,7 @@ object Round11Queries {
     // whole-stage codegen (aggregate over split — no explode, so a 100 TB
     // corpus pays one pass and no token-level exchange).
     "t_classifier_score" -> ((s, d) => {
-      val units = expr(
-        s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+      val units = scoreUnitsExpr
       val nTok = size(split(col("text"), " ")).cast("long")
       Tables.documents(s, d)
         .select(col("doc_id"), nTok.as("n_tokens"), units.as("score_units"))
@@ -76,7 +83,13 @@ object Round11Queries {
     // branches fold into ONE conditional aggregation pass (6 groups, exact
     // integer sums, map-side partial agg).
     "q_approx_groupby_ci" -> ((s, d) => {
-      val rk = col("l_orderkey") * lit(16L) + col("l_linenumber").cast("long")
+      // rk is reduced mod 2^31 BEFORE the LCG multiply: the raw key times
+      // 1103515245 overflows Long once l_orderkey passes ~5.2e8 (TPC-H
+      // sf≈90) — Spark would wrap silently (negative remainders all
+      // sample) while DuckDB raises; the pre-reduction keeps the product
+      // ≤ 2.4e18 on both engines at any scale.
+      val rk = (col("l_orderkey") * lit(16L) + col("l_linenumber").cast("long")) %
+        lit(2147483648L)
       val sampled = (rk * lit(1103515245L) + lit(12345L)) % lit(2147483648L) <
         lit(214748365L)
       val q = col("l_quantity")
@@ -152,6 +165,11 @@ object Round11Queries {
       val docsDf = Tables.documents(s, d)
       val top3 = docsDf
         .select(split(col("text"), " ").as("t"))
+        // size >= 2 guard: Spark's sequence(1, 0) DESCENDS, so a 1-token
+        // doc would evaluate element_at(t, 0) and throw — the hazard
+        // Round4Queries' collocation miner documents; DuckDB's range(1, 1)
+        // is empty, so the filtered result is identical on both engines
+        .filter(size(col("t")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(t) - 1),
                i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""))
@@ -259,14 +277,15 @@ object Round11Queries {
     // the standard recall lever; this query computes the first axis). The
     // pipeline quantizes each component to integer milli-units (exact
     // cross-engine), builds the 64×64 second-moment matrix in ONE corpus
-    // pass (per-row outer-product explode → 4096-key partial agg — the
-    // map-side-combine Gram pattern; the corpus never self-joins), then
-    // runs 6 matrix-vector iterations entirely on 64-row frames: w = S·v,
-    // renormalized each step to ~10⁶ units by exact floor division (pmod
-    // form — Spark `div` truncates, DuckDB `//` floors; negatives must
-    // agree). No driver collect, no floats until the final display ratio;
-    // `max_abs_delta` (v₆ vs v₅, integer units) is the oracled convergence
-    // measure, so a non-converged direction cannot pass silently.
+    // pass (per-partition Gram partial agg — see pcaAxis; the corpus
+    // never self-joins), then runs 6 matrix-vector iterations as a
+    // single-task replay: w = S·v, renormalized each step to ~10⁶ units
+    // by TRUNCATING integer division — the semantics JVM Long `/`,
+    // Spark `div`, and DuckDB `//` all share (verified on negatives), so
+    // no floor adjustment exists or is needed. No driver collect, no
+    // floats anywhere; `max_abs_delta` (v₆ vs v₅, integer units) is the
+    // oracled convergence measure, so a non-converged direction cannot
+    // pass silently.
     "v_pca_power" -> ((s, d) => pcaAxis(s, d).orderBy("dim")),
 
     // R13/R8 (r11) — day-over-day distribution drift: the data-monitoring
@@ -310,28 +329,32 @@ object Round11Queries {
         .groupBy(col("user_id"), col("session_id"))
         .agg(date_trunc("hour", min(col("ts"))).as("sh"),
              date_trunc("hour", max(col("ts"))).as("eh"))
+        // checkpointed: starts and ends both read it — without this the
+        // corpus-wide two-window sessionization executes per consumer
+        .localCheckpoint(true)
       val starts = ses.groupBy(col("sh").as("hour"))
         .agg(count(lit(1)).as("n_start"))
       val ends = ses.groupBy(col("eh").as("hour"))
         .agg(count(lit(1)).as("n_end"))
-      val deltas = ses.select(col("sh").as("hour"), lit(1L).as("delta"))
-        .unionByName(ses.select(
-          (col("eh") + expr("INTERVAL 1 HOUR")).as("hour"), lit(-1L).as("delta")))
-        .groupBy(col("hour")).agg(sum(col("delta")).as("delta"))
       val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
                           date_trunc("hour", max(col("ts"))).as("h1"))
       val grid = bounds
         .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
       val wH = Window.orderBy(col("hour"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the sweep deltas derive from the already-aggregated hour-keyed
+      // frames (+n_start at h, −n_end one hour later) — no third and
+      // fourth pass over the session frame
       val curve = grid
         .join(starts, Seq("hour"), "left")
+        .join(ends.select((col("hour") + expr("INTERVAL 1 HOUR")).as("hour"),
+          col("n_end").as("n_end_prev")), Seq("hour"), "left")
         .join(ends, Seq("hour"), "left")
-        .join(deltas, Seq("hour"), "left")
         .select(col("hour"),
           coalesce(col("n_start"), lit(0L)).as("n_start"),
           coalesce(col("n_end"), lit(0L)).as("n_end"),
-          sum(coalesce(col("delta"), lit(0L))).over(wH).as("active"))
+          sum(coalesce(col("n_start"), lit(0L)) -
+              coalesce(col("n_end_prev"), lit(0L))).over(wH).as("active"))
       val peak = curve.agg(max(col("active")).as("peak"))
       curve.crossJoin(broadcast(peak))
         .select(col("hour"), col("n_start"), col("n_end"), col("active"),
@@ -444,8 +467,7 @@ object Round11Queries {
     // pick ships alongside — `same_as_naive` makes the policy difference
     // auditable instead of silent.
     "d_dedup_keep_best" -> ((s, d) => {
-      val units = expr(
-        s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+      val units = scoreUnitsExpr
       val edges = DedupQueries.adjacentJaccard(s, d)
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -478,10 +500,16 @@ object Round11Queries {
     "r_drift_seasonal" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(to_date(col("ts")).as("day"), col("event_type"))
-      val grid = ev.select(col("day")).distinct()
-        .crossJoin(ev.select(col("event_type")).distinct())
+      // ONE corpus pass: the day/type aggregate is checkpointed and the
+      // grid, totals, and shares all derive from it (the distinct day and
+      // type sets of `daily` equal those of the raw events — every
+      // present type appears in some day group); building the grid from
+      // two raw-event distincts would scan the corpus twice more.
       val daily = ev.groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val grid = daily.select(col("day")).distinct()
+        .crossJoin(daily.select(col("event_type")).distinct())
       val tot = daily.groupBy(col("day")).agg(sum(col("cnt")).as("total"))
       val bp = grid
         .join(daily, Seq("day", "event_type"), "left")
@@ -542,8 +570,7 @@ object Round11Queries {
     // Every stage is a keyed shuffle or per-row scan; cluster iteration
     // cost tracks duplicates found, not corpus size.
     "d_corpus_build_v3" -> ((s, d) => {
-      val units = expr(
-        s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
+      val units = scoreUnitsExpr
       val gated = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -694,6 +721,23 @@ object Round11Queries {
       .mapPartitions { it =>
         val m = Array.ofDim[Long](64, 64)
         it.foreach { case (j, k, sv) => m(j - 1)(k - 1) = sv }
+        // Pre-scale the matrix so the matvec cannot overflow Long at any
+        // corpus size: Gram entries grow ~N·q² and w_j = Σ m·v spans 64
+        // terms with |v| ≤ ~2.1e6 after renorm, so |m| must stay under
+        // ~2³⁴ (64 · 2³⁴·2 · 2.1e6 ≈ 4.6e18 < 2⁶³). Truncating division
+        // by a max-derived divisor — identical on both engines (the
+        // oracle applies the same `// ds`); ds = 1 at every tested SF, so
+        // the rescale is a no-op until the regime that needs it.
+        val maxAbsS = m.flatten.map(math.abs).max
+        val ds = math.max(maxAbsS / 17179869184L, 1L)
+        if (ds > 1L) {
+          var j = 0
+          while (j < 64) {
+            var k = 0
+            while (k < 64) { m(j)(k) /= ds; k += 1 }
+            j += 1
+          }
+        }
         var v = Array.fill(64)(1000000L)
         var prev = v
         for (_ <- 1 to steps) {
@@ -729,11 +773,16 @@ object Round11Queries {
     */
   def driftCore(counts: DataFrame, bucketCol: String,
                 succ: Column => Column): DataFrame = {
-    val daily = counts.withColumnRenamed(bucketCol, "bucket")
+    // Both calendar-sized frames are localCheckpoint'd: `daily` feeds
+    // tot/bp/bounds and `bp` is self-joined (t vs p) — without the
+    // checkpoints the caller's corpus-scale aggregation re-executes ~5
+    // times (the q_entity_resolution lesson applied here).
+    val daily = counts.withColumnRenamed(bucketCol, "bucket").localCheckpoint(true)
     val tot = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("total"))
     val bp = daily.join(tot, Seq("bucket"))
       .select(col("bucket"), col("event_type"),
         intDiv(col("cnt") * lit(10000L), col("total")).as("bp"))
+      .localCheckpoint(true)
     val bounds = daily.agg(min(col("bucket")).as("b_min"),
                            max(col("bucket")).as("b_max"))
     val t = bp.as("t"); val p = bp.as("p")
@@ -751,6 +800,46 @@ object Round11Queries {
       .select(col("bucket").as(bucketCol), col("total"), col("l1_bp"),
         (col("l1_bp") > 1000L).as("drifted"))
       .orderBy(bucketCol)
+  }
+
+  /** Shared WITH-prefix of the v_pca_power / v_whiten_project oracles —
+    * ONE definition so an iteration fix cannot train different axes in
+    * the two oracles. 6-step unroll of the identical integer recurrence;
+    * MATERIALIZED throughout — each step reads the previous twice
+    * (matvec + renorm) and DuckDB's default CTE inlining would
+    * re-evaluate the chain exponentially. `sc`/`s2` mirror the engine's
+    * overflow pre-scale (truncating `// ds`, ds = 1 at every tested SF).
+    * The caller appends its final CTE + SELECT.
+    */
+  private def pcaOracle(tail: String): String = {
+    val step = (i: Int) =>
+      s"""w$i AS MATERIALIZED (
+            SELECT s.j, CAST(sum(s.s * v.u) AS BIGINT) AS w
+            FROM s2 s JOIN v${i - 1} v ON s.k = v.k GROUP BY s.j),
+          m$i AS MATERIALIZED (
+            SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w$i),
+          v$i AS MATERIALIZED (
+            SELECT CAST(w.j AS INT) AS k, CAST(w.w // m.d AS BIGINT) AS u
+            FROM w$i w, m$i m)"""
+    s"""WITH el AS MATERIALIZED (
+          SELECT e.vec_id, t.j,
+                 CAST(floor(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+                            * 1000) AS BIGINT) AS q
+          FROM embeddings e, range(1, 65) t(j)
+          WHERE len(e.embedding) = 64),
+        s AS MATERIALIZED (
+          SELECT CAST(a.j AS INT) AS j, CAST(b.j AS INT) AS k,
+                 CAST(sum(a.q * b.q) AS BIGINT) AS s
+          FROM el a JOIN el b ON a.vec_id = b.vec_id
+          GROUP BY a.j, b.j),
+        sc AS (SELECT greatest(max(abs(s)) // 17179869184, 1) AS ds FROM s),
+        s2 AS MATERIALIZED (
+          SELECT j, k, CAST(s // ds AS BIGINT) AS s FROM s, sc),
+        v0 AS MATERIALIZED (
+          SELECT CAST(j AS INT) AS k, CAST(1000000 AS BIGINT) AS u
+          FROM range(1, 65) t(j)),
+        ${(1 to PcaSteps).map(step).mkString(",\n")},
+        $tail"""
   }
 
   private val bucketSql =
@@ -779,7 +868,8 @@ object Round11Queries {
     "q_approx_groupby_ci" ->
       """WITH base AS (
            SELECT l_returnflag, l_linestatus, l_quantity,
-                  ((l_orderkey * 16 + l_linenumber) * 1103515245 + 12345)
+                  (((l_orderkey * 16 + l_linenumber) % 2147483648)
+                    * 1103515245 + 12345)
                     % 2147483648 < 214748365 AS s
            FROM lineitem),
          g AS (
@@ -896,76 +986,24 @@ object Round11Queries {
            ON f.day = m.day AND f.event_type = m.event_type
          ORDER BY m.day, m.event_type""",
 
-    "v_pca_power" -> {
-      // 6-step unroll of the identical integer recurrence; MATERIALIZED —
-      // each step reads the previous twice (matvec + renorm), and DuckDB's
-      // default inlining would re-evaluate the chain exponentially.
-      val step = (i: Int) =>
-        s"""w$i AS MATERIALIZED (
-              SELECT s.j, CAST(sum(s.s * v.u) AS BIGINT) AS w
-              FROM s JOIN v${i - 1} v ON s.k = v.k GROUP BY s.j),
-            m$i AS MATERIALIZED (
-              SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w$i),
-            v$i AS MATERIALIZED (
-              SELECT CAST(w.j AS INT) AS k, CAST(w.w // m.d AS BIGINT) AS u
-              FROM w$i w, m$i m)"""
-      s"""WITH el AS MATERIALIZED (
-            SELECT e.vec_id, t.j,
-                   CAST(floor(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
-                              * 1000) AS BIGINT) AS q
-            FROM embeddings e, range(1, 65) t(j)
-            WHERE len(e.embedding) = 64),
-          s AS MATERIALIZED (
-            SELECT CAST(a.j AS INT) AS j, CAST(b.j AS INT) AS k,
-                   CAST(sum(a.q * b.q) AS BIGINT) AS s
-            FROM el a JOIN el b ON a.vec_id = b.vec_id
-            GROUP BY a.j, b.j),
-          v0 AS MATERIALIZED (
-            SELECT CAST(j AS INT) AS k, CAST(1000000 AS BIGINT) AS u
-            FROM range(1, 65) t(j)),
-          ${(1 to PcaSteps).map(step).mkString(",\n")},
-          conv AS (
+    "v_pca_power" ->
+      pcaOracle(s"""conv AS (
             SELECT CAST(max(abs(a.u - b.u)) AS BIGINT) AS max_abs_delta
             FROM v$PcaSteps a JOIN v${PcaSteps - 1} b ON a.k = b.k)
           SELECT a.k AS dim, a.u AS v_unit, b.u AS v_prev_unit,
                  conv.max_abs_delta
           FROM v$PcaSteps a JOIN v${PcaSteps - 1} b ON a.k = b.k, conv
-          ORDER BY dim"""
-    },
+          ORDER BY dim"""),
 
-    "v_whiten_project" -> {
-      // same trained-axis unroll as v_pca_power, then the exact integer
-      // projection: coord = Σ_k floor(e[k]·1000) · v6.u(k) per vector
-      val step = (i: Int) =>
-        s"""w$i AS MATERIALIZED (
-              SELECT s.j, CAST(sum(s.s * v.u) AS BIGINT) AS w
-              FROM s JOIN v${i - 1} v ON s.k = v.k GROUP BY s.j),
-            m$i AS MATERIALIZED (
-              SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w$i),
-            v$i AS MATERIALIZED (
-              SELECT CAST(w.j AS INT) AS k, CAST(w.w // m.d AS BIGINT) AS u
-              FROM w$i w, m$i m)"""
-      s"""WITH el AS MATERIALIZED (
-            SELECT e.vec_id, t.j,
-                   CAST(floor(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
-                              * 1000) AS BIGINT) AS q
-            FROM embeddings e, range(1, 65) t(j)
-            WHERE len(e.embedding) = 64),
-          s AS MATERIALIZED (
-            SELECT CAST(a.j AS INT) AS j, CAST(b.j AS INT) AS k,
-                   CAST(sum(a.q * b.q) AS BIGINT) AS s
-            FROM el a JOIN el b ON a.vec_id = b.vec_id
-            GROUP BY a.j, b.j),
-          v0 AS MATERIALIZED (
-            SELECT CAST(j AS INT) AS k, CAST(1000000 AS BIGINT) AS u
-            FROM range(1, 65) t(j)),
-          ${(1 to PcaSteps).map(step).mkString(",\n")}
-          SELECT el.vec_id,
-                 CAST(sum(el.q * v.u) AS BIGINT) AS coord_units
-          FROM el JOIN v$PcaSteps v ON v.k = el.j
-          GROUP BY el.vec_id
-          ORDER BY el.vec_id"""
-    },
+    "v_whiten_project" ->
+      // the trained-axis unroll, then the exact integer projection:
+      // coord = Σ_k floor(e[k]·1000) · v6.u(k) per vector
+      pcaOracle(s"""proj AS (
+            SELECT el.vec_id,
+                   CAST(sum(el.q * v.u) AS BIGINT) AS coord_units
+            FROM el JOIN v$PcaSteps v ON v.k = el.j
+            GROUP BY el.vec_id)
+          SELECT vec_id, coord_units FROM proj ORDER BY vec_id"""),
 
     "r_drift_detect" ->
       """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
