@@ -34,6 +34,17 @@ object ConnectedComponents {
     */
   private[graft] val LocalFinishEdges = 1L << 20
 
+  /** Shared sub-threshold probe for every dual-path iterative operator
+    * (components, pagerank ×2, kcore): ONE bounded count via
+    * `limit(n + 1)`. The `+ 1` is applied AFTER clamping to Int range —
+    * `n + 1` first would wrap negative for `n = Long.MaxValue`
+    * ("always local") and make `limit` throw.
+    */
+  private[graft] def underThreshold(df: org.apache.spark.sql.DataFrame,
+                                    n: Long): Boolean =
+    n > 0 &&
+      df.limit(math.min(n, Int.MaxValue.toLong - 1).toInt + 1).count() <= n
+
   /** Single-task union-find (union-by-min + path compression) over a
     * sub-threshold edge set: runs inside ONE executor task via
     * mapPartitions — no driver collect — and returns the same
@@ -89,9 +100,7 @@ object ConnectedComponents {
     // `checkpoint` to a cluster FS is the HA alternative when running
     // with a checkpoint dir configured).
     val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    if (localFinishEdges > 0 &&
-        e0.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
-          .count() <= localFinishEdges)
+    if (underThreshold(e0, localFinishEdges))
       return localComponents(e0)
     // Undirected form up front: both directions materialized ONCE, so the
     // per-round message step is a single join instead of two (same shuffled

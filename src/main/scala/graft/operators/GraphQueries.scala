@@ -45,31 +45,46 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** Parity-critical defaults, interpolated into the oracle SQL below so a
+    * default change cannot silently desynchronize engine and oracle.
+    */
+  private val DefaultCap = 2000
+  private val PagerankIters = 5
+  private val PagerankTopK = 20
+  private val KcoreK = 2
+  private val KcoreRounds = 8
+
+  /** The shared pair-generation core both cap variants consume:
+    * pairs-within-small-groups, not a self-join — collect each order's
+    * distinct part set (orders are small — ≤7 lineitems in this schema,
+    * bounded per-order in any sane one) and explode C(n, 2) canonical
+    * a < b pairs per order. One ok-keyed shuffle; the per-order n² HOF is
+    * bounded by order size, never corpus size. No sort on the collected
+    * set: the a < b filter keeps the same pair SET for any array
+    * permutation, and every consumer is order-insensitive (groupBy /
+    * distinct), so sorting would be dead work in the widest stage.
+    */
+  private def orderPairs(lineitemDf: DataFrame): DataFrame =
+    lineitemDf
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("pks"))
+      .select(explode(expr(
+        """filter(flatten(transform(pks, x -> transform(pks, y -> struct(x AS a, y AS b)))),
+                  p -> p.a < p.b)""")).as("p"))
+      .select(col("p.a"), col("p.b"))
+
   /** Capped co-purchase edge core: top-`cap` (a, b) part pairs by shared
     * order count, a < b, deterministic total order. Columns (a, b, w).
     * Materialized eagerly (≤ cap rows) so the iterative consumers never
     * re-execute the pair-generation self-join — see the object Scaladoc.
     */
-  def coPurchaseEdges(lineitemDf: DataFrame, cap: Int = 2000): DataFrame = {
-    // pairs-within-small-groups, not a self-join: collect each order's
-    // distinct part set (orders are small — ≤7 lineitems in this schema,
-    // bounded per-order in any sane one) and explode C(n, 2) sorted pairs
-    // per order. One ok-keyed shuffle + one (a, b)-keyed count replaces
-    // the r9 distinct + co-partitioned self-join + count (three
-    // exchanges); the per-order n² HOF is bounded by order size, never
-    // corpus size, so the shape holds at any scale factor.
-    val li = lineitemDf.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("pks"))
-      .select(explode(expr(
-        """filter(flatten(transform(pks, x -> transform(pks, y -> struct(x AS a, y AS b)))),
-                  p -> p.a < p.b)""")).as("p"))
-      .select(col("p.a"), col("p.b"))
+  def coPurchaseEdges(lineitemDf: DataFrame, cap: Int = DefaultCap): DataFrame =
+    orderPairs(lineitemDf)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .orderBy(col("w").desc, col("a"), col("b"))
       .limit(cap)
       .localCheckpoint(true)
-  }
 
   /** Key-ordered variant of [[coPurchaseEdges]] for g_kcore: same pair
     * generation, capped by (a, b) order instead of weight. The top-weight
@@ -78,18 +93,12 @@ object GraphQueries {
     * deterministic slice spread across the graph, cyclic at every tested
     * SF, so the peel demonstrates a non-trivial fixpoint at bench scale.
     */
-  def coPurchaseEdgesByKey(lineitemDf: DataFrame, cap: Int = 2000): DataFrame = {
-    val li = lineitemDf.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("pks"))
-      .select(explode(expr(
-        """filter(flatten(transform(pks, x -> transform(pks, y -> struct(x AS a, y AS b)))),
-                  p -> p.a < p.b)""")).as("p"))
-      .select(col("p.a"), col("p.b")).distinct()
+  def coPurchaseEdgesByKey(lineitemDf: DataFrame, cap: Int = DefaultCap): DataFrame =
+    orderPairs(lineitemDf)
+      .distinct()
       .orderBy(col("a"), col("b"))
       .limit(cap)
       .localCheckpoint(true)
-  }
 
   /** Both-direction edge view (src, dst) over a capped (a, b) frame. */
   private def bidirectional(edges: DataFrame): DataFrame =
@@ -111,13 +120,11 @@ object GraphQueries {
     * and integer-unit sums are order-independent so both paths are
     * bit-identical (GraphSpec pins both against a reference fold).
     */
-  def pagerank(edges: DataFrame, iters: Int = 5, topK: Int = 20,
+  def pagerank(edges: DataFrame, iters: Int = PagerankIters, topK: Int = PagerankTopK,
                localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
       : DataFrame = {
     val spark = edges.sparkSession
-    if (localFinishEdges > 0 &&
-        edges.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
-          .count() <= localFinishEdges) {
+    if (ConnectedComponents.underThreshold(edges, localFinishEdges)) {
       import spark.implicits._
       val nIters = iters
       return edges
@@ -169,13 +176,11 @@ object GraphQueries {
     * shape as [[pagerank]]: sub-threshold frames replay in one task,
     * the distributed loop shuffles node-sized frames only.
     */
-  def pagerankWeighted(edges: DataFrame, iters: Int = 5, topK: Int = 20,
+  def pagerankWeighted(edges: DataFrame, iters: Int = PagerankIters, topK: Int = PagerankTopK,
                        localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
       : DataFrame = {
     val spark = edges.sparkSession
-    if (localFinishEdges > 0 &&
-        edges.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
-          .count() <= localFinishEdges) {
+    if (ConnectedComponents.underThreshold(edges, localFinishEdges)) {
       import spark.implicits._
       val nIters = iters
       return edges
@@ -287,13 +292,11 @@ object GraphQueries {
     * the result is then a superset of the true k-core, never reported
     * silently).
     */
-  def kcore(edges: DataFrame, k: Int = 2, rounds: Int = 8,
+  def kcore(edges: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds,
             localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
       : DataFrame = {
     val spark = edges.sparkSession
-    if (localFinishEdges > 0 &&
-        edges.limit(math.min(localFinishEdges + 1, Int.MaxValue.toLong).toInt)
-          .count() <= localFinishEdges) {
+    if (ConnectedComponents.underThreshold(edges, localFinishEdges)) {
       // Sub-threshold single-task endgame (the pagerank/components
       // discipline): below the threshold every distributed peel round is a
       // broadcast-exchange job of pure overhead — QueryProbe measured the
@@ -357,21 +360,43 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  /** The capped-edge CTE prefix shared by all three oracles. */
-  private val edgeCte =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+  /** ONE builder for the li/pairs/capped/e oracle prefix every graph
+    * oracle consumes — previously four near-identical inline copies, where
+    * an edit to the shared pair semantics could reach some oracles but not
+    * others. Parameterized by the cap ordering (weight vs key), whether
+    * the edge view carries weights, the RECURSIVE keyword, and
+    * MATERIALIZED hints; the cap constant interpolates from [[DefaultCap]]
+    * so the Spark default and the SQL literal cannot drift.
+    */
+  private def pairsCte(byKey: Boolean = false, withW: Boolean = false,
+                       recursive: Boolean = false,
+                       materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    val rec = if (recursive) "RECURSIVE " else ""
+    val order = if (byKey) "a, b" else "w DESC, a, b"
+    val cols = if (withW) "a, b, w" else "a, b"
+    val eSel = if (withW)
+      "SELECT a AS src, b AS dst, w FROM capped UNION ALL SELECT b, a, w FROM capped"
+    else
+      "SELECT a AS src, b AS dst FROM capped UNION ALL SELECT b, a FROM capped"
+    s"""WITH ${rec}li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
                     FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
                     GROUP BY x.pk, y.pk),
-          capped AS (SELECT a, b FROM pairs ORDER BY w DESC, a, b LIMIT 2000),
-          e AS (SELECT a AS src, b AS dst FROM capped
-                UNION ALL SELECT b, a FROM capped)"""
+          capped AS$m (SELECT $cols FROM pairs ORDER BY $order LIMIT $DefaultCap),
+          e AS$m ($eSel)"""
+  }
+
+  /** The weight-capped prefix shared by the pagerank/triangles oracles. */
+  private def edgeCte = pairsCte()
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R4/R13-adjacent, graph family — PageRank over the co-purchase
-    // backbone: 5 integer-unit damped iterations, broadcast node-state
-    // joins, dst-keyed sums. The capped edge subtree is computed once
-    // (shared repartition exchange, ReuseExchange — PlanSpec-pinned).
+    // backbone: 5 integer-unit damped iterations. The capped edge frame is
+    // materialized once (eager localCheckpoint — see the object Scaladoc;
+    // the r9 ReuseExchange approach re-executed the pair-gen subtree), and
+    // sub-threshold frames run the single-task endgame (PlanSpec pins the
+    // endgame shape: no FileScan in the final plan).
     "g_pagerank" -> ((s, d) => pagerank(coPurchaseEdges(Tables.lineitem(s, d)))),
 
     // Graph family — exact triangle census + global clustering
@@ -400,7 +425,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g_pagerank" -> {
-      // r0..r5 unrolled: the same integer recurrence the Spark loop runs.
+      // r0..r(iters) unrolled: the same integer recurrence the Spark loop runs.
       val iter = (i: Int) =>
         s"""r$i AS (SELECT e.dst AS node,
                     CAST(150000 + (17 * sum(r${i - 1}.r // d.outdeg)) // 20 AS BIGINT) AS r
@@ -410,9 +435,9 @@ object GraphQueries {
       s"""$edgeCte,
           d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
           r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
-          ${(1 to 5).map(iter).mkString(",\n")}
-          SELECT node, r AS rank_units FROM r5
-          ORDER BY rank_units DESC, node LIMIT 20"""
+          ${(1 to PagerankIters).map(iter).mkString(",\n")}
+          SELECT node, r AS rank_units FROM r$PagerankIters
+          ORDER BY rank_units DESC, node LIMIT $PagerankTopK"""
     },
     "g_triangles" ->
       s"""$edgeCte,
@@ -433,14 +458,7 @@ object GraphQueries {
                       ELSE 0.0 END AS global_clustering
           FROM st, tri""",
     "g_components" ->
-      s"""WITH RECURSIVE
-          li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-          pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
-                    FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
-                    GROUP BY x.pk, y.pk),
-          capped AS (SELECT a, b FROM pairs ORDER BY w DESC, a, b LIMIT 2000),
-          e AS (SELECT a AS src, b AS dst FROM capped
-                UNION ALL SELECT b, a FROM capped),
+      s"""${pairsCte(recursive = true)},
           n AS (SELECT DISTINCT src AS node FROM e),
           reach(node, label) AS (
             SELECT node, node FROM n
@@ -462,45 +480,34 @@ object GraphQueries {
              FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
                     JOIN d ON d.src = e.src
              GROUP BY e.dst)"""
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-          pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
-                    FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
-                    GROUP BY x.pk, y.pk),
-          capped AS (SELECT a, b, w FROM pairs ORDER BY w DESC, a, b LIMIT 2000),
-          e AS (SELECT a AS src, b AS dst, w FROM capped
-                UNION ALL SELECT b, a, w FROM capped),
+      s"""${pairsCte(withW = true)},
           d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
           r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
-          ${(1 to 5).map(iter).mkString(",\n")}
-          SELECT node, r AS rank_units FROM r5
-          ORDER BY rank_units DESC, node LIMIT 20"""
+          ${(1 to PagerankIters).map(iter).mkString(",\n")}
+          SELECT node, r AS rank_units FROM r$PagerankIters
+          ORDER BY rank_units DESC, node LIMIT $PagerankTopK"""
     },
 
     "g_kcore" -> {
-      // a0..a8 unrolled peel, k = 2 — MATERIALIZED is required: each round
+      // a0..aR unrolled peel — MATERIALIZED is required: each round
       // references the previous twice, and DuckDB's default CTE inlining
-      // would re-evaluate the whole chain 2^8 times.
+      // would re-evaluate the whole chain 2^rounds times.
       val peel = (i: Int) =>
         s"""a$i AS MATERIALIZED (
               SELECT e.src AS n FROM e
               JOIN a${i - 1} s ON e.src = s.n
               JOIN a${i - 1} t ON e.dst = t.n
-              GROUP BY e.src HAVING count(*) >= 2)"""
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-          pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
-                    FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
-                    GROUP BY x.pk, y.pk),
-          capped AS MATERIALIZED (SELECT a, b FROM pairs ORDER BY a, b LIMIT 2000),
-          e AS MATERIALIZED (SELECT a AS src, b AS dst FROM capped
-                             UNION ALL SELECT b, a FROM capped),
+              GROUP BY e.src HAVING count(*) >= $KcoreK)"""
+      s"""${pairsCte(byKey = true, materialized = true)},
           a0 AS MATERIALIZED (SELECT DISTINCT src AS n FROM e),
-          ${(1 to 8).map(peel).mkString(",\n")},
-          conv AS (SELECT (SELECT count(*) FROM a8) = (SELECT count(*) FROM a7)
+          ${(1 to KcoreRounds).map(peel).mkString(",\n")},
+          conv AS (SELECT (SELECT count(*) FROM a$KcoreRounds) =
+                          (SELECT count(*) FROM a${KcoreRounds - 1})
                      AS converged)
           SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg,
                  conv.converged
-          FROM e JOIN a8 s ON e.src = s.n
-                 JOIN a8 t ON e.dst = t.n, conv
+          FROM e JOIN a$KcoreRounds s ON e.src = s.n
+                 JOIN a$KcoreRounds t ON e.dst = t.n, conv
           GROUP BY e.src, conv.converged
           ORDER BY node"""
     }
