@@ -183,29 +183,33 @@ object Bench {
     }.toMap
     // Streaming throughput, measured after the batch queries so the JVM and
     // scan paths are warm (the batch loop is the warmup). 0 rows/s = failed,
-    // with the reason in the errors list.
-    val streamRps: Long = try {
-      val (delivered, secs) = streamPipelineBench(spark, sfDir)
-      math.round(delivered / secs)
-    } catch {
-      case e: Throwable =>
-        errors += ("stream_pipeline: " + Option(e.getMessage)
-          .getOrElse(e.getClass.getSimpleName).take(80)
-          .map(c => if (c < ' ') ' ' else c))
-        0L
+    // with the reason in the errors list. ONE retry per stream metric:
+    // each run uses a fresh random tmp checkpoint dir, and a transient
+    // state-store IO hiccup was observed once (r11: a left-keyWithIndex
+    // file under the ckpt dir errored, the immediate same-code re-run was
+    // clean) — a single retry keeps a one-off from costing the round's
+    // artifact, while a REAL break still fails twice and reports.
+    def measureStream(tag: String, run: () => (Long, Double)): Long = {
+      def once(): Long = { val (n, secs) = run(); math.round(n / secs) }
+      try once()
+      catch {
+        case _: Throwable =>
+          try once()
+          catch {
+            case e: Throwable =>
+              errors += (tag + ": " + Option(e.getMessage)
+                .getOrElse(e.getClass.getSimpleName).take(80)
+                .map(c => if (c < ' ') ' ' else c))
+              0L
+          }
+      }
     }
+    val streamRps: Long =
+      measureStream("stream_pipeline", () => streamPipelineBench(spark, sfDir))
     // Stream–stream join throughput (pairs/sec through the watermarked
-    // interval join); 0 = failed, reason in errors.
-    val streamJoinRps: Long = try {
-      val (pairs, secs) = streamJoinBench(spark, sfDir)
-      math.round(pairs / secs)
-    } catch {
-      case e: Throwable =>
-        errors += ("stream_join: " + Option(e.getMessage)
-          .getOrElse(e.getClass.getSimpleName).take(80)
-          .map(c => if (c < ' ') ' ' else c))
-        0L
-    }
+    // interval join); 0 = failed twice, reason in errors.
+    val streamJoinRps: Long =
+      measureStream("stream_join", () => streamJoinBench(spark, sfDir))
     // The driver tail-captures ~2000 chars of the run log, so the printed
     // line must stay well under that (round 1's full-precision line got
     // truncated and the bench metric was lost). The line carries the
