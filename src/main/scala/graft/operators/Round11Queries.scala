@@ -619,6 +619,49 @@ object Round11Queries {
         .orderBy("epoch", "shard", "pos")
     }),
 
+    // R20 (r11) — classifier evaluation report: per-class precision /
+    // recall / F1 in integer basis points over the t_lang_id confusion
+    // matrix (same `langPred` definition — one classifier, two readouts).
+    // Classes = union of actual and predicted labels, so a label that is
+    // only ever predicted (or only ever true) still gets a row; metrics
+    // are NULL where undefined (no predictions ⇒ no precision) rather
+    // than a fake 0 — an eval report that invents numbers for undefined
+    // cells is how weak classifiers hide. Confusion matrix is
+    // class-squared-sized; one corpus pass.
+    "t_eval_prf" -> ((s, d) => {
+      val cm = Tables.documents(s, d)
+        .select(col("lang"), TextQueries.langPred.as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // class²-sized; read by 4 consumers below
+      val classes = cm.select(col("lang").as("cls"))
+        .unionByName(cm.select(col("pred").as("cls"))).distinct()
+      val tp = cm.filter(col("lang") === col("pred"))
+        .select(col("lang").as("cls"), col("n").as("tp"))
+      val predN = cm.groupBy(col("pred").as("cls")).agg(sum(col("n")).as("pred_n"))
+      val actN = cm.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("actual_n"))
+      val p = when(col("pred_n") > 0,
+        intDiv(col("tp") * lit(10000L), col("pred_n")))
+      val r = when(col("actual_n") > 0,
+        intDiv(col("tp") * lit(10000L), col("actual_n")))
+      classes
+        .join(tp, Seq("cls"), "left")
+        .join(predN, Seq("cls"), "left")
+        .join(actN, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("pred_n"), lit(0L)).as("pred_n"),
+          coalesce(col("actual_n"), lit(0L)).as("actual_n"))
+        .withColumn("precision_bp", p)
+        .withColumn("recall_bp", r)
+        .withColumn("f1_bp",
+          when(col("precision_bp").isNotNull && col("recall_bp").isNotNull,
+            when(col("precision_bp") + col("recall_bp") > 0,
+              intDiv(lit(2L) * col("precision_bp") * col("recall_bp"),
+                     col("precision_bp") + col("recall_bp")))
+              .otherwise(lit(0L))))
+        .orderBy("cls")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -1275,6 +1318,50 @@ object Round11Queries {
                        ORDER BY h, doc_id) AS INT) AS pos
          FROM sharded
          ORDER BY epoch, shard, pos""",
+
+    "t_eval_prf" ->
+      """WITH cm AS (
+           SELECT lang,
+                  CASE WHEN len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a'))) >= 3 THEN 'en'
+                       WHEN len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a'))) >= 1 THEN 'latin-ish'
+                       ELSE 'unk' END AS pred,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         classes AS (
+           SELECT DISTINCT cls FROM (
+             SELECT lang AS cls FROM cm UNION ALL SELECT pred FROM cm)),
+         tp AS (SELECT lang AS cls, n AS tp FROM cm WHERE lang = pred),
+         predn AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS pred_n
+                   FROM cm GROUP BY pred),
+         actn AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS actual_n
+                  FROM cm GROUP BY lang),
+         base AS (
+           SELECT c.cls,
+                  coalesce(tp.tp, 0) AS tp,
+                  coalesce(predn.pred_n, 0) AS pred_n,
+                  coalesce(actn.actual_n, 0) AS actual_n
+           FROM classes c
+           LEFT JOIN tp ON tp.cls = c.cls
+           LEFT JOIN predn ON predn.cls = c.cls
+           LEFT JOIN actn ON actn.cls = c.cls),
+         m AS (
+           SELECT *,
+                  CASE WHEN pred_n > 0
+                       THEN CAST((tp * 10000) // pred_n AS BIGINT) END
+                    AS precision_bp,
+                  CASE WHEN actual_n > 0
+                       THEN CAST((tp * 10000) // actual_n AS BIGINT) END
+                    AS recall_bp
+           FROM base)
+         SELECT cls, tp, pred_n, actual_n, precision_bp, recall_bp,
+                CASE WHEN precision_bp IS NOT NULL AND recall_bp IS NOT NULL
+                     THEN CASE WHEN precision_bp + recall_bp > 0
+                               THEN CAST((2 * precision_bp * recall_bp)
+                                         // (precision_bp + recall_bp) AS BIGINT)
+                               ELSE 0 END END AS f1_bp
+         FROM m ORDER BY cls""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

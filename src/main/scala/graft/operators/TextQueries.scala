@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.functions.ParityMath.floorRound
 import org.apache.spark.sql.functions._
@@ -21,6 +21,16 @@ object TextQueries {
     * evidence, mirrored verbatim in the oracle SQL.
     */
   private val EnMarkers = Seq("the", "a")
+
+  /** The n-gram-marker language prediction shared by `t_lang_id` (the
+    * confusion matrix) and `t_eval_prf` (the metrics report) — one
+    * definition so the two stay the same classifier.
+    */
+  private[operators] def langPred: Column = {
+    val toks = split(col("text"), " ")
+    val enScore = size(filter(toks, t => t.isin(EnMarkers: _*)))
+    when(enScore >= 3, "en").when(enScore >= 1, "latin-ish").otherwise("unk")
+  }
 
   /** Core of `t_decontaminate`, reusable over any (doc_id, source, text)
     * frame (spec-tested on planted fixtures): flag non-eval docs sharing
@@ -204,12 +214,8 @@ object TextQueries {
     // soup, so the interesting property is deterministic parity of the
     // heuristic, which the oracle mirrors token-for-token.
     "t_lang_id" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val enScore = size(filter(toks, t => t.isin(EnMarkers: _*)))
-      val pred = when(enScore >= 3, "en")
-        .when(enScore >= 1, "latin-ish").otherwise("unk")
       docs(s, d)
-        .select(col("lang"), pred.as("lang_pred"))
+        .select(col("lang"), langPred.as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")

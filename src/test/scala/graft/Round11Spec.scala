@@ -218,6 +218,40 @@ class Round11Spec extends SparkSpec {
     assert(out === bySource)
   }
 
+  // ---- t_eval_prf ----------------------------------------------------
+
+  test("t_eval_prf: metrics recompute from the registered confusion matrix") {
+    val rows = Round11Queries.defs("t_eval_prf")(spark, sf).collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    val cm = SparkEntry.queries("t_lang_id")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("n")))
+    val classes = (cm.map(_._1) ++ cm.map(_._2)).toSet
+    assert(rows.keySet === classes)
+    classes.foreach { c =>
+      val r = rows(c)
+      val tp = cm.filter(x => x._1 == c && x._2 == c).map(_._3).sum
+      val predN = cm.filter(_._2 == c).map(_._3).sum
+      val actN = cm.filter(_._1 == c).map(_._3).sum
+      assert(r.getAs[Long]("tp") === tp)
+      assert(r.getAs[Long]("pred_n") === predN)
+      assert(r.getAs[Long]("actual_n") === actN)
+      val p = Option(r.getAs[java.lang.Long]("precision_bp")).map(_.longValue)
+      val rc = Option(r.getAs[java.lang.Long]("recall_bp")).map(_.longValue)
+      assert(p.isDefined === (predN > 0), s"$c: precision defined iff predicted")
+      assert(rc.isDefined === (actN > 0), s"$c: recall defined iff present")
+      p.foreach(v => assert(v === tp * 10000 / predN))
+      rc.foreach(v => assert(v === tp * 10000 / actN))
+      val f1 = Option(r.getAs[java.lang.Long]("f1_bp")).map(_.longValue)
+      (p, rc) match {
+        case (Some(pv), Some(rv)) if pv + rv > 0 =>
+          assert(f1.contains(2 * pv * rv / (pv + rv)))
+        case (Some(_), Some(_)) => assert(f1.contains(0L))
+        case _ => assert(f1.isEmpty)
+      }
+    }
+  }
+
   // ---- d_epoch_shuffle -----------------------------------------------
 
   test("d_epoch_shuffle: per-epoch permutation, distinct orders, resumable") {
