@@ -662,6 +662,31 @@ object Round11Queries {
         .orderBy("cls")
     }),
 
+    // R7/R22 (r11) — cross-sectional imputation: fill a row's missing
+    // measurement with its ENTITY's median — the feature-table repair
+    // step next to r_resample_gapfill's temporal LOCF (time fills from
+    // the past; this fills from the entity's own distribution, the
+    // standard choice when order is irrelevant). `error` events null the
+    // value (the q_ignore_nulls convention); the per-user median
+    // (interpolated, identical in both engines, floorRound-pinned) joins
+    // back user-keyed. An all-error user keeps NULL after imputation —
+    // was_imputed still flags it, so downstream sees attempted-but-
+    // unfillable rather than silently-zero.
+    "q_impute_group_median" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).as("v"))
+      val med = ev.filter(col("v").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(floorRound(expr("median(v)"), 4).as("user_median"))
+      ev.join(med, Seq("user_id"), "left")
+        .select(col("user_id"), col("event_id"), col("v"),
+          col("user_median"),
+          coalesce(col("v"), col("user_median")).as("imputed"),
+          col("v").isNull.as("was_imputed"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // R13 — calendar resample + LOCF gap fill: build the complete per-user
     // day grid (bounds from a one-row broadcast agg — the scalar-subquery
     // pattern), left-join the observed daily aggregate, and carry the last
@@ -1362,6 +1387,21 @@ object Round11Queries {
                                          // (precision_bp + recall_bp) AS BIGINT)
                                ELSE 0 END END AS f1_bp
          FROM m ORDER BY cls""",
+
+    "q_impute_group_median" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+                  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+           FROM events),
+         med AS (
+           SELECT user_id,
+                  floor(median(v) * 10000 + 0.5) / 10000 AS user_median
+           FROM ev WHERE v IS NOT NULL GROUP BY user_id)
+         SELECT ev.user_id, ev.event_id, ev.v, med.user_median,
+                coalesce(ev.v, med.user_median) AS imputed,
+                ev.v IS NULL AS was_imputed
+         FROM ev LEFT JOIN med ON med.user_id = ev.user_id
+         ORDER BY ev.user_id, ev.event_id""",
 
     "r_resample_gapfill" ->
       """WITH b AS (

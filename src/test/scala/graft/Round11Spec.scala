@@ -218,6 +218,23 @@ class Round11Spec extends SparkSpec {
     assert(out === bySource)
   }
 
+  // ---- q_impute_group_median -----------------------------------------
+
+  test("q_impute_group_median: fills only nulls, from the user's own median") {
+    val rows = Round11Queries.defs("q_impute_group_median")(spark, sf).collect()
+    assert(rows.length.toLong === Tables.events(spark, sf).count())
+    assert(rows.exists(_.getAs[Boolean]("was_imputed")), "errors must exist")
+    rows.foreach { r =>
+      val v = Option(r.getAs[java.lang.Double]("v"))
+      val imputed = Option(r.getAs[java.lang.Double]("imputed"))
+      assert(r.getAs[Boolean]("was_imputed") === v.isEmpty)
+      if (v.isDefined) assert(imputed === v, "non-null values pass through")
+      else assert(imputed ===
+        Option(r.getAs[java.lang.Double]("user_median")),
+        "nulls fill from the user's median (or stay null for all-error users)")
+    }
+  }
+
   // ---- t_eval_prf ----------------------------------------------------
 
   test("t_eval_prf: metrics recompute from the registered confusion matrix") {
