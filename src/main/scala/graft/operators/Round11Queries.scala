@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * `r_drift_detect` / `r_drift_seasonal` (+ the shared streaming-twin
   * `driftCore`), `r_concurrency_curve` (session sweep line),
   * `q_trending_rank_delta` (native-TopKPerKey leaderboard movement),
-  * `q_benford` (first-digit forensic audit). Vector: `v_pca_power`
+  * `q_benford` (first-digit forensic audit), `t_eval_prf` (per-class
+  * precision/recall/F1 over the shared-classifier confusion),
+  * `q_impute_group_median` (entity-median repair). Vector: `v_pca_power`
   * (integer-exact power iteration), `v_whiten_project` (its apply half),
   * `v_quantile_norm` (per-dimension rank transform).
   *
@@ -183,9 +185,13 @@ object Round11Queries {
           max(when(col("rk") === 1, col("pair"))).as("p1"),
           max(when(col("rk") === 2, col("pair"))).as("p2"),
           max(when(col("rk") === 3, col("pair"))).as("p3"))
+      // a NULL merge slot (corpus with < 3 distinct bigrams) must be a
+      // no-op, not a NULL text: replace(s, NULL, ...) would null every
+      // downstream column and the round-trip contract would pass vacuously
       def mergeStep(src: String, p: String, dst: String) =
-        expr(s"""replace($src, concat(' ', replace($p, ' ', '  '), ' '),
-                               concat(' ', replace($p, ' ', '§'), ' '))""")
+        expr(s"""CASE WHEN $p IS NULL THEN $src ELSE
+                   replace($src, concat(' ', replace($p, ' ', '  '), ' '),
+                                 concat(' ', replace($p, ' ', '§'), ' ')) END""")
           .as(dst)
       val nBefore = size(split(col("text"), " ")).cast("long")
       val nAfter = size(split(col("merged"), " ")).cast("long")
@@ -413,6 +419,12 @@ object Round11Queries {
       val expBp = "array(3010, 1760, 1249, 969, 791, 669, 579, 511, 457)"
       val byDigit = Tables.orders(s, d)
         .select(cents.as("n"))
+        // Benford is defined on positive significands: zero/negative
+        // amounts (possible in a corrupt feed) are excluded BEFORE digit
+        // extraction — digit 0 would make element_at(expBp, 0) throw on
+        // Spark while DuckDB's list index returns NULL, a crash-vs-row
+        // divergence on exactly the feeds the audit exists for
+        .filter(col("n") >= 1L)
         .select(digit.as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
       val tot = byDigit.agg(sum(col("cnt")).as("total"))
@@ -554,8 +566,12 @@ object Round11Queries {
       el.withColumn("rk", row_number().over(byDim))
         .join(broadcast(n), Seq("dim"))
         .select(col("vec_id"), col("dim"),
-          intDiv((col("rk") - 1).cast("long") * lit(10000L),
-                 (col("n") - 1).cast("long")).as("quantile_bp"))
+          // single-value dimension (n = 1): quantile defined as 0 rather
+          // than a divide-by-zero NULL/error split across engines
+          when(col("n") > 1,
+            intDiv((col("rk") - 1).cast("long") * lit(10000L),
+                   (col("n") - 1).cast("long"))).otherwise(lit(0L))
+            .as("quantile_bp"))
         .orderBy("vec_id", "dim")
     }),
 
@@ -605,8 +621,11 @@ object Round11Queries {
     // makes the schedule resumable mid-epoch. Three epochs emitted; the
     // spec pins the permutation property and that epochs actually differ.
     "d_epoch_shuffle" -> ((s, d) => {
-      val h = (col("doc_id") * lit(2654435761L) + col("epoch") * lit(40503L)
-        + lit(12345L)) % lit(2147483648L)
+      // doc_id pre-reduced mod 2^31 before the multiply — the raw product
+      // overflows Long at doc_id ~3.5e9 (the q_approx_groupby_ci fix
+      // applied here too); identical value for every doc_id < 2^31
+      val h = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)
+        + col("epoch") * lit(40503L) + lit(12345L)) % lit(2147483648L)
       val w = Window.partitionBy(col("epoch"), col("shard"))
         .orderBy(col("h"), col("doc_id"))
       Tables.documents(s, d)
@@ -758,8 +777,17 @@ object Round11Queries {
       .as[Seq[Long]]
     val S = quant
       .mapPartitions { rows =>
+        // emit only when the partition saw data: an unconditional emit
+        // would turn an EMPTY corpus into a 64-row all-zero "axis" while
+        // the oracle returns no rows. Accumulation bound: entries grow
+        // ~N·q² with |q| = floor(|x|·1000); for unit-norm-ish embeddings
+        // (|x| ≤ ~1 ⇒ q² ≤ ~1e6) the Long limit is reached only past
+        // ~9e12 rows (≈ 2 PB of fp32×64) — beyond the design regime; a
+        // wider component range needs a max-based pre-pass quantizer
+        var seen = false
         val acc = Array.ofDim[Long](64, 64)
         rows.foreach { arr =>
+          seen = true
           val a = arr.toArray
           var j = 0
           while (j < 64) {
@@ -768,7 +796,8 @@ object Round11Queries {
             j += 1
           }
         }
-        Iterator.range(0, 64).flatMap(j =>
+        if (!seen) Iterator.empty
+        else Iterator.range(0, 64).flatMap(j =>
           Iterator.range(0, 64).map(k => (j + 1, k + 1, acc(j)(k))))
       }
       .toDF("j", "k", "p")
@@ -787,10 +816,12 @@ object Round11Queries {
     S.as[(Int, Int, Long)]
       .repartition(1)
       .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty[(Int, Long, Long, Long)]
+        else {
         val m = Array.ofDim[Long](64, 64)
         it.foreach { case (j, k, sv) => m(j - 1)(k - 1) = sv }
-        // Pre-scale the matrix so the matvec cannot overflow Long at any
-        // corpus size: Gram entries grow ~N·q² and w_j = Σ m·v spans 64
+        // Pre-scale the matrix so the matvec cannot overflow Long: Gram
+        // entries grow ~N·q² and w_j = Σ m·v spans 64
         // terms with |v| ≤ ~2.1e6 after renorm, so |m| must stay under
         // ~2³⁴ (64 · 2³⁴·2 · 2.1e6 ≈ 4.6e18 < 2⁶³). Truncating division
         // by a max-derived divisor — identical on both engines (the
@@ -822,6 +853,7 @@ object Round11Queries {
         }
         val delta = (0 until 64).map(i => math.abs(v(i) - prev(i))).max
         (0 until 64).iterator.map(i => (i + 1, v(i), prev(i), delta))
+        }
       }
       .toDF("dim", "v_unit", "v_prev_unit", "max_abs_delta")
   }
@@ -838,6 +870,14 @@ object Round11Queries {
     * cnt) rows and a bucket successor, aligns consecutive buckets per
     * type by full-outer join, and emits the integer basis-point L1
     * distance per bucket with the >1000 bp drift flag.
+    */
+  /** Bucket-gap semantics, by design: driftCore compares each bucket to
+    * its immediate CALENDAR predecessor among observed buckets — a bucket
+    * with no predecessor row (feed outage) is itself absent from the
+    * report, and its successor scores l1 ≈ 10⁴ (everything "moved" vs an
+    * empty day). That is a volume-outage signal wearing a mix-drift flag;
+    * feeds where outages are expected should resample onto the full grid
+    * first (r_resample_gapfill's shape) so absence is explicit instead.
     */
   def driftCore(counts: DataFrame, bucketCol: String,
                 succ: Column => Column): DataFrame = {
@@ -995,14 +1035,17 @@ object Round11Queries {
          m0 AS (SELECT doc_id, text,
                        ' ' || replace(text, ' ', '  ') || ' ' AS s0, p1, p2, p3
                 FROM documents, p),
-         m1 AS (SELECT *, replace(s0, ' ' || replace(p1, ' ', '  ') || ' ',
-                                      ' ' || replace(p1, ' ', '§') || ' ') AS s1
+         m1 AS (SELECT *, CASE WHEN p1 IS NULL THEN s0 ELSE
+                    replace(s0, ' ' || replace(p1, ' ', '  ') || ' ',
+                                 ' ' || replace(p1, ' ', '§') || ' ') END AS s1
                 FROM m0),
-         m2 AS (SELECT *, replace(s1, ' ' || replace(p2, ' ', '  ') || ' ',
-                                      ' ' || replace(p2, ' ', '§') || ' ') AS s2
+         m2 AS (SELECT *, CASE WHEN p2 IS NULL THEN s1 ELSE
+                    replace(s1, ' ' || replace(p2, ' ', '  ') || ' ',
+                                 ' ' || replace(p2, ' ', '§') || ' ') END AS s2
                 FROM m1),
-         m3 AS (SELECT *, replace(s2, ' ' || replace(p3, ' ', '  ') || ' ',
-                                      ' ' || replace(p3, ' ', '§') || ' ') AS s3
+         m3 AS (SELECT *, CASE WHEN p3 IS NULL THEN s2 ELSE
+                    replace(s2, ' ' || replace(p3, ' ', '  ') || ' ',
+                                 ' ' || replace(p3, ' ', '§') || ' ') END AS s3
                 FROM m2),
          fin AS (SELECT doc_id, text, p1, p2, p3,
                         trim(replace(s3, '  ', ' ')) AS merged
@@ -1163,7 +1206,8 @@ object Round11Queries {
 
     "q_benford" ->
       """WITH cents AS (
-           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS n FROM orders),
+           SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS n FROM orders
+           WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >= 1),
          dig AS (
            SELECT CAST(n // CASE len(CAST(n AS VARCHAR))
                     WHEN 1 THEN 1 WHEN 2 THEN 10 WHEN 3 THEN 100
@@ -1274,7 +1318,9 @@ object Round11Queries {
                   row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rk
            FROM el)
          SELECT rk.vec_id, rk.dim,
-                CAST(((rk.rk - 1) * 10000) // (n.n - 1) AS BIGINT) AS quantile_bp
+                CASE WHEN n.n > 1
+                     THEN CAST(((rk.rk - 1) * 10000) // (n.n - 1) AS BIGINT)
+                     ELSE 0 END AS quantile_bp
          FROM rk JOIN n ON n.dim = rk.dim
          ORDER BY rk.vec_id, rk.dim""",
 
@@ -1332,7 +1378,7 @@ object Round11Queries {
            FROM documents),
          hashed AS (
            SELECT CAST(epoch AS INT) AS epoch, doc_id,
-                  (doc_id * 2654435761 + epoch * 40503 + 12345)
+                  ((doc_id % 2147483648) * 2654435761 + epoch * 40503 + 12345)
                     % 2147483648 AS h
            FROM base),
          sharded AS (
@@ -1345,13 +1391,8 @@ object Round11Queries {
          ORDER BY epoch, shard, pos""",
 
     "t_eval_prf" ->
-      """WITH cm AS (
-           SELECT lang,
-                  CASE WHEN len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the', 'a'))) >= 3 THEN 'en'
-                       WHEN len(list_filter(string_split(text, ' '),
-                         t -> t IN ('the', 'a'))) >= 1 THEN 'latin-ish'
-                       ELSE 'unk' END AS pred,
+      s"""WITH cm AS (
+           SELECT lang, ${TextQueries.langPredSql} AS pred,
                   CAST(count(*) AS BIGINT) AS n
            FROM documents GROUP BY 1, 2),
          classes AS (

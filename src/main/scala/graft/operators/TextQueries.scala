@@ -32,6 +32,18 @@ object TextQueries {
     when(enScore >= 3, "en").when(enScore >= 1, "latin-ish").otherwise("unk")
   }
 
+  /** The DuckDB spelling of [[langPred]] — ONE definition consumed by the
+    * t_lang_id oracle here and the t_eval_prf oracle (Round11Queries), so
+    * a threshold or marker tweak cannot desynchronize the confusion
+    * matrix from the metrics report that recomputes it.
+    */
+  private[operators] val langPredSql: String =
+    """CASE WHEN len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a'))) >= 3 THEN 'en'
+         WHEN len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a'))) >= 1 THEN 'latin-ish'
+         ELSE 'unk' END"""
+
   /** Core of `t_decontaminate`, reusable over any (doc_id, source, text)
     * frame (spec-tested on planted fixtures): flag non-eval docs sharing
     * any verbatim n-gram shingle with the eval source. Callers must have
@@ -427,13 +439,8 @@ object TextQueries {
                       0.2 * least(avg_len / 10.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
          FROM t ORDER BY doc_id""",
     "t_lang_id" ->
-      """WITH p AS (
-           SELECT lang,
-                  CASE WHEN len(list_filter(string_split(text, ' '),
-                            x -> x IN ('the', 'a'))) >= 3 THEN 'en'
-                       WHEN len(list_filter(string_split(text, ' '),
-                            x -> x IN ('the', 'a'))) >= 1 THEN 'latin-ish'
-                       ELSE 'unk' END AS lang_pred
+      s"""WITH p AS (
+           SELECT lang, $langPredSql AS lang_pred
            FROM documents)
          SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
          FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
