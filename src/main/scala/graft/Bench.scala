@@ -155,6 +155,9 @@ object Bench {
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // non-fatal notes (e.g. a stream metric that succeeded on retry):
+    // recorded in bench_full.json but NOT counted in "failed"
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -191,15 +194,23 @@ object Bench {
     // artifact, while a REAL break still fails twice and reports.
     def measureStream(tag: String, run: () => (Long, Double)): Long = {
       def once(): Long = { val (n, secs) = run(); math.round(n / secs) }
+      def msg(e: Throwable): String = Option(e.getMessage)
+        .getOrElse(e.getClass.getSimpleName).take(80)
+        .map(c => if (c < ' ') ' ' else c)
+      // NonFatal only: an OOM/VM error must propagate, never be "retried"
+      // into a passing-looking artifact; and the FIRST failure is recorded
+      // even when the retry succeeds, so a deterministically ~50%-flaky
+      // bug leaves a trace in the errors list (ADVICE r11)
       try once()
       catch {
-        case _: Throwable =>
-          try once()
-          catch {
-            case e: Throwable =>
-              errors += (tag + ": " + Option(e.getMessage)
-                .getOrElse(e.getClass.getSimpleName).take(80)
-                .map(c => if (c < ' ') ' ' else c))
+        case scala.util.control.NonFatal(first) =>
+          try {
+            val v = once()
+            warnings += s"$tag: retried after: ${msg(first)}"
+            v
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              errors += (tag + ": " + msg(e))
               0L
           }
       }
@@ -226,9 +237,10 @@ object Bench {
     val slowest = results.toSeq.sortBy(r => -math.abs(r._2)).take(45).sortBy(_._1)
     val omitted = results.size - slowest.size
     val errJson = errors.take(10).map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    val warnJson = warnings.take(10).map(e => "\"" + e + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")
+      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"warnings":$warnJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no executor/shutdown logging can land
     // after the metric line — it must be the final line of stdout for the

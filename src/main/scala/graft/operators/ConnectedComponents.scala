@@ -39,6 +39,14 @@ object ConnectedComponents {
     * `limit(n + 1)`. The `+ 1` is applied AFTER clamping to Int range —
     * `n + 1` first would wrap negative for `n = Long.MaxValue`
     * ("always local") and make `limit` throw.
+    *
+    * Threshold domain (ADVICE r11): `limit` counts at most Int.MaxValue
+    * rows, so the probe cannot distinguish sizes beyond 2^31-1 — ANY
+    * `n >= Int.MaxValue` (not just the Long.MaxValue sentinel) means
+    * "always local". Real thresholds must sit well below that (the
+    * default is 2^20 edges); a frame that large must never be routed to a
+    * single task anyway, so the full (Int.MaxValue, Long.MaxValue) range
+    * is treated as the sentinel.
     */
   private[graft] def underThreshold(df: org.apache.spark.sql.DataFrame,
                                     n: Long): Boolean =

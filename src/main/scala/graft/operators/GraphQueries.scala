@@ -289,8 +289,11 @@ object GraphQueries {
     * lineage-truncation discipline of [[ConnectedComponents.ofEdges]].
     * Output: surviving nodes with their within-core degree and a
     * `converged` flag (false = `rounds` exhausted while still peeling —
-    * the result is then a superset of the true k-core, never reported
-    * silently).
+    * the result is then POSSIBLY a superset of the true k-core, never
+    * reported silently; if the last allowed round happened to remove the
+    * final violators, the output is exactly the k-core even though the
+    * flag is false, because convergence is only observable one no-op
+    * round later — ADVICE r11).
     */
   def kcore(edges: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds,
             localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)

@@ -56,6 +56,38 @@ object Round11Queries {
   private def scoreUnitsExpr: Column = expr(
     s"""aggregate(split(text, ' '), 0L, (acc, t) -> acc + ($tokenWeightUnits))""")
 
+  /** R9 — inclusion–exclusion HLL intersection with its sketch-accuracy
+    * audit: rsd=0.01 sketches per side + union, |A∩B| ≈ |A|+|B|−|A∪B|,
+    * exact counterparts computed in the same job as ground truth. The
+    * bound flags are PROBABILISTIC (the 5% side bound is ≈5σ of the
+    * sketch's standard error; the I–E bound covers three terms' absolute
+    * errors) — they are asserted in Round11Spec, NOT hash-compared by the
+    * DuckDB oracle (ADVICE r11): the oracled query projects only the
+    * exact columns. At 100 TB the exact branch is the audit; the sketch
+    * branch reads each side once and merges constant-size state.
+    */
+  def hllIntersectAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val b = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val sk = a.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_a"))
+      .crossJoin(b.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_b")))
+      .crossJoin(a.union(b)
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("hll_u")))
+    val ex = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+      .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
+      .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+    sk.crossJoin(ex).select(
+      col("exact_a"), col("exact_b"), col("exact_inter"),
+      (abs(col("hll_a") - col("exact_a")) <= col("exact_a") * 0.05 &&
+       abs(col("hll_b") - col("exact_b")) <= col("exact_b") * 0.05)
+        .as("sides_within_5pct"),
+      (abs(col("hll_a") + col("hll_b") - col("hll_u") - col("exact_inter"))
+        <= (col("exact_a") + col("exact_b")) * 0.05)
+        .as("inter_within_bound"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R20 — model-based quality filter: score = mean hashed-feature weight
     // over the token bag, kept = positive score. One scan, zero shuffles
@@ -94,15 +126,20 @@ object Round11Queries {
         lit(2147483648L)
       val sampled = (rk * lit(1103515245L) + lit(12345L)) % lit(2147483648L) <
         lit(214748365L)
-      val q = col("l_quantity")
+      // per-row quantization to integer units BEFORE summing (ADVICE r11):
+      // Spark cast(double→long) truncates while DuckDB rounds, so a double
+      // aggregate cast at the end only agrees when the sum is exactly
+      // integral; floor(q+0.5) per row makes every sum integer end-to-end
+      // (the r_rollup_delta discipline) and robust to non-integral data.
+      val qu = floor(col("l_quantity") + lit(0.5)).cast("long")
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(when(sampled, lit(1L)).otherwise(lit(0L))).as("n_sampled"),
-          (sum(when(sampled, q).otherwise(lit(0.0))).cast("long") * lit(10L))
+          (sum(when(sampled, qu).otherwise(lit(0L))) * lit(10L))
             .as("est_sum_qty"),
-          sum(when(sampled, q * q).otherwise(lit(0.0))).cast("long").as("sum_x2"),
-          sum(q).cast("long").as("exact_sum_qty"))
+          sum(when(sampled, qu * qu).otherwise(lit(0L))).as("sum_x2"),
+          sum(qu).as("exact_sum_qty"))
         .select(
           col("l_returnflag"), col("l_linestatus"), col("n_sampled"),
           col("est_sum_qty"),
@@ -218,27 +255,15 @@ object Round11Queries {
     // (covers all three terms' absolute errors). At 100 TB the exact
     // branch is the audit; the sketch branch reads each side once and
     // merges constant-size state.
-    "q_hll_intersect" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
-      val b = ev.filter(col("event_type") === "click").select(col("user_id"))
-      val sk = a.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_a"))
-        .crossJoin(b.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_b")))
-        .crossJoin(a.union(b)
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("hll_u")))
-      val ex = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
-        .agg(count(lit(1)).as("exact_inter"))
-        .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
-        .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
-      sk.crossJoin(ex).select(
-        col("exact_a"), col("exact_b"), col("exact_inter"),
-        (abs(col("hll_a") - col("exact_a")) <= col("exact_a") * 0.05 &&
-         abs(col("hll_b") - col("exact_b")) <= col("exact_b") * 0.05)
-          .as("sides_within_5pct"),
-        (abs(col("hll_a") + col("hll_b") - col("hll_u") - col("exact_inter"))
-          <= (col("exact_a") + col("exact_b")) * 0.05)
-          .as("inter_within_bound"))
-    }),
+    // Oracled surface = the EXACT columns only (ADVICE r11): the sketch
+    // accuracy flags are PROBABILISTIC (rsd=0.01 HLL++ vs a heuristic 5%
+    // bound ≈ 5σ) — hardcoding them TRUE in the oracle would turn a
+    // statistical property into a hard parity gate that can fail at an
+    // untested scale with both engines behaving correctly. The full audit
+    // incl. sketch bounds is [[hllIntersectAudit]], asserted in Round11Spec
+    // where a failure reads as "sketch outside bound", not "wrong answer".
+    "q_hll_intersect" -> ((s, d) =>
+      hllIntersectAudit(s, d).select("exact_a", "exact_b", "exact_inter")),
 
     // R7/R6 — incremental aggregate maintenance: the materialized-rollup
     // refresh pattern. A day/type rollup already exists for everything up
@@ -975,7 +1000,8 @@ object Round11Queries {
 
     "q_approx_groupby_ci" ->
       """WITH base AS (
-           SELECT l_returnflag, l_linestatus, l_quantity,
+           SELECT l_returnflag, l_linestatus,
+                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS qu,
                   (((l_orderkey * 16 + l_linenumber) % 2147483648)
                     * 1103515245 + 12345)
                     % 2147483648 < 214748365 AS s
@@ -983,11 +1009,11 @@ object Round11Queries {
          g AS (
            SELECT l_returnflag, l_linestatus,
                   CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-                  CAST(CAST(sum(CASE WHEN s THEN l_quantity ELSE 0.0 END) AS BIGINT)
-                       * 10 AS BIGINT) AS est_sum_qty,
-                  CAST(sum(CASE WHEN s THEN l_quantity * l_quantity ELSE 0.0 END)
-                       AS BIGINT) AS sum_x2,
-                  CAST(sum(l_quantity) AS BIGINT) AS exact_sum_qty
+                  CAST(sum(CASE WHEN s THEN qu ELSE 0 END) * 10 AS BIGINT)
+                    AS est_sum_qty,
+                  CAST(sum(CASE WHEN s THEN qu * qu ELSE 0 END) AS BIGINT)
+                    AS sum_x2,
+                  CAST(sum(qu) AS BIGINT) AS exact_sum_qty
            FROM base GROUP BY 1, 2)
          SELECT l_returnflag, l_linestatus, n_sampled, est_sum_qty,
                 floor(19.6 * sqrt(CAST(sum_x2 AS DOUBLE) * 0.9) * 100 + 0.5) / 100
@@ -1059,6 +1085,8 @@ object Round11Queries {
                 replace(merged, '§', ' ') = text AS reversible
          FROM fin ORDER BY doc_id""",
 
+    // exact columns only — the probabilistic sketch-bound flags are
+    // asserted in Round11Spec, never hash-compared (ADVICE r11)
     "q_hll_intersect" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
          b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
@@ -1066,10 +1094,7 @@ object Round11Queries {
                FROM a WHERE user_id IN (SELECT user_id FROM b)),
          ca AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
          cb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b)
-         SELECT exact_a, exact_b, exact_inter,
-                TRUE AS sides_within_5pct,
-                TRUE AS inter_within_bound
-         FROM i, ca, cb""",
+         SELECT exact_a, exact_b, exact_inter FROM i, ca, cb""",
 
     "r_rollup_delta" ->
       """WITH ev AS (

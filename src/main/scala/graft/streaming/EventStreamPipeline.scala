@@ -154,6 +154,15 @@ object EventStreamPipeline {
   */
 final class StreamCoordinator {
   private val active = new ConcurrentHashMap[String, StreamingQuery]()
+  // the taken.poison marker of the reference's probes (probes/liveness.sh):
+  // flips once when any consumer takes POISON and never resets — the
+  // reference pod is meant to die after the pill (the AS inserts it only
+  // after deleting the stream record, app/app.py:203-209). Served by the
+  // shell's /health endpoints.
+  private val poisonObserved = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** True once any consumer on this coordinator has taken POISON. */
+  def poisonTaken: Boolean = poisonObserved.get
 
   /** Register a new consumer, stopping any prior holder of the key. */
   def register(routingKey: String, q: StreamingQuery): Unit = {
@@ -215,6 +224,9 @@ final class StreamCoordinator {
     */
   def requestStop(routingKey: String, queryName: String,
                   spark: SparkSession): Unit = {
+    // requestStop's only caller is the POISON path in the foreachBatch
+    // sink — reaching here IS "poison taken" (the file-touch analog)
+    poisonObserved.set(true)
     val t = new Thread(() => {
       val holder = active.get(routingKey)
       if (holder != null && holder.name == queryName) active.remove(routingKey, holder)

@@ -58,6 +58,9 @@ final class ServiceShell(
 
   private var http: com.sun.net.httpserver.HttpServer = _
   private var wsServer: ServerSocket = _
+  // the RUNNING marker of the reference's probes (probes/liveness.sh,
+  // readiness.sh): set while the shell is serving; cleared on stop()
+  private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val conns = TrieMap.empty[String, Socket] // uuid -> live WS socket
   // routing key -> live WS socket: last-connect-wins fencing is per routing
   // key (StreamCoordinator), so when a new consumer displaces the old
@@ -81,13 +84,25 @@ final class ServiceShell(
     http.createContext("/event-stream", (ex: com.sun.net.httpserver.HttpExchange) => {
       try handleHttp(ex) finally ex.close()
     })
+    // kubelet probe twins (reference/probes/liveness.sh, readiness.sh): both
+    // scripts are byte-identical — healthy iff the RUNNING marker exists and
+    // taken.poison does NOT. Here: the shell's running latch plays RUNNING
+    // and the coordinator's poison-taken flag plays taken.poison (a consumer
+    // that takes POISON marks the whole pod for restart in the reference —
+    // the pill is inserted only after the stream row is deleted, so death is
+    // the intended lifecycle, app/app.py:203-209).
+    http.createContext("/health", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try handleHealth(ex) finally ex.close()
+    })
     http.start()
+    running.set(true)
     val acceptor = new Thread(() => acceptLoop(), "graft-ws-accept")
     acceptor.setDaemon(true)
     acceptor.start()
   }
 
   def stop(): Unit = {
+    running.set(false)
     conns.values.foreach(s => try s.close() catch { case _: Exception => })
     conns.clear()
     connsByKey.clear()
@@ -132,6 +147,23 @@ final class ServiceShell(
     }
   }
 
+  /** GET /health/live and /health/ready — both probes share one predicate
+    * in the reference (probes/liveness.sh == probes/readiness.sh): alive
+    * iff RUNNING exists and taken.poison does not. 200 when healthy, 503
+    * when poisoned (the kubelet's restart trigger) or not yet serving.
+    */
+  private def handleHealth(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    (ex.getRequestMethod, path) match {
+      case ("GET", "/health/live") | ("GET", "/health/ready") =>
+        if (coordinator.poisonTaken)
+          respond(ex, 503, """{"status":"poison taken"}""")
+        else if (!running.get) respond(ex, 503, """{"status":"not running"}""")
+        else respond(ex, 200, """{"status":"ok"}""")
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  }
+
   private def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
                       body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -166,40 +198,69 @@ final class ServiceShell(
         l.substring(0, l.indexOf(':')).trim.equalsIgnoreCase("Sec-WebSocket-Key") =>
         l.substring(l.indexOf(':') + 1).trim
     }.orNull
-    val uuid = Option(requestLine).map(_.split(" "))
+    // request target = path + optional ?query (the stream_from_* replay
+    // params ride the query string, reference/app/app.py:193-199)
+    val target = Option(requestLine).map(_.split(" "))
       .filter(_.length >= 2).map(_(1))
-      .flatMap(p => WsPathRe.findFirstMatchIn(p).map(_.group(1)))
-    (uuid.flatMap(registry.byUuid), Option(wsKey)) match {
-      case (Some(rec), Some(key)) =>
+    val (rawPath, rawQuery) = target match {
+      case Some(t) =>
+        val q = t.indexOf('?')
+        if (q >= 0) (t.substring(0, q), t.substring(q + 1)) else (t, "")
+      case None => (null, "")
+    }
+    val uuid = Option(rawPath).flatMap(p => WsPathRe.findFirstMatchIn(p).map(_.group(1)))
+    (uuid, Option(wsKey)) match {
+      case (Some(u), Some(key)) =>
+        // ACCEPT first — the reference accepts unconditionally
+        // (app/app.py:211-212) and only then validates the replay params
+        // (close 1002, app.py:268-277) and resolves the uuid (close 1000,
+        // app.py:282-291). Errors are WS close frames, never HTTP errors.
         out.write(handshakeResponse(key).getBytes(UTF_8)); out.flush()
-        // displaced consumers (same uuid reconnect, or another stream with
-        // the same routing key) lose the fencing race below — close their
-        // sockets NOW so they observe the displacement instead of hanging
-        // on a dead query until their own EOF (ADVICE r10)
-        conns.put(rec.uuid, sock).filter(_ ne sock).foreach(closeWs)
-        connsByKey.put(rec.routingKey, sock).filter(_ ne sock).foreach(closeWs)
-        val lock = new Object
-        // the push sink: one text frame per delivered record; sends are
-        // serialized per socket (the per-stream delivery is serial anyway)
-        val send: String => Unit = msg => lock.synchronized {
-          if (!sock.isClosed) writeTextFrame(out, msg)
+        streamFromSpec(rawQuery) match {
+          case Left(err) => closeWs(sock, 1002, err)
+          case Right(specOpt) => registry.byUuid(u) match {
+            case None =>
+              closeWs(sock, 1000, s"Connect for unknown EventStream $u")
+            case Some(rec) =>
+              // displaced consumers (same uuid reconnect, or another stream
+              // with the same routing key) lose the fencing race below —
+              // close their sockets NOW so they observe the displacement
+              // instead of hanging on a dead query until their own EOF
+              // (ADVICE r10)
+              conns.put(rec.uuid, sock).filter(_ ne sock).foreach(s => closeWs(s))
+              connsByKey.put(rec.routingKey, sock).filter(_ ne sock).foreach(s => closeWs(s))
+              val lock = new Object
+              // the push sink: one text frame per delivered record; sends
+              // are serialized per socket (per-stream delivery is serial)
+              val send: String => Unit = msg => lock.synchronized {
+                if (!sock.isClosed) writeTextFrame(out, msg)
+              }
+              // a handshake-supplied replay spec overrides the shell
+              // default (specFor) — the reference's offset_specification
+              // starts as NEXT and is replaced by the parsed param
+              // (app.py:226-266)
+              val spec = specOpt.getOrElse(specFor(rec.routingKey))
+              val query = EventStreamPipeline.start(spark, sourceFor(rec.routingKey),
+                rec.routingKey, spec, coordinator, send)
+              // reader loop: handle client close/ping; EOF or close frame
+              // means the consumer is gone — disconnect stops the consumer
+              // (app/app.py:502-508), safe here because this is NOT the
+              // query's own foreachBatch thread
+              readFrames(in, out, lock)
+              // identity-scoped teardown: stop only THIS consumer's query
+              // and deregister it only if it still holds the key — if a
+              // newer consumer has displaced this one via last-connect-wins
+              // fencing, the replacement's live query and socket must
+              // survive our EOF
+              conns.remove(rec.uuid, sock)
+              connsByKey.remove(rec.routingKey, sock)
+              coordinator.release(rec.routingKey, query)
+              try sock.close() catch { case _: Exception => }
+          }
         }
-        val query = EventStreamPipeline.start(spark, sourceFor(rec.routingKey),
-          rec.routingKey, specFor(rec.routingKey), coordinator, send)
-        // reader loop: handle client close/ping; EOF or close frame means
-        // the consumer is gone — disconnect stops the consumer
-        // (app/app.py:502-508), safe here because this is NOT the query's
-        // own foreachBatch thread
-        readFrames(in, out, lock)
-        // identity-scoped teardown: stop only THIS consumer's query and
-        // deregister it only if it still holds the key — if a newer
-        // consumer has displaced this one via last-connect-wins fencing,
-        // the replacement's live query and socket must survive our EOF
-        conns.remove(rec.uuid, sock)
-        connsByKey.remove(rec.routingKey, sock)
-        coordinator.release(rec.routingKey, query)
-        try sock.close() catch { case _: Exception => }
       case _ =>
+        // not a well-formed WS upgrade to /event-stream/{uuid} — plain
+        // HTTP 404 (a route mismatch never reaches the reference handler)
         out.write(("HTTP/1.1 404 Not Found\r\nContent-Length: 0\r\n" +
           "Connection: close\r\n\r\n").getBytes(UTF_8))
         out.flush()
@@ -226,11 +287,22 @@ final class ServiceShell(
     new String(buf.toByteArray, UTF_8).split("\r?\n").toSeq.takeWhile(_.nonEmpty)
   }
 
-  private def closeWs(sock: Socket): Unit = {
+  /** Close frame (opcode 8) with status code + UTF-8 reason, then TCP
+    * close — the `websocket.close(code=…, reason=…)` analog
+    * (app/app.py:273-277, 287-291). Control-frame payloads cap at 125
+    * bytes (RFC 6455 §5.5): 2 status bytes + ≤123 reason bytes.
+    */
+  private def closeWs(sock: Socket, code: Int = 1000, reason: String = ""): Unit = {
     try {
-      // close frame (opcode 8), status 1000 — then TCP close
-      sock.getOutputStream.write(Array(0x88.toByte, 0x02.toByte, 0x03.toByte, 0xE8.toByte))
-      sock.getOutputStream.flush()
+      val rb = reason.getBytes(UTF_8)
+      val rlen = math.min(rb.length, 123)
+      val out = sock.getOutputStream
+      out.write(0x88)
+      out.write(2 + rlen)
+      out.write((code >> 8) & 0xFF)
+      out.write(code & 0xFF)
+      if (rlen > 0) out.write(rb, 0, rlen)
+      out.flush()
     } catch { case _: Exception => }
     try sock.close() catch { case _: Exception => }
   }
@@ -380,6 +452,52 @@ object ServiceShell {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** Parse the WS handshake query string into a replay offset spec
+    * (reference/app/app.py:215-278, README.md:187-220).
+    *
+    *   - `Right(None)`   — no `stream_from_*` param given: the consumer
+    *     starts at NEXT (or whatever shell default applies).
+    *   - `Right(Some(s))` — exactly one valid param.
+    *   - `Left(reason)`  — protocol error ⇒ WS close 1002: more than one
+    *     `stream_from_` param (app.py:268-271), an unparseable datetime
+    *     (app.py:230-244), or a non-integer ordinal/timestamp.
+    *
+    * Two deliberate divergences from the Python, both documented in
+    * [[graft.operators.Replay]]: (1) `stream_from_ordinal=0` is honored as
+    * "from the start" per README.md:200-203 — the reference's
+    * `if stream_from_ordinal:` truthiness accidentally skips 0; (2) an
+    * empty param value is treated as absent (that part of the truthiness
+    * behavior is intended — FastAPI delivers `""` for a bare `?k=`).
+    */
+  private[streaming] def streamFromSpec(
+      rawQuery: String): Either[String, Option[Replay.OffsetSpec]] = {
+    val params: Map[String, String] = rawQuery.split('&').toSeq
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val eq = kv.indexOf('=')
+        val (k, v) = if (eq >= 0) (kv.take(eq), kv.drop(eq + 1)) else (kv, "")
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    def nonEmpty(k: String): Option[String] = params.get(k).filter(_.nonEmpty)
+    def asLong(k: String): Either[String, Option[Long]] = nonEmpty(k) match {
+      case None => Right(None)
+      case Some(v) => v.toLongOption
+        .toRight(s"$k must be an integer").map(Some(_))
+    }
+    val given = Seq("stream_from_ordinal", "stream_from_timestamp",
+      "stream_from_datetime").count(k => nonEmpty(k).isDefined)
+    // 'too many' outranks any per-value error (app.py:268-271 replaces the
+    // accumulated error message when num_stream_from_specified > 1)
+    if (given > 1) Left("Cannot provide more than one 'stream_from_' variable")
+    else for {
+      ord <- asLong("stream_from_ordinal")
+      ts  <- asLong("stream_from_timestamp")
+      spec <- Replay.offsetSpec(ord, ts, nonEmpty("stream_from_datetime"))
+        .left.map(_.stripPrefix("1002: "))
+    } yield if (given == 1) Some(spec) else None
   }
 
   // value is any JSON-string char run: unescaped non-quote/backslash chars

@@ -57,6 +57,26 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  // ---- q_hll_intersect -----------------------------------------------
+
+  test("hllIntersectAudit: sketch bounds hold (probabilistic; see message)") {
+    // These flags are PROBABILISTIC accuracy statements about HLL++
+    // rsd=0.01 sketches vs a heuristic 5% bound (≈5σ) — asserted here, not
+    // in the DuckDB oracle, so a failure reads as "sketch wandered outside
+    // its expected bound at this scale" (re-examine the bound), never as a
+    // correctness parity break (ADVICE r11).
+    val r = Round11Queries.hllIntersectAudit(spark, sf).head()
+    assert(r.getAs[Boolean]("sides_within_5pct"),
+      "HLL side estimate outside 5% of exact — probabilistic bound violated; " +
+        "check sketch rsd vs bound sigma before treating as a bug")
+    assert(r.getAs[Boolean]("inter_within_bound"),
+      "inclusion-exclusion estimate outside 5%-of-(|A|+|B|) — probabilistic " +
+        "bound violated; check bound width before treating as a bug")
+    // the oracled projection stays exact-only
+    val cols = Round11Queries.defs("q_hll_intersect")(spark, sf).columns.toSeq
+    assert(cols === Seq("exact_a", "exact_b", "exact_inter"))
+  }
+
   // ---- q_entity_resolution -------------------------------------------
 
   test("q_entity_resolution: pairs stay within blocks and cover C(n,2)") {
@@ -99,13 +119,13 @@ class Round11Spec extends SparkSpec {
 
   // ---- q_hll_intersect / r_rollup_delta ------------------------------
 
-  test("q_hll_intersect: bounds hold and the exact triple is consistent") {
+  test("q_hll_intersect: the exact triple is consistent") {
+    // the oracled query projects only the exact columns; the sketch bound
+    // flags live in hllIntersectAudit (asserted above) — ADVICE r11
     val r = Round11Queries.defs("q_hll_intersect")(spark, sf).head()
     val (a, b, i) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
       r.getAs[Long]("exact_inter"))
     assert(i <= math.min(a, b) && i >= 0)
-    assert(r.getAs[Boolean]("sides_within_5pct"))
-    assert(r.getAs[Boolean]("inter_within_bound"))
   }
 
   test("r_rollup_delta: merged partials are lossless and cover every event") {

@@ -261,6 +261,188 @@ class ServiceShellSpec extends SparkSpec {
     }
   }
 
+  test("service shell: stream_from_ordinal replay param delivers from that ordinal") {
+    // VERDICT r11 #1: the WS handshake's query string carries the replay
+    // spec (app/app.py:215-266) — ?stream_from_ordinal=3 must deliver the
+    // first message with ordinal >= 3 (README.md:200-203) instead of the
+    // shell default NEXT.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-replay"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      val received = new LinkedBlockingQueue[String]()
+      val listener = new WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.setLength(0) }
+          ws.request(1)
+          null
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc + "?stream_from_ordinal=3"), listener).join()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-replay").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val q = coord.activeQuery("rk-replay").getOrElse(
+          fail("consumer did not attach within 30 s"))
+        stream.addData(
+          Msg("""{"message_type": "m1"}""", 1, 100L),
+          Msg("""{"message_type": "m2"}""", 2, 200L),
+          Msg("""{"message_type": "m3"}""", 3, 300L),
+          Msg("""{"message_type": "m4"}""", 4, 400L))
+        q.processAllAvailable()
+        val first = received.poll(30, TimeUnit.SECONDS)
+        val second = received.poll(30, TimeUnit.SECONDS)
+        assert(first === """{"ess_ordinal": 3, "ess_timestamp": 300, "message_type": "m3"}""")
+        assert(second === """{"ess_ordinal": 4, "ess_timestamp": 400, "message_type": "m4"}""")
+        assert(received.isEmpty, "ordinals below the seek point must not be delivered")
+      } finally {
+        try ws.abort() catch { case _: Exception => }
+      }
+    } finally {
+      shell.stop()
+      coord.release("rk-replay")
+    }
+  }
+
+  test("service shell: protocol errors close 1002; unknown uuid accepts then closes 1000") {
+    // VERDICT r11 #1/#2: accept-then-close semantics — multi stream_from_
+    // params and an unparseable datetime are WS close 1002
+    // (app/app.py:268-277); an unknown uuid is ACCEPTED then closed 1000
+    // (app.py:282-291), not an HTTP 404.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def closeCodeFor(wsUri: String): Int = {
+      val closed = new CompletableFuture[Integer]()
+      val listener = new WebSocket.Listener {
+        override def onClose(ws: WebSocket, statusCode: Int,
+                             reason: String): java.util.concurrent.CompletionStage[_] = {
+          closed.complete(statusCode); null
+        }
+        override def onError(ws: WebSocket, error: Throwable): Unit = {
+          closed.complete(-1); ()
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(wsUri), listener).join()
+      try closed.get(30, TimeUnit.SECONDS).intValue()
+      finally { try ws.abort() catch { case _: Exception => } }
+    }
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-close"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      // two stream_from_ params -> 1002 (app.py:268-271)
+      assert(closeCodeFor(loc + "?stream_from_ordinal=1&stream_from_timestamp=2") === 1002)
+      // unparseable datetime -> 1002 (app.py:230-244)
+      assert(closeCodeFor(loc + "?stream_from_datetime=not-a-date") === 1002)
+      // non-integer ordinal -> 1002
+      assert(closeCodeFor(loc + "?stream_from_ordinal=abc") === 1002)
+      // unknown uuid: the upgrade is ACCEPTED (101) and the close is a
+      // normal-closure 1000 frame — the reference's app.py:282-291 path
+      val wsBase = loc.substring(0, loc.lastIndexOf('/'))
+      assert(closeCodeFor(s"$wsBase/NoSuchUuid0000000000") === 1000)
+      // a valid single param on a known uuid still connects (no close)
+      val okClosed = new CompletableFuture[Integer]()
+      val okWs = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc + "?stream_from_ordinal=0"), new WebSocket.Listener {
+          override def onClose(ws: WebSocket, statusCode: Int,
+                               reason: String): java.util.concurrent.CompletionStage[_] = {
+            okClosed.complete(statusCode); null
+          }
+        }).join()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-close").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(coord.activeQuery("rk-close").isDefined,
+          "stream_from_ordinal=0 must connect and start a consumer (README.md:200-203)")
+        assert(!okClosed.isDone, "valid replay param must not close the socket")
+      } finally {
+        try okWs.abort() catch { case _: Exception => }
+      }
+    } finally {
+      shell.stop()
+      coord.release("rk-close")
+    }
+  }
+
+  test("service shell: health probes flip 200 -> 503 when POISON is taken") {
+    // VERDICT r11 #6: /health/live + /health/ready mirror
+    // probes/liveness.sh / readiness.sh — healthy while RUNNING, dead once
+    // any consumer takes the POISON pill (taken.poison analog).
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def health(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${shell.httpPort}$path")).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      assert(health("/health/live").statusCode() === 200)
+      assert(health("/health/ready").statusCode() === 200)
+
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-health"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), new WebSocket.Listener {}).join()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-health").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(coord.activeQuery("rk-health").isDefined)
+        stream.addData(Msg("POISON", 1, 100L))
+        // the poison stop is asynchronous (reaper thread): wait for the
+        // query to die, then the health flip is immediate
+        val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-health").isDefined && System.nanoTime() < d2)
+          Thread.sleep(50)
+        assert(coord.activeQuery("rk-health").isEmpty, "POISON must stop the consumer")
+        assert(coord.poisonTaken)
+        assert(health("/health/live").statusCode() === 503)
+        assert(health("/health/ready").statusCode() === 503)
+      } finally {
+        try ws.abort() catch { case _: Exception => }
+      }
+    } finally {
+      shell.stop()
+      coord.release("rk-health")
+    }
+  }
+
   test("service shell: wss data plane over TLS loopback") {
     // Self-signed server cert via the JDK's own keytool (no new
     // dependency; cert generation is not a JDK public API). The client
