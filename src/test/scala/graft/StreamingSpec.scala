@@ -13,6 +13,22 @@ import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit}
 // outer instance and break typed-encoder codegen (janino fallback storm)
 object StreamingSpec {
   case class Msg(body: String, ordinal: Long, ts_ms: Long)
+
+  // Executor-path sink state: a static registry the serialized
+  // SenderFactory reaches by NAME on the task side (local-mode tasks share
+  // the JVM; on a real cluster the factory would open a network connection
+  // instead — the factory abstraction is exactly that seam). opens/closes
+  // count factory lifecycle calls for the per-partition open/close pin.
+  val execSent = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
+  val execOpens = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  final class QueueSender(name: String) extends EventStreamPipeline.SenderFactory {
+    def open(): (String => Unit, () => Unit) = {
+      val q = execSent.computeIfAbsent(name, _ => new ConcurrentLinkedQueue[String]())
+      execOpens.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+      (q.add(_), () => ())
+    }
+  }
 }
 
 class StreamingSpec extends SparkSpec {
@@ -39,6 +55,51 @@ class StreamingSpec extends SparkSpec {
         "cls|x: 1|ordinal: 1|timestamp: 100",
         """{"ess_ordinal": 2, "ess_timestamp": 200, "message_type": "t"}"""))
     } finally coord.release("rk-order")
+  }
+
+  test("T1 executor path: same ordinal order + guards as the driver path (VERDICT r11 #8)") {
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    StreamingSpec.execSent.remove("rk-exec-order")
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-exec-order", Replay.FromOrdinal(0), coord,
+      _ => fail("driver send must not be used on the executor path"),
+      executorSender = Some(new StreamingSpec.QueueSender("rk-exec-order")))
+    try {
+      stream.addData(
+        Msg("""{"message_type": "t"}""", 2, 200L),
+        Msg("cls|x: 1", 1, 100L),
+        Msg("", 3, 300L)) // empty: not forwarded
+      drain(q)
+      val out = StreamingSpec.execSent.get("rk-exec-order")
+        .toArray(new Array[String](0)).toSeq
+      assert(out === Seq(
+        "cls|x: 1|ordinal: 1|timestamp: 100",
+        """{"ess_ordinal": 2, "ess_timestamp": 200, "message_type": "t"}"""))
+    } finally coord.release("rk-exec-order")
+  }
+
+  test("T5 executor path: POISON truncates in-batch, stops the query, and later batches deliver nothing") {
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    StreamingSpec.execSent.remove("rk-exec-poison")
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF(), "rk-exec-poison", Replay.FromOrdinal(0), coord,
+      _ => fail("driver send must not be used on the executor path"),
+      executorSender = Some(new StreamingSpec.QueueSender("rk-exec-poison")))
+    stream.addData(Msg("ok|1", 1, 10L), Msg("POISON", 2, 20L), Msg("after|3", 3, 30L))
+    drain(q)
+    if (q.isActive) { // race a post-POISON batch in before the reaper lands
+      stream.addData(Msg("late|4", 4, 40L))
+      try drain(q) catch { case _: Exception => () }
+    }
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+    while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!q.isActive, "query should stop after POISON")
+    val out = StreamingSpec.execSent.get("rk-exec-poison")
+      .toArray(new Array[String](0)).toSeq
+    assert(out === Seq("ok|1|ordinal: 1|timestamp: 10"), out)
+    assert(coord.activeQuery("rk-exec-poison").isEmpty)
   }
 
   test("S3 streaming: replay from ordinal skips earlier messages") {
