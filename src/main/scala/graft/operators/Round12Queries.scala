@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.ParityMath.floorRound
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions (SURVEY.md §2.12): the training-corpus assembly ops
+  * the previous rounds' inventory still lacked —
+  *
+  *   - `q_hash_split`       R17/R7  deterministic train/val/test hash split
+  *                                  + cross-split exact-content leakage audit
+  *   - `t_mix_weights`      R20/R7  temperature-α source mixing weights
+  *                                  (the multilingual upsampling table)
+  *   - `t_chunk_windows`    R20/R12 context-window chunking with stride
+  *                                  (the windowed-sequence table a trainer
+  *                                  actually consumes)
+  *   - `v_matryoshka_probe` R19     truncated-dimension retrieval audit
+  *                                  (nested / matryoshka embedding serving)
+  *
+  * All four follow the house parity discipline: integer-exact where
+  * possible, floorRound(…, 4) on the few genuine doubles, LCG-on-reduced-id
+  * pseudo-randomness (the q_approx_groupby_ci overflow-safe form), and
+  * deterministic ORDER BY.
+  */
+object Round12Queries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** Chunking geometry shared by the query and its spec: a 32-token
+    * window advancing 24 tokens per step (8-token overlap) — the
+    * fixture-scale stand-in for the 2048/1536 production shape.
+    */
+  private[graft] val ChunkWindow = 32
+  private[graft] val ChunkStride = 24
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // R17/R7 — TRAIN/VAL/TEST HASH SPLIT + LEAKAGE AUDIT. Split
+    // assignment must be a pure function of a stable key (re-runs and
+    // late-arriving shards land identically — never rand()), so the
+    // LCG-on-reduced-id ladder assigns each doc a bucket in [0, 100):
+    // <80 train, <90 val, else test. The audit half is the part teams
+    // actually get burned by: a val/test document whose EXACT content
+    // (md5 of text) also appears in train is leakage — counted per
+    // split via one distinct-hash semi-join. Scale shape: one hash agg
+    // for the split counts + a broadcast-able distinct-hash semi-join
+    // (train-hash set is corpus-distinct-sized; at 100 TB it becomes a
+    // shuffle semi-join on the 16-byte hash — never on text).
+    "q_hash_split" -> ((s, d) => {
+      val bucket = ((col("doc_id") % lit(2147483648L)) * lit(1103515245L) +
+        lit(12345L)) % lit(2147483648L) % 100
+      val assigned = docs(s, d).select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"),
+        md5(col("text")).as("h"))
+      val trainH = assigned.filter(col("split") === "train")
+        .select(col("h")).distinct()
+      val leaks = assigned.filter(col("split") =!= "train")
+        .join(trainH, Seq("h"), "left_semi")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+      val total = docs(s, d).agg(count(lit(1)).as("n_total"))
+      assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(leaks, Seq("split"), "left")
+        .crossJoin(broadcast(total))
+        .select(
+          col("split"), col("n_docs"),
+          floorRound(col("n_docs").cast("double") / col("n_total"), 4).as("pct"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked_from_train"))
+        .orderBy("split")
+    }),
+
+    // R20/R7 — TEMPERATURE-α SOURCE MIXING (α = 0.7, the standard
+    // multilingual-upsampling temperature): per-source token masses
+    // n_i, sampling weights w_i ∝ n_i^α (α < 1 flattens the head and
+    // upsamples the tail), the expected token draw from a 1M-token
+    // budget, and the implied epochs over each source (> 1 = that
+    // source repeats — the overfit-risk signal a mixing table exists to
+    // surface). One corpus pass for the masses; everything after is
+    // source-cardinality-sized (a broadcast scalar for the normalizer).
+    "t_mix_weights" -> ((s, d) => {
+      val bySrc = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val norm = bySrc.agg(
+        sum(pow(col("n_tokens").cast("double"), 0.7)).as("z"))
+      bySrc.crossJoin(broadcast(norm))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          floorRound(pow(col("n_tokens").cast("double"), 0.7) / col("z"), 4)
+            .as("weight"),
+          floor(pow(col("n_tokens").cast("double"), 0.7) / col("z") * 1000000)
+            .cast("long").as("exp_tokens_1m"),
+          floorRound(
+            floor(pow(col("n_tokens").cast("double"), 0.7) / col("z") * 1000000) /
+              col("n_tokens").cast("double"), 4).as("epochs"))
+        .orderBy("source")
+    }),
+
+    // R20/R12 — CONTEXT-WINDOW CHUNKING: the (doc, chunk) table a
+    // trainer consumes — fixed window, fixed stride, tail kept.
+    // n_chunks = 1 + ceil(max(0, n_tokens − W) / S) (every token is
+    // covered; the last window may be short), materialized by exploding
+    // a per-doc chunk-index sequence — a pure per-row generate, no
+    // shuffle at all until the output sort. At 100 TB this is the shape
+    // that matters: chunk boundaries are computed from counts, so the
+    // corpus text is scanned once and only (doc_id, offsets) rows flow.
+    "t_chunk_windows" -> ((s, d) => {
+      val w = lit(ChunkWindow)
+      val st = lit(ChunkStride)
+      val nTok = size(split(col("text"), " "))
+      val nChunks = (lit(1) +
+        ceil(greatest(nTok - w, lit(0)).cast("double") / st).cast("int"))
+      docs(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * st).as("tok_start"),
+          least(col("chunk_idx") * st + w, col("n_tokens")).as("tok_end"),
+          (least(col("chunk_idx") * st + w, col("n_tokens")) -
+            col("chunk_idx") * st).as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // R19 — MATRYOSHKA (nested-embedding) RETRIEVAL AUDIT: serve-time
+    // dimension truncation — rank by the first 16 (and 32) of 64 dims
+    // and price what the cheap prefix costs in exact-top-10 overlap.
+    // The production lever: a 4× narrower scan for candidate gen, full
+    // dims only for re-rank (the v_ivfpq_rerank shape, with prefix dims
+    // playing the codes). Integer-unit L2 end-to-end ⇒ the oracle
+    // replays all three rankings exactly. Scale shape: three per-row
+    // fold passes against one broadcast probe + TakeOrderedAndProject —
+    // no corpus shuffle, no join.
+    "v_matryoshka_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .filter(size(col("v")) === 64)
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      def d2u(dims: Int): org.apache.spark.sql.Column = expr(
+        s"""CAST(floor(aggregate(
+             zip_with(slice(v, 1, $dims), slice(pv, 1, $dims),
+                      (x, y) -> (x - y) * (x - y)),
+             CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
+      val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), d2u(64).as("d64"), d2u(32).as("d32"),
+          d2u(16).as("d16"))
+      def top10(c: String) = scored.orderBy(col(c), col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      top10("d64").agg(sum(col("vec_id")).as("full_top10_idsum"))
+        .crossJoin(top10("d64").join(top10("d32"), "vec_id")
+          .agg(count(lit(1)).as("n_overlap_32")))
+        .crossJoin(top10("d64").join(top10("d16"), "vec_id")
+          .agg(count(lit(1)).as("n_overlap_16")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_hash_split" ->
+      """WITH a AS (
+           SELECT doc_id,
+                  CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483648 % 100 < 80 THEN 'train'
+                       WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483648 % 100 < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  md5(text) AS h
+           FROM documents),
+         th AS (SELECT DISTINCT h FROM a WHERE split = 'train'),
+         lk AS (
+           SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+           FROM a WHERE split <> 'train' AND h IN (SELECT h FROM th)
+           GROUP BY split),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         cnt AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM a GROUP BY split)
+         SELECT c.split, c.n_docs,
+                floor(CAST(c.n_docs AS DOUBLE) / tot.n_total
+                      * 10000 + 0.5) / 10000 AS pct,
+                coalesce(lk.n_leaked, 0) AS n_leaked_from_train
+         FROM cnt c CROSS JOIN tot
+         LEFT JOIN lk ON lk.split = c.split
+         ORDER BY c.split""",
+
+    "t_mix_weights" ->
+      """WITH bysrc AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z FROM bysrc)
+         SELECT source, n_docs, n_tokens,
+                floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z
+                      * 10000 + 0.5) / 10000 AS weight,
+                CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z * 1000000)
+                     AS BIGINT) AS exp_tokens_1m,
+                floor(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z * 1000000)
+                      / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
+                  AS epochs
+         FROM bysrc, z ORDER BY source""",
+
+    "t_chunk_windows" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+           FROM documents),
+         n AS (
+           SELECT doc_id, n_tokens,
+                  1 + CAST(ceil(CAST(greatest(n_tokens - $ChunkWindow, 0)
+                                     AS DOUBLE) / $ChunkStride) AS INT)
+                    AS n_chunks
+           FROM t)
+         SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+                CAST(u.i * $ChunkStride AS INT) AS tok_start,
+                CAST(least(u.i * $ChunkStride + $ChunkWindow, n_tokens)
+                     AS INT) AS tok_end,
+                CAST(least(u.i * $ChunkStride + $ChunkWindow, n_tokens)
+                     - u.i * $ChunkStride AS INT) AS n_chunk_tokens
+         FROM n, LATERAL (SELECT unnest(range(n.n_chunks)) AS i) u
+         ORDER BY doc_id, chunk_idx""",
+
+    "v_matryoshka_probe" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         qx AS (SELECT e, i FROM ex WHERE vec_id = 0),
+         d AS (
+           SELECT ex.vec_id,
+                  CAST(floor(sum((ex.e - qx.e) * (ex.e - qx.e))
+                             * 10000 + 0.5) AS BIGINT) AS d64,
+                  CAST(floor(sum(CASE WHEN ex.i <= 32
+                                 THEN (ex.e - qx.e) * (ex.e - qx.e)
+                                 ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS d32,
+                  CAST(floor(sum(CASE WHEN ex.i <= 16
+                                 THEN (ex.e - qx.e) * (ex.e - qx.e)
+                                 ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS d16
+           FROM ex JOIN qx ON qx.i = ex.i
+           WHERE ex.vec_id <> 0
+           GROUP BY ex.vec_id),
+         t64 AS (SELECT vec_id FROM d ORDER BY d64, vec_id LIMIT 10),
+         t32 AS (SELECT vec_id FROM d ORDER BY d32, vec_id LIMIT 10),
+         t16 AS (SELECT vec_id FROM d ORDER BY d16, vec_id LIMIT 10)
+         SELECT
+           (SELECT CAST(sum(vec_id) AS BIGINT) FROM t64) AS full_top10_idsum,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM t64 JOIN t32 USING (vec_id)) AS n_overlap_32,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM t64 JOIN t16 USING (vec_id)) AS n_overlap_16"""
+  )
+}

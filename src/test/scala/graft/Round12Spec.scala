@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Round12Queries
+import org.apache.spark.sql.functions._
+
+/** Round-12 operators: hash split + leakage audit, temperature mixing,
+  * context-window chunking, matryoshka retrieval audit.
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- q_hash_split ---------------------------------------------------
+
+  test("q_hash_split: deterministic, covers the corpus, ~80/10/10") {
+    val rows = Round12Queries.defs("q_hash_split")(spark, sf).collect()
+    val bySplit = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    val total = Tables.documents(spark, sf).count()
+    assert(bySplit.values.sum === total, "splits must partition the corpus")
+    // deterministic: a second run lands identically (pure function of id)
+    val again = Round12Queries.defs("q_hash_split")(spark, sf).collect()
+    assert(rows.toSeq === again.toSeq)
+    // proportions near the 80/10/10 design (small corpus ⇒ loose bounds)
+    val trainPct = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainPct > 0.6 && trainPct < 0.95, s"train share $trainPct")
+  }
+
+  test("q_hash_split: a planted exact duplicate across splits is counted as leakage") {
+    // replay the production expressions over a fixture where doc 83
+    // (train by the LCG: bucket 64) and doc 1 (test: bucket 90) share
+    // identical text — the audit must count exactly one leak in 'test'
+    // and none in 'val' (doc 2, bucket 87, is val with unique text)
+    def bucket(id: Long): Long =
+      ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 100
+    assert(bucket(83L) < 80, "fixture assumes doc 83 is train")
+    assert(bucket(1L) >= 90, "fixture assumes doc 1 is test")
+    assert(bucket(2L) >= 80 && bucket(2L) < 90, "fixture assumes doc 2 is val")
+    val fx = Seq(
+      (83L, "alpha beta gamma"),  // train
+      (1L, "alpha beta gamma"),   // test, exact dup of train -> leak
+      (2L, "delta epsilon")       // val, unique
+    ).toDF("doc_id", "text")
+    val b = ((col("doc_id") % lit(2147483648L)) * lit(1103515245L) +
+      lit(12345L)) % lit(2147483648L) % 100
+    val assigned = fx.select(col("doc_id"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+      md5(col("text")).as("h"))
+    val trainH = assigned.filter($"split" === "train").select("h").distinct()
+    val leaks = assigned.filter($"split" =!= "train")
+      .join(trainH, Seq("h"), "left_semi")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(leaks === Map("test" -> 1L))
+  }
+
+  // ---- t_mix_weights --------------------------------------------------
+
+  test("t_mix_weights: weights normalize; α<1 upsamples the tail") {
+    val rows = Round12Queries.defs("t_mix_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 0.01, s"weights sum to $wSum")
+    val totalTok = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    // temperature α = 0.7 < 1: the SMALLEST source's sampling weight must
+    // exceed its raw token share; the LARGEST source's must not exceed it
+    val smallest = rows.minBy(_.getAs[Long]("n_tokens"))
+    val largest = rows.maxBy(_.getAs[Long]("n_tokens"))
+    assert(smallest.getAs[Double]("weight") >
+      smallest.getAs[Long]("n_tokens") / totalTok - 1e-9)
+    assert(largest.getAs[Double]("weight") <
+      largest.getAs[Long]("n_tokens") / totalTok + 1e-9)
+    // epochs = exp_tokens / n_tokens (held to rounding)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("exp_tokens_1m").toDouble / r.getAs[Long]("n_tokens")
+      assert(math.abs(r.getAs[Double]("epochs") - expect) < 1e-3)
+    }
+  }
+
+  // ---- t_chunk_windows ------------------------------------------------
+
+  test("t_chunk_windows: chunks tile every document exactly") {
+    val rows = Round12Queries.defs("t_chunk_windows")(spark, sf).collect()
+    val w = Round12Queries.ChunkWindow
+    val st = Round12Queries.ChunkStride
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet === nTok.keySet, "every doc chunked")
+    rows.groupBy(_.getLong(0)).foreach { case (docId, chunks) =>
+      val sorted = chunks.sortBy(_.getInt(1))
+      // strides advance uniformly; first chunk starts at 0
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getInt(1) === i)
+        assert(c.getInt(2) === i * st, "start = idx * stride")
+        assert(c.getInt(4) === c.getInt(3) - c.getInt(2))
+        assert(c.getInt(4) > 0 && c.getInt(4) <= w)
+      }
+      // the last chunk ends exactly at n_tokens; the one before (if any)
+      // could not have covered the doc alone
+      assert(sorted.last.getInt(3) === nTok(docId), "tail covered")
+      if (sorted.length > 1)
+        assert((sorted.length - 2) * st + w < nTok(docId),
+          s"doc $docId has a redundant trailing chunk")
+    }
+  }
+
+  // ---- v_matryoshka_probe ---------------------------------------------
+
+  test("v_matryoshka_probe: overlaps bounded; full ranking matches a direct top-10") {
+    val r = Round12Queries.defs("v_matryoshka_probe")(spark, sf).head()
+    val o32 = r.getAs[Long]("n_overlap_32")
+    val o16 = r.getAs[Long]("n_overlap_16")
+    assert(o32 >= 0 && o32 <= 10 && o16 >= 0 && o16 <= 10)
+    // direct full-dim top-10 recomputation pins full_top10_idsum
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(size(col("v")) === 64)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val idSum = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"), expr(
+        """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
+             CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
+        .as("d2u"))
+      .orderBy(col("d2u"), col("vec_id")).limit(10)
+      .agg(sum(col("vec_id"))).head().getLong(0)
+    assert(r.getAs[Long]("full_top10_idsum") === idSum)
+  }
+}
