@@ -593,4 +593,35 @@ class PlanSpec extends SparkSpec {
     assert("graft_pq_encode".r.findAllIn(p).size >= 2,
       "both encode passes must be the native fold")
   }
+
+  test("q_hash_split: leakage audit joins on the 16-byte hash, never on text") {
+    val p = plan("q_hash_split")
+    // the train-hash set is distinct-hash-sized: the semi-join must build/
+    // probe on h (md5), and no exchange may carry the text column
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text#")),
+      s"corpus text crossed an exchange:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"), s"leak audit not a semi-join:\n${p.take(1200)}")
+  }
+
+  test("t_chunk_windows: chunk explode runs before any exchange — counts flow, not text") {
+    val p = plan("t_chunk_windows")
+    // chunk rows are generated per-row from token counts; the only
+    // exchange allowed is the output ordering's range partition
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in the chunker:\n${p.take(1200)}")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"corpus text crossed an exchange:\n${p.take(1200)}")
+  }
+
+  test("v_matryoshka_probe: three fold passes, broadcast probe, no corpus shuffle") {
+    val p = plan("v_matryoshka_probe")
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(!keyed.exists(_.contains("vec_id")),
+      s"corpus-sized exchange in the matryoshka audit:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 not heap-based")
+  }
 }
