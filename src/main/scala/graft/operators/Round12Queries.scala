@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *                                  actually consumes)
   *   - `v_matryoshka_probe` R19     truncated-dimension retrieval audit
   *                                  (nested / matryoshka embedding serving)
+  *   - `t_oov_rate`         R20     tokenizer vocabulary coverage / OOV
+  *   - `q_k_anonymity`      R22/R7  quasi-identifier group-size audit
+  *   - `v_maxsim_probe`     R19     late-interaction (maxsim) retrieval
   *
   * All four follow the house parity discipline: integer-exact where
   * possible, floorRound(…, 4) on the few genuine doubles, LCG-on-reduced-id
@@ -33,6 +36,12 @@ object Round12Queries {
     */
   private[graft] val ChunkWindow = 32
   private[graft] val ChunkStride = 24
+
+  /** Vocabulary size for the OOV-rate audit (fixture-scale stand-in for
+    * a 32k-256k production vocab) and the k-anonymity threshold.
+    */
+  private[graft] val VocabSize = 100
+  private[graft] val AnonK = 5
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -124,6 +133,82 @@ object Round12Queries {
           (least(col("chunk_idx") * st + w, col("n_tokens")) -
             col("chunk_idx") * st).as("n_chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // R20 — TOKENIZER VOCABULARY COVERAGE / OOV RATE: fix the vocab to
+    // the corpus's top-100 tokens (frequency desc, token asc — ties
+    // deterministic) and report each document's out-of-vocabulary
+    // fraction, the coverage metric that decides whether a tokenizer's
+    // vocab suits a corpus before a training run burns on it. Scale
+    // shape: one explode → token hash agg (Heaps-law-sized, never
+    // corpus-sized), top-K via the heap (TakeOrdered), and the per-doc
+    // pass joins exploded tokens against the BROADCAST vocab — the
+    // corpus shuffles on doc_id only for its own per-doc count.
+    "t_oov_rate" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(VocabSize)
+        .select(col("tok"))
+      toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+        .join(docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")), Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          floorRound(coalesce(col("n_oov"), lit(0L)).cast("double") /
+            col("n_tokens"), 4).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // R22/R7 — K-ANONYMITY AUDIT (k = 5) over the (event_type, day)
+    // quasi-identifier: the data-governance gate a corpus passes before
+    // release — any QI group smaller than k re-identifies its members.
+    // One aggregation pass builds the QI group sizes; a second
+    // (group-count-sized, not corpus-sized) folds the violation census:
+    // groups below k, records at risk, and the suppression fraction the
+    // release would need. Integer-exact throughout.
+    "q_k_anonymity" -> ((s, d) => {
+      val groups = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      groups.agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") < AnonK, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < AnonK, col("n")).otherwise(0L)).as("n_records_at_risk"),
+          sum(col("n")).as("n_records"))
+        .select(
+          col("n_groups"), col("n_violating"), col("n_records_at_risk"),
+          floorRound(col("n_records_at_risk").cast("double") /
+            col("n_records"), 6).as("suppression_frac"),
+          (col("n_violating") === 0).as("k_anonymous"))
+    }),
+
+    // R19 — LATE-INTERACTION (ColBERT-style) MAXSIM PROBE: each 64-dim
+    // vector read as EIGHT 8-dim token-vectors (the multi-vector doc
+    // stand-in); score(doc) = Σ over probe subvectors of the max dot
+    // product against any doc subvector — the maxsim operator serving
+    // late-interaction retrieval. Every (i, j) pair's dot is floored to
+    // integer units BEFORE max/sum, so the oracle replays the 64 dots,
+    // the 8 maxes, and the sum exactly. Scale shape: a pure per-row
+    // fold (64 8-dim dots/row) against one broadcast probe row + heap
+    // top-10 — zero corpus shuffle, the v_pq_adc discipline.
+    "v_maxsim_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .filter(size(col("v")) === 64)
+      val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), expr(
+          """CAST(aggregate(sequence(0, 7), 0L, (acc, qi) -> acc +
+               array_max(transform(sequence(0, 7), dj ->
+                 CAST(floor(aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+                   (a, k) -> a + element_at(pv, qi * 8 + k)
+                               * element_at(v, dj * 8 + k))
+                   * 10000 + 0.5) AS BIGINT)))) AS BIGINT)""").as("maxsim_units"))
+        .orderBy(col("maxsim_units").desc, col("vec_id"))
+        .limit(10)
     }),
 
     // R19 — MATRYOSHKA (nested-embedding) RETRIEVAL AUDIT: serve-time
@@ -222,6 +307,67 @@ object Round12Queries {
                      - u.i * $ChunkStride AS INT) AS n_chunk_tokens
          FROM n, LATERAL (SELECT unnest(range(n.n_chunks)) AS i) u
          ORDER BY doc_id, chunk_idx""",
+
+    "t_oov_rate" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         vocab AS (
+           SELECT tok FROM (
+             SELECT tok, count(*) AS n FROM toks GROUP BY tok
+             ORDER BY n DESC, tok LIMIT 100)),
+         oov AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_oov
+           FROM toks WHERE tok NOT IN (SELECT tok FROM vocab)
+           GROUP BY doc_id),
+         base AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+           FROM documents)
+         SELECT b.doc_id, b.n_tokens,
+                coalesce(o.n_oov, 0) AS n_oov,
+                floor(coalesce(o.n_oov, 0) / CAST(b.n_tokens AS DOUBLE)
+                      * 10000 + 0.5) / 10000 AS oov_rate
+         FROM base b LEFT JOIN oov o ON o.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating,
+                CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                  AS n_records_at_risk,
+                floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                      / CAST(sum(n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                  AS suppression_frac,
+                sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+         FROM g""",
+
+    "v_maxsim_probe" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         sub AS (
+           SELECT vec_id, CAST((i - 1) // 8 AS INT) AS ss, (i - 1) % 8 AS k, e
+           FROM ex),
+         q AS (SELECT ss AS qi, k, e FROM sub WHERE vec_id = 0),
+         dots AS (
+           SELECT s.vec_id, q.qi, s.ss AS dj,
+                  CAST(floor(sum(q.e * s.e) * 10000 + 0.5) AS BIGINT) AS d
+           FROM sub s JOIN q ON q.k = s.k
+           WHERE s.vec_id <> 0
+           GROUP BY 1, 2, 3),
+         mx AS (SELECT vec_id, qi, max(d) AS m FROM dots GROUP BY 1, 2),
+         score AS (
+           SELECT vec_id, CAST(sum(m) AS BIGINT) AS maxsim_units
+           FROM mx GROUP BY 1)
+         SELECT vec_id, maxsim_units FROM score
+         ORDER BY maxsim_units DESC, vec_id LIMIT 10""",
 
     "v_matryoshka_probe" ->
       """WITH ex AS (

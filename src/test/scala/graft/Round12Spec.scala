@@ -106,6 +106,71 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- t_oov_rate -----------------------------------------------------
+
+  test("t_oov_rate: rates consistent and bounded; rounding is the house floorRound") {
+    val rows = Round12Queries.defs("t_oov_rate")(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_tokens")
+      val oov = r.getAs[Long]("n_oov")
+      val rate = r.getAs[Double]("oov_rate")
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(rate - math.floor(oov.toDouble / n * 10000 + 0.5) / 10000) < 1e-12)
+    }
+    // the top-100 vocab of a Zipfian corpus must cover a solid majority
+    // of token mass: corpus-level OOV stays below 50%
+    val totTok = rows.map(_.getAs[Int]("n_tokens").toLong).sum
+    val totOov = rows.map(_.getAs[Long]("n_oov")).sum
+    assert(totOov.toDouble / totTok < 0.5,
+      s"top-100 vocab covers only ${1 - totOov.toDouble / totTok} of the corpus")
+  }
+
+  // ---- q_k_anonymity --------------------------------------------------
+
+  test("q_k_anonymity: census matches a direct group-size recompute") {
+    val r = Round12Queries.defs("q_k_anonymity")(spark, sf).head()
+    val sizes = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    val k = Round12Queries.AnonK
+    assert(r.getAs[Long]("n_groups") === sizes.length.toLong)
+    assert(r.getAs[Long]("n_violating") === sizes.count(_ < k).toLong)
+    assert(r.getAs[Long]("n_records_at_risk") === sizes.filter(_ < k).sum)
+    assert(r.getAs[Boolean]("k_anonymous") === !sizes.exists(_ < k))
+    // at-risk records are bounded by (k-1) per violating group
+    assert(r.getAs[Long]("n_records_at_risk") <=
+      (k - 1).toLong * r.getAs[Long]("n_violating"))
+  }
+
+  // ---- v_maxsim_probe -------------------------------------------------
+
+  test("v_maxsim_probe: top-10 scores match a direct Scala maxsim recompute") {
+    val out = Round12Queries.defs("v_maxsim_probe")(spark, sf).collect()
+    assert(out.length === 10)
+    // descending, vec_id tie-break
+    out.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("maxsim_units"), b.getAs[Long]("maxsim_units"))
+      assert(sa > sb || (sa == sb && a.getLong(0) < b.getLong(0)))
+    }
+    // independent fold over the raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val pv = vecs(0L)
+    def maxsim(v: Array[Double]): Long =
+      (0 until 8).map { qi =>
+        (0 until 8).map { dj =>
+          val dot = (0 until 8).map(k => pv(qi * 8 + k) * v(dj * 8 + k)).sum
+          math.floor(dot * 10000 + 0.5).toLong
+        }.max
+      }.sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("maxsim_units") === maxsim(vecs(r.getLong(0))),
+        s"vec ${r.getLong(0)} maxsim mismatch")
+    }
+  }
+
   // ---- v_matryoshka_probe ---------------------------------------------
 
   test("v_matryoshka_probe: overlaps bounded; full ranking matches a direct top-10") {
