@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *   - `t_oov_rate`         R20     tokenizer vocabulary coverage / OOV
   *   - `q_k_anonymity`      R22/R7  quasi-identifier group-size audit
   *   - `v_maxsim_probe`     R19     late-interaction (maxsim) retrieval
+  *   - `r_cohort_retention` R7/R13  first-active-day cohort retention grid
+  *   - `r_funnel_conversion` R7/R6  ordered view→click→purchase funnel
+  *   - `q_psi_drift`        R7/R22  population stability index (drift)
+  *   - `q_ab_ztest`         R7      two-proportion z-test (A/B readout)
   *
   * All four follow the house parity discipline: integer-exact where
   * possible, floorRound(…, 4) on the few genuine doubles, LCG-on-reduced-id
@@ -211,6 +215,130 @@ object Round12Queries {
         .limit(10)
     }),
 
+    // R7/R13 — COHORT RETENTION MATRIX: users cohorted by first-active
+    // day, each later active day counted at its day offset — the
+    // (cohort, offset) → retention grid every product-analytics stack
+    // materializes. Two user-keyed aggregations (first-seen, then
+    // distinct active days) and one cohort-sized join; nothing larger
+    // than (users × active days) ever shuffles, and the output is
+    // cohort²-bounded. Integer counts + one floorRound'd rate.
+    "r_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val active = ev.distinct()
+      val cohortSize = firstDay.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_cohort"))
+      active.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(cohortSize, "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("n_cohort"),
+          floorRound(col("n_active").cast("double") / col("n_cohort"), 4)
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // R7/R6 — ORDERED FUNNEL CONVERSION (view → click → purchase, each
+    // stage strictly after the previous): per-user earliest view, then
+    // earliest click AFTER it, then earliest purchase after THAT — the
+    // sequence-constrained conversion count a funnel report needs (a
+    // user who purchases before viewing does not convert). Three
+    // user-keyed conditional aggregations chained by two user-keyed
+    // joins — corpus shuffles on user_id only, three passes over the
+    // (user, type, ts) projection. Output: one census row with stage
+    // counts and stage-over-stage conversion.
+    "r_funnel_conversion" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val nAll = ev.agg(countDistinct(col("user_id")).as("n_users"))
+      nAll
+        .crossJoin(s1.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_clicked_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+        .select(col("n_users"), col("n_viewed"), col("n_clicked_after"),
+          col("n_purchased_after"),
+          floorRound(col("n_clicked_after").cast("double") / col("n_viewed"), 4)
+            .as("view_to_click"),
+          floorRound(col("n_purchased_after").cast("double") /
+            col("n_clicked_after"), 4).as("click_to_purchase"))
+    }),
+
+    // R7/R22 — POPULATION STABILITY INDEX between the first and second
+    // half of the event stream (split at the median event_id, buckets =
+    // 10 equal-width over the GLOBAL value range): the drift metric a
+    // serving pipeline alarms on. Laplace-smoothed integer counts (+1
+    // per bucket) keep ln() off zero; PSI = Σ (p−q)·ln(p/q), 6-dp
+    // floored. One pass builds both halves' bucket counts (conditional
+    // aggregation over the broadcast split point); the PSI fold is
+    // 10-row arithmetic.
+    "q_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      // split point = integer midpoint of the id range (exact in both
+      // engines — an approx-median would be engine-specific arithmetic)
+      val bounds = ev.agg(
+        floor((min(col("event_id")) + max(col("event_id"))) / 2).as("mid"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val bucketed = ev.crossJoin(broadcast(bounds))
+        .select(
+          least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 10)), lit(9L)).cast("int").as("bucket"),
+          (col("event_id") <= col("mid")).as("first_half"))
+      val counts = bucketed.groupBy(col("bucket"))
+        .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_p"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_q"))
+      val tot = counts.agg(sum(col("n_p")).as("tp"), sum(col("n_q")).as("tq"))
+      counts.crossJoin(broadcast(tot))
+        .select(((col("n_p") + 1).cast("double") / (col("tp") + 10)).as("p"),
+          ((col("n_q") + 1).cast("double") / (col("tq") + 10)).as("q"))
+        .agg(floorRound(sum((col("p") - col("q")) *
+          log(col("p") / col("q"))), 6).as("psi"))
+    }),
+
+    // R7 — TWO-PROPORTION Z-TEST (A/B readout): assignment by user-id
+    // parity (the deterministic split stand-in), conversion = user made
+    // ≥15 purchases (every fixture user purchases at least once, so a
+    // has-any-purchase metric saturates at p=1 and the pooled variance
+    // degenerates — the ≥15 cut sits at the distribution's median and
+    // discriminates at every SF); pooled-variance z with a zero-variance
+    // guard (z := 0 when p(1−p)=0: saturated metric carries no
+    // evidence). Two user-keyed aggregations; the statistic is one-row
+    // math. floorRound(4) on the two rates and z.
+    "q_ab_ztest" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 15, 1L).otherwise(0L).as("converted"))
+        .select((col("user_id") % 2 === 0).as("grp_a"), col("converted"))
+      val g = users.agg(
+        sum(when(col("grp_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp_a"), col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(!col("grp_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("grp_a"), col("converted")).otherwise(0L)).as("c_b"))
+      val p = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+      val variance = p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+      g.select(
+        col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        floorRound(col("c_a").cast("double") / col("n_a"), 4).as("rate_a"),
+        floorRound(col("c_b").cast("double") / col("n_b"), 4).as("rate_b"),
+        floorRound(
+          when(variance > 0,
+            (col("c_a").cast("double") / col("n_a") -
+              col("c_b").cast("double") / col("n_b")) / sqrt(variance))
+            .otherwise(lit(0.0)), 4).as("z"))
+    }),
+
     // R19 — MATRYOSHKA (nested-embedding) RETRIEVAL AUDIT: serve-time
     // dimension truncation — rank by the first 16 (and 32) of 64 dims
     // and price what the cheap prefix costs in exact-top-10 overlap.
@@ -307,6 +435,104 @@ object Round12Queries {
                      - u.i * $ChunkStride AS INT) AS n_chunk_tokens
          FROM n, LATERAL (SELECT unnest(range(n.n_chunks)) AS i) u
          ORDER BY doc_id, chunk_idx""",
+
+    "r_cohort_retention" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, day FROM ev),
+         cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM fd GROUP BY cohort_day)
+         SELECT fd.cohort_day,
+                CAST(act.day - fd.cohort_day AS INT) AS day_offset,
+                CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active,
+                cs.n_cohort,
+                floor(CAST(count(DISTINCT act.user_id) AS DOUBLE) / cs.n_cohort
+                      * 10000 + 0.5) / 10000 AS retention
+         FROM act JOIN fd ON fd.user_id = act.user_id
+         JOIN cs ON cs.cohort_day = fd.cohort_day
+         GROUP BY fd.cohort_day, act.day - fd.cohort_day, cs.n_cohort
+         ORDER BY fd.cohort_day, day_offset""",
+
+    "r_funnel_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, min(ts) AS t2
+                FROM ev JOIN s1 ON s1.user_id = ev.user_id
+                WHERE ev.event_type = 'click' AND ev.ts > s1.t1
+                GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, min(ts) AS t3
+                FROM ev JOIN s2 ON s2.user_id = ev.user_id
+                WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
+                GROUP BY ev.user_id)
+         SELECT
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased_after,
+           floor((SELECT CAST(count(*) AS DOUBLE) FROM s2)
+                 / (SELECT count(*) FROM s1) * 10000 + 0.5) / 10000
+             AS view_to_click,
+           floor((SELECT CAST(count(*) AS DOUBLE) FROM s3)
+                 / (SELECT count(*) FROM s2) * 10000 + 0.5) / 10000
+             AS click_to_purchase""",
+
+    "q_psi_drift" ->
+      """WITH b AS (
+           SELECT floor((min(event_id) + max(event_id)) / 2) AS mid,
+                  min(value) AS lo, max(value) AS hi
+           FROM events),
+         bk AS (
+           SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 10)), 9)
+                       AS INT) AS bucket,
+                  e.event_id <= b.mid AS first_half
+           FROM events e, b),
+         c AS (
+           SELECT bucket,
+                  CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_p,
+                  CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_q
+           FROM bk GROUP BY bucket),
+         t AS (SELECT sum(n_p) AS tp, sum(n_q) AS tq FROM c),
+         pq AS (
+           SELECT (n_p + 1) / CAST(t.tp + 10 AS DOUBLE) AS p,
+                  (n_q + 1) / CAST(t.tq + 10 AS DOUBLE) AS q
+           FROM c, t)
+         SELECT floor(sum((p - q) * ln(p / q)) * 1000000 + 0.5) / 1000000
+           AS psi
+         FROM pq""",
+
+    "q_ab_ztest" ->
+      """WITH u AS (
+           SELECT user_id % 2 = 0 AS grp_a,
+                  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 15
+                       THEN 1 ELSE 0 END AS converted
+           FROM events GROUP BY user_id),
+         g AS (
+           SELECT CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN grp_a THEN converted ELSE 0 END) AS BIGINT)
+                    AS c_a,
+                  CAST(sum(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN grp_a THEN 0 ELSE converted END) AS BIGINT)
+                    AS c_b
+           FROM u),
+         v AS (
+           SELECT g.*,
+                  (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b) AS variance
+           FROM g)
+         SELECT n_a, c_a, n_b, c_b,
+                floor(CAST(c_a AS DOUBLE) / n_a * 10000 + 0.5) / 10000 AS rate_a,
+                floor(CAST(c_b AS DOUBLE) / n_b * 10000 + 0.5) / 10000 AS rate_b,
+                floor(CASE WHEN variance > 0
+                      THEN (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                           / sqrt(variance)
+                      ELSE 0.0 END * 10000 + 0.5) / 10000 AS z
+         FROM v""",
 
     "t_oov_rate" ->
       """WITH toks AS (

@@ -171,6 +171,70 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- r_cohort_retention ---------------------------------------------
+
+  test("r_cohort_retention: offset-0 retention is exactly 1.0 per cohort") {
+    val rows = Round12Queries.defs("r_cohort_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getAs[Int]("day_offset") === 0)
+    assert(day0.nonEmpty, "every cohort is active on its own first day")
+    day0.foreach { r =>
+      assert(r.getAs[Long]("n_active") === r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Double]("retention") === 1.0)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Int]("day_offset") >= 0, "activity cannot precede the cohort day")
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+    }
+  }
+
+  // ---- r_funnel_conversion --------------------------------------------
+
+  test("r_funnel_conversion: stages are monotone and order-constrained") {
+    val r = Round12Queries.defs("r_funnel_conversion")(spark, sf).head()
+    val (u, v, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_clicked_after"), r.getAs[Long]("n_purchased_after"))
+    assert(u >= v && v >= c && c >= p, s"funnel not monotone: $u >= $v >= $c >= $p")
+    assert(v > 0, "fixture has viewers")
+    // the ORDER constraint must bite: strictly fewer sequence-converters
+    // than users who merely have all three event types in any order
+    val anyOrder = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(when(col("event_type").isin("view", "click", "purchase"),
+        col("event_type"))).as("k"))
+      .filter(col("k") === 3).count()
+    assert(p <= anyOrder, "sequence-constrained count cannot exceed any-order count")
+  }
+
+  // ---- q_psi_drift ----------------------------------------------------
+
+  test("q_psi_drift: PSI non-negative; stationary halves read as no-drift") {
+    val psi = Round12Queries.defs("q_psi_drift")(spark, sf).head().getAs[Double]("psi")
+    assert(psi >= 0.0, s"PSI is a KL-symmetrization, always >= 0: $psi")
+    // both halves draw from the same generator: well under the 0.25
+    // industry alarm threshold
+    assert(psi < 0.25, s"stationary fixture should not alarm: $psi")
+  }
+
+  // ---- q_ab_ztest -----------------------------------------------------
+
+  test("q_ab_ztest: rates bounded, z matches a direct recompute, parity split sane") {
+    val r = Round12Queries.defs("q_ab_ztest")(spark, sf).head()
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("c_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("c_b"))
+    assert(na > 0 && nb > 0 && ca <= na && cb <= nb)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val varz = p * (1 - p) * (1.0 / na + 1.0 / nb)
+    val z = if (varz > 0) (pa - pb) / math.sqrt(varz) else 0.0
+    assert(math.abs(r.getAs[Double]("z") - math.floor(z * 10000 + 0.5) / 10000) < 1e-12)
+    // both arms draw from one generator: no real effect, |z| modest
+    assert(math.abs(r.getAs[Double]("z")) < 5.0)
+    // the >=15-purchase metric must discriminate (not saturate at 0 or 1)
+    assert(ca + cb > 0 && ca + cb < na + nb,
+      "conversion metric saturated — pooled variance would degenerate")
+  }
+
   // ---- v_matryoshka_probe ---------------------------------------------
 
   test("v_matryoshka_probe: overlaps bounded; full ranking matches a direct top-10") {
