@@ -20,8 +20,6 @@ import org.apache.spark.sql.functions._
   *   - `t_oov_rate`         R20     tokenizer vocabulary coverage / OOV
   *   - `q_k_anonymity`      R22/R7  quasi-identifier group-size audit
   *   - `v_maxsim_probe`     R19     late-interaction (maxsim) retrieval
-  *   - `r_cohort_retention` R7/R13  first-active-day cohort retention grid
-  *   - `r_funnel_conversion` R7/R6  ordered view→click→purchase funnel
   *   - `q_psi_drift`        R7/R22  population stability index (drift)
   *   - `q_ab_ztest`         R7      two-proportion z-test (A/B readout)
   *
@@ -215,65 +213,6 @@ object Round12Queries {
         .limit(10)
     }),
 
-    // R7/R13 — COHORT RETENTION MATRIX: users cohorted by first-active
-    // day, each later active day counted at its day offset — the
-    // (cohort, offset) → retention grid every product-analytics stack
-    // materializes. Two user-keyed aggregations (first-seen, then
-    // distinct active days) and one cohort-sized join; nothing larger
-    // than (users × active days) ever shuffles, and the output is
-    // cohort²-bounded. Integer counts + one floorRound'd rate.
-    "r_cohort_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      val active = ev.distinct()
-      val cohortSize = firstDay.groupBy(col("cohort_day"))
-        .agg(count(lit(1)).as("n_cohort"))
-      active.join(firstDay, "user_id")
-        .groupBy(col("cohort_day"),
-          datediff(col("day"), col("cohort_day")).as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
-        .join(cohortSize, "cohort_day")
-        .select(col("cohort_day"), col("day_offset"), col("n_active"),
-          col("n_cohort"),
-          floorRound(col("n_active").cast("double") / col("n_cohort"), 4)
-            .as("retention"))
-        .orderBy("cohort_day", "day_offset")
-    }),
-
-    // R7/R6 — ORDERED FUNNEL CONVERSION (view → click → purchase, each
-    // stage strictly after the previous): per-user earliest view, then
-    // earliest click AFTER it, then earliest purchase after THAT — the
-    // sequence-constrained conversion count a funnel report needs (a
-    // user who purchases before viewing does not convert). Three
-    // user-keyed conditional aggregations chained by two user-keyed
-    // joins — corpus shuffles on user_id only, three passes over the
-    // (user, type, ts) projection. Output: one census row with stage
-    // counts and stage-over-stage conversion.
-    "r_funnel_conversion" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val s2 = ev.filter(col("event_type") === "click")
-        .join(s1, "user_id").filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val s3 = ev.filter(col("event_type") === "purchase")
-        .join(s2, "user_id").filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      val nAll = ev.agg(countDistinct(col("user_id")).as("n_users"))
-      nAll
-        .crossJoin(s1.agg(count(lit(1)).as("n_viewed")))
-        .crossJoin(s2.agg(count(lit(1)).as("n_clicked_after")))
-        .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
-        .select(col("n_users"), col("n_viewed"), col("n_clicked_after"),
-          col("n_purchased_after"),
-          floorRound(col("n_clicked_after").cast("double") / col("n_viewed"), 4)
-            .as("view_to_click"),
-          floorRound(col("n_purchased_after").cast("double") /
-            col("n_clicked_after"), 4).as("click_to_purchase"))
-    }),
-
     // R7/R22 — POPULATION STABILITY INDEX between the first and second
     // half of the event stream (split at the median event_id, buckets =
     // 10 equal-width over the GLOBAL value range): the drift metric a
@@ -435,48 +374,6 @@ object Round12Queries {
                      - u.i * $ChunkStride AS INT) AS n_chunk_tokens
          FROM n, LATERAL (SELECT unnest(range(n.n_chunks)) AS i) u
          ORDER BY doc_id, chunk_idx""",
-
-    "r_cohort_retention" ->
-      """WITH ev AS (
-           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-         fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
-         act AS (SELECT DISTINCT user_id, day FROM ev),
-         cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
-                FROM fd GROUP BY cohort_day)
-         SELECT fd.cohort_day,
-                CAST(act.day - fd.cohort_day AS INT) AS day_offset,
-                CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active,
-                cs.n_cohort,
-                floor(CAST(count(DISTINCT act.user_id) AS DOUBLE) / cs.n_cohort
-                      * 10000 + 0.5) / 10000 AS retention
-         FROM act JOIN fd ON fd.user_id = act.user_id
-         JOIN cs ON cs.cohort_day = fd.cohort_day
-         GROUP BY fd.cohort_day, act.day - fd.cohort_day, cs.n_cohort
-         ORDER BY fd.cohort_day, day_offset""",
-
-    "r_funnel_conversion" ->
-      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
-         s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
-                WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (SELECT ev.user_id, min(ts) AS t2
-                FROM ev JOIN s1 ON s1.user_id = ev.user_id
-                WHERE ev.event_type = 'click' AND ev.ts > s1.t1
-                GROUP BY ev.user_id),
-         s3 AS (SELECT ev.user_id, min(ts) AS t3
-                FROM ev JOIN s2 ON s2.user_id = ev.user_id
-                WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
-                GROUP BY ev.user_id)
-         SELECT
-           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
-           (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_viewed,
-           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_clicked_after,
-           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchased_after,
-           floor((SELECT CAST(count(*) AS DOUBLE) FROM s2)
-                 / (SELECT count(*) FROM s1) * 10000 + 0.5) / 10000
-             AS view_to_click,
-           floor((SELECT CAST(count(*) AS DOUBLE) FROM s3)
-                 / (SELECT count(*) FROM s2) * 10000 + 0.5) / 10000
-             AS click_to_purchase""",
 
     "q_psi_drift" ->
       """WITH b AS (

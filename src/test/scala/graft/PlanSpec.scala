@@ -624,4 +624,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
     assert(p.contains("TakeOrderedAndProject"), "top-10 not heap-based")
   }
+
+  test("v_maxsim_probe: pure per-row fold + heap top-10, zero corpus shuffle") {
+    val p = plan("v_maxsim_probe")
+    assert(!p.contains("hashpartitioning"),
+      s"the maxsim fold must not shuffle the corpus:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 not heap-based")
+  }
+
 }

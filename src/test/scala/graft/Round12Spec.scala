@@ -171,41 +171,6 @@ class Round12Spec extends SparkSpec {
     }
   }
 
-  // ---- r_cohort_retention ---------------------------------------------
-
-  test("r_cohort_retention: offset-0 retention is exactly 1.0 per cohort") {
-    val rows = Round12Queries.defs("r_cohort_retention")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    val day0 = rows.filter(_.getAs[Int]("day_offset") === 0)
-    assert(day0.nonEmpty, "every cohort is active on its own first day")
-    day0.foreach { r =>
-      assert(r.getAs[Long]("n_active") === r.getAs[Long]("n_cohort"))
-      assert(r.getAs[Double]("retention") === 1.0)
-    }
-    rows.foreach { r =>
-      assert(r.getAs[Int]("day_offset") >= 0, "activity cannot precede the cohort day")
-      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
-    }
-  }
-
-  // ---- r_funnel_conversion --------------------------------------------
-
-  test("r_funnel_conversion: stages are monotone and order-constrained") {
-    val r = Round12Queries.defs("r_funnel_conversion")(spark, sf).head()
-    val (u, v, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
-      r.getAs[Long]("n_clicked_after"), r.getAs[Long]("n_purchased_after"))
-    assert(u >= v && v >= c && c >= p, s"funnel not monotone: $u >= $v >= $c >= $p")
-    assert(v > 0, "fixture has viewers")
-    // the ORDER constraint must bite: strictly fewer sequence-converters
-    // than users who merely have all three event types in any order
-    val anyOrder = Tables.events(spark, sf)
-      .groupBy(col("user_id"))
-      .agg(countDistinct(when(col("event_type").isin("view", "click", "purchase"),
-        col("event_type"))).as("k"))
-      .filter(col("k") === 3).count()
-    assert(p <= anyOrder, "sequence-constrained count cannot exceed any-order count")
-  }
-
   // ---- q_psi_drift ----------------------------------------------------
 
   test("q_psi_drift: PSI non-negative; stationary halves read as no-drift") {
