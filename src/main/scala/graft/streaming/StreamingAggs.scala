@@ -28,6 +28,44 @@ object StreamingAggs {
       .groupBy(window(col(tsCol), window_, slide.getOrElse(window_)), col("routing_key"))
       .agg(count(lit(1)).as("n"))
 
+  /** T3/R7 streaming — windowed PSI drift monitor: the streaming twin of
+    * `q_psi_drift` (Round12Queries). Each event-time window's value
+    * distribution is bucketed into 10 fixed equal-width bins over
+    * [lo, hi) and compared against a REFERENCE share vector (trained
+    * offline — e.g. the batch query's first-half shares) by population
+    * stability index, Laplace-smoothed exactly like the batch twin.
+    *
+    * Shape: ONE stateful aggregation (the windowed conditional counts —
+    * chained streaming aggregations are not generally plannable, so the
+    * 10 bucket counts ride one agg as 10 conditional sums) followed by a
+    * STATELESS per-row PSI fold over the 10 columns. State per window =
+    * 10 longs; watermark evicts closed windows. At 100 TB-rate ingest
+    * the agg is map-side partial like any windowed count.
+    */
+  def psiDriftWindows(df: DataFrame, tsCol: String, valueCol: String,
+                      ref: Seq[Double], lo: Double, hi: Double,
+                      window_ : String = "10 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    require(ref.length == 10, s"reference must carry 10 bucket shares, got ${ref.length}")
+    require(math.abs(ref.sum - 1.0) < 1e-6, s"reference shares must sum to 1, got ${ref.sum}")
+    val bucket = least(floor((col(valueCol) - lit(lo)) / lit((hi - lo) / 10)),
+      lit(9L)).cast("int")
+    val cnts = (0 until 10).map(i =>
+      sum(when(bucket === i, 1L).otherwise(0L)).as(s"__b$i"))
+    val total = (0 until 10).map(i => col(s"__b$i")).reduce(_ + _)
+    val psi = (0 until 10).map { i =>
+      val p = (col(s"__b$i") + 1).cast("double") / (total + 10)
+      val q = lit(ref(i))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(cnts.head, cnts.tail: _*)
+      .select(col("window"), total.as("n_values"),
+        graft.functions.ParityMath.floorRound(psi, 6).as("psi"),
+        (psi >= 0.25).as("drift_alarm"))
+  }
+
   /** R14 streaming — session windows per key (inactivity gap). */
   def sessions(df: DataFrame, tsCol: String, gap: String,
                watermark: String = "10 minutes"): DataFrame =

@@ -16,6 +16,7 @@ import java.sql.Timestamp
 object WatermarkSpec {
   case class Ev(routing_key: String, ordinal: Long, ts: Timestamp)
   case class REv(routing_key: String, r_ordinal: Long, r_ts: Timestamp)
+  case class VEv(ts: Timestamp, value: Double)
 }
 
 /** T3 — watermarked event-time operators: tumbling windows finalize once
@@ -45,6 +46,40 @@ class WatermarkSpec extends SparkSpec {
       assert(rows.toSeq === Seq(
         ("2024-01-01 10:00:00", 2L),
         ("2024-01-01 10:10:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("T3/R7 streaming: windowed PSI — stationary window quiet, shifted window alarms") {
+    // streaming twin of q_psi_drift: reference = uniform shares over
+    // [0, 10). Window 1 receives a uniform spread (one value per bucket
+    // -> smoothed p ≡ q -> PSI 0); window 2 receives all mass in bucket 0
+    // (maximal shift -> PSI far above the 0.25 alarm).
+    val stream = MemoryStream[VEv](spark)
+    val out = StreamingAggs.psiDriftWindows(stream.toDF(), "ts", "value",
+      ref = Seq.fill(10)(0.1), lo = 0.0, hi = 10.0,
+      window_ = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("psi_out").start()
+    try {
+      stream.addData((0 until 10).map(i => VEv(t(1), i + 0.5)): _*)   // 10:00 window, uniform
+      stream.addData((0 until 10).map(_ => VEv(t(12), 0.5)): _*)      // 10:10 window, all bucket 0
+      q.processAllAvailable()
+      stream.addData(VEv(t(40), 5.0)) // advance watermark: close both
+      q.processAllAvailable()
+      val rows = spark.table("psi_out")
+        .select(col("window.start").cast("string"), col("n_values"),
+          col("psi"), col("drift_alarm"))
+        .collect().sortBy(_.getString(0))
+      assert(rows.length === 2, rows.mkString(";"))
+      val quiet = rows(0)
+      assert(quiet.getLong(1) === 10L)
+      assert(quiet.getDouble(2) === 0.0,
+        s"uniform window vs uniform ref must smooth to PSI 0: ${quiet.getDouble(2)}")
+      assert(!quiet.getBoolean(3))
+      val drifted = rows(1)
+      assert(drifted.getLong(1) === 10L)
+      assert(drifted.getDouble(2) > 0.25, s"shifted window must alarm: ${drifted.getDouble(2)}")
+      assert(drifted.getBoolean(3))
     } finally q.stop()
   }
 
