@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *   - `q_psi_drift`        R7/R22  population stability index (drift)
   *   - `q_ab_ztest`         R7      two-proportion z-test (A/B readout)
   *
-  * All four follow the house parity discipline: integer-exact where
+  * All of them follow the house parity discipline: integer-exact where
   * possible, floorRound(…, 4) on the few genuine doubles, LCG-on-reduced-id
   * pseudo-randomness (the q_approx_groupby_ci overflow-safe form), and
   * deterministic ORDER BY.
@@ -228,10 +228,16 @@ object Round12Queries {
       val bounds = ev.agg(
         floor((min(col("event_id")) + max(col("event_id"))) / 2).as("mid"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
+      // degenerate-range guard: hi == lo (every value identical) makes
+      // the bucket width 0 and ANSI double division THROWS (the same
+      // failure mode q_ab_ztest hit on zero variance) — all mass lands
+      // in bucket 0 on both engines instead
       val bucketed = ev.crossJoin(broadcast(bounds))
         .select(
-          least(floor((col("value") - col("lo")) /
-            ((col("hi") - col("lo")) / 10)), lit(9L)).cast("int").as("bucket"),
+          when(col("hi") > col("lo"),
+            least(floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / 10)), lit(9L)))
+            .otherwise(lit(0L)).cast("int").as("bucket"),
           (col("event_id") <= col("mid")).as("first_half"))
       val counts = bucketed.groupBy(col("bucket"))
         .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_p"),
@@ -381,8 +387,9 @@ object Round12Queries {
                   min(value) AS lo, max(value) AS hi
            FROM events),
          bk AS (
-           SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / 10)), 9)
-                       AS INT) AS bucket,
+           SELECT CAST(CASE WHEN b.hi > b.lo
+                       THEN least(floor((e.value - b.lo) / ((b.hi - b.lo) / 10)), 9)
+                       ELSE 0 END AS INT) AS bucket,
                   e.event_id <= b.mid AS first_half
            FROM events e, b),
          c AS (

@@ -48,6 +48,7 @@ object StreamingAggs {
                       watermark: String = "10 minutes"): DataFrame = {
     require(ref.length == 10, s"reference must carry 10 bucket shares, got ${ref.length}")
     require(math.abs(ref.sum - 1.0) < 1e-6, s"reference shares must sum to 1, got ${ref.sum}")
+    require(hi > lo, s"bucket range must be non-degenerate: lo=$lo hi=$hi")
     val bucket = least(floor((col(valueCol) - lit(lo)) / lit((hi - lo) / 10)),
       lit(9L)).cast("int")
     val cnts = (0 until 10).map(i =>

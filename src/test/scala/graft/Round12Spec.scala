@@ -181,6 +181,24 @@ class Round12Spec extends SparkSpec {
     assert(psi < 0.25, s"stationary fixture should not alarm: $psi")
   }
 
+  test("q_psi_drift: degenerate all-equal values fold to bucket 0, PSI 0 — no ANSI throw") {
+    // replay the production bucketing over a fixture where hi == lo:
+    // the guard must route every row to bucket 0 instead of dividing by
+    // the zero bucket width (ANSI double division throws)
+    val fx = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 5.0))
+      .toDF("event_id", "value")
+    val bounds = fx.agg(
+      floor((min(col("event_id")) + max(col("event_id"))) / 2).as("mid"),
+      min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val buckets = fx.crossJoin(broadcast(bounds))
+      .select(when(col("hi") > col("lo"),
+          least(floor((col("value") - col("lo")) /
+            ((col("hi") - col("lo")) / 10)), lit(9L)))
+        .otherwise(lit(0L)).cast("int").as("bucket"))
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(_ === 0), buckets.mkString(","))
+  }
+
   // ---- q_ab_ztest -----------------------------------------------------
 
   test("q_ab_ztest: rates bounded, z matches a direct recompute, parity split sane") {
