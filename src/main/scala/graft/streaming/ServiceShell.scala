@@ -374,6 +374,18 @@ final class ServiceShell(
               payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
             if (open) opcode match {
               case 0x8 => open = false // close
+              case 0x9 if payload.length > 125 =>
+                // a control frame with >125-byte payload is itself an RFC
+                // 6455 §5.5 violation — and echoing it would set the mask
+                // bit in our single length byte, corrupting the frame.
+                // Protocol error ⇒ 1002 close, drop the connection.
+                lock.synchronized {
+                  try {
+                    out.write(Array(0x88.toByte, 0x02.toByte, 0x03.toByte, 0xEA.toByte))
+                    out.flush()
+                  } catch { case _: Exception => }
+                }
+                open = false
               case 0x9 => lock.synchronized { // ping -> pong, same payload
                 out.write((0x8A & 0xFF).toByte)
                 out.write(payload.length)

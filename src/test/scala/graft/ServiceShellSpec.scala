@@ -443,6 +443,52 @@ class ServiceShellSpec extends SparkSpec {
     }
   }
 
+  test("service shell: oversized ping control frame gets a 1002 close, not a corrupt pong") {
+    // RFC 6455 §5.5: control-frame payloads cap at 125 bytes. A 126-byte
+    // ping is a protocol violation — and echoing it back would set the
+    // MASK bit in the pong's single length byte. Expect a 1002 close.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    try {
+      val rec = registry.create("rk-jumbo-ping")
+      val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+      try {
+        sock.setSoTimeout(30000)
+        val out = sock.getOutputStream
+        val in = sock.getInputStream
+        out.write((s"GET /event-stream/${rec.uuid} HTTP/1.1\r\n" +
+          "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+          "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+          "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+        out.flush()
+        var tail = 0
+        var done = false
+        while (!done) {
+          val c = in.read()
+          assert(c >= 0, "EOF during handshake")
+          tail = ((tail << 8) | c) & 0xFFFFFFFF
+          if (tail == 0x0D0A0D0A) done = true
+        }
+        // masked ping, 16-bit extended length 126, mask 0, zero payload
+        out.write(Array[Byte](0x89.toByte, 0xFE.toByte, 0x00, 126.toByte,
+          0, 0, 0, 0))
+        out.write(new Array[Byte](126))
+        out.flush()
+        val h1 = in.read(); val h2 = in.read()
+        val s1 = in.read(); val s2 = in.read()
+        assert(h1 === 0x88 && h2 === 0x02 && ((s1 << 8) | s2) === 1002,
+          f"expected 1002 close, got 0x$h1%02x len=$h2 status=${(s1 << 8) | s2}")
+        assert(in.read() === -1, "server must drop the connection after 1002")
+      } finally sock.close()
+    } finally {
+      shell.stop()
+      coord.release("rk-jumbo-ping")
+    }
+  }
+
   test("service shell: wss data plane over TLS loopback") {
     // Self-signed server cert via the JDK's own keytool (no new
     // dependency; cert generation is not a JDK public API). The client
