@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   - `t_oov_rate`         R20     tokenizer vocabulary coverage / OOV
   *   - `q_k_anonymity`      R22/R7  quasi-identifier group-size audit
   *   - `v_maxsim_probe`     R19     late-interaction (maxsim) retrieval
+  *   - `t_curriculum_bins`  R20/R7  quality-quartile curriculum staging
   *   - `q_psi_drift`        R7/R22  population stability index (drift)
   *   - `q_ab_ztest`         R7      two-proportion z-test (A/B readout)
   *
@@ -135,6 +136,42 @@ object Round12Queries {
           (least(col("chunk_idx") * st + w, col("n_tokens")) -
             col("chunk_idx") * st).as("n_chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // R20/R7 — CURRICULUM BINNING: stage the corpus into four quality
+    // quartiles (the easy→hard schedule curriculum training consumes),
+    // each stage reporting its doc count, token budget, and mean
+    // quality. Quality is t_quality_score's exact blend (one shared
+    // formula, 4-dp floored); the quartile CUTPOINTS come from one
+    // percentile aggregate broadcast back (the r_rfm_segments
+    // discipline) — a global ntile would be a corpus-wide sort, the
+    // flagged anti-pattern, while cut-comparison is one corpus pass +
+    // a 3-double broadcast at any scale.
+    "t_curriculum_bins" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+      val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+      val diversity = size(array_distinct(toks)).cast("double") / nTok
+      val scored = docs(s, d).select(
+        col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        floorRound(
+          lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
+          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("q"))
+      val cuts = scored.agg(
+        expr("percentile(q, array(0.25, 0.5, 0.75))").as("c"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("n_tokens"), col("q"),
+          (lit(1) +
+            when(col("q") > floorRound(element_at(col("c"), 1), 4), 1).otherwise(0) +
+            when(col("q") > floorRound(element_at(col("c"), 2), 4), 1).otherwise(0) +
+            when(col("q") > floorRound(element_at(col("c"), 3), 4), 1).otherwise(0))
+            .as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("token_budget"),
+          floorRound(avg(col("q")), 4).as("avg_quality"))
+        .orderBy("stage")
     }),
 
     // R20 — TOKENIZER VOCABULARY COVERAGE / OOV RATE: fix the vocab to
@@ -437,6 +474,39 @@ object Round12Queries {
                            / sqrt(variance)
                       ELSE 0.0 END * 10000 + 0.5) / 10000 AS z
          FROM v""",
+
+    "t_curriculum_bins" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a'))) AS DOUBLE) AS stop_hits,
+                  CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS avg_len,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS diversity
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_tokens,
+                  floor((0.5 * diversity + 0.3 * (1.0 - stop_hits / n_tok)
+                         + 0.2 * least(avg_len / 10.0, 1.0))
+                        * 10000 + 0.5) / 10000 AS q
+           FROM t),
+         c AS (SELECT quantile_cont(q, [0.25, 0.5, 0.75]) AS c FROM s),
+         st AS (
+           SELECT s.n_tokens, s.q,
+                  1 + CASE WHEN s.q > floor(c.c[1] * 10000 + 0.5) / 10000
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN s.q > floor(c.c[2] * 10000 + 0.5) / 10000
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN s.q > floor(c.c[3] * 10000 + 0.5) / 10000
+                           THEN 1 ELSE 0 END AS stage
+           FROM s, c)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+                floor(avg(q) * 10000 + 0.5) / 10000 AS avg_quality
+         FROM st GROUP BY stage ORDER BY stage""",
 
     "t_oov_rate" ->
       """WITH toks AS (

@@ -218,6 +218,21 @@ class Round12Spec extends SparkSpec {
       "conversion metric saturated — pooled variance would degenerate")
   }
 
+  // ---- t_curriculum_bins ----------------------------------------------
+
+  test("t_curriculum_bins: four quartile stages partition the corpus; quality is monotone") {
+    val rows = Round12Queries.defs("t_curriculum_bins")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq.sorted === rows.map(_.getAs[Int]("stage")).toSeq)
+    assert(rows.map(_.getAs[Int]("stage")).forall(s => s >= 1 && s <= 4))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count(), "stages must partition the corpus")
+    // quartile cuts: stage mean quality strictly increases stage over stage
+    rows.map(r => r.getAs[Double]("avg_quality")).sliding(2).foreach {
+      case Array(a, b) => assert(b > a, s"stage means not increasing: $a -> $b")
+      case _ => ()
+    }
+  }
+
   // ---- v_matryoshka_probe ---------------------------------------------
 
   test("v_matryoshka_probe: overlaps bounded; full ranking matches a direct top-10") {
