@@ -256,8 +256,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val slowest = results.toSeq.sortBy(r => -math.abs(r._2)).take(45).sortBy(_._1)
     val omitted = results.size - slowest.size
-    val errJson = errors.take(10).map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val warnJson = warnings.take(10).map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    // exception messages routinely carry quotes ('... "path" ...') and
+    // backslashes — embed them escaped or the artifact stops parsing
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val errJson = errors.take(10).map(jstr).mkString("[", ",", "]")
+    val warnJson = warnings.take(10).map(jstr).mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"warnings":$warnJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")

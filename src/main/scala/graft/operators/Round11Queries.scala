@@ -262,8 +262,20 @@ object Round11Queries {
     // untested scale with both engines behaving correctly. The full audit
     // incl. sketch bounds is [[hllIntersectAudit]], asserted in Round11Spec
     // where a failure reads as "sketch outside bound", not "wrong answer".
-    "q_hll_intersect" -> ((s, d) =>
-      hllIntersectAudit(s, d).select("exact_a", "exact_b", "exact_inter")),
+    // Built directly (not as a projection of the audit): column pruning
+    // empties the discarded sketch aggregates but does NOT remove their
+    // crossJoined one-row subtrees, so projecting the audit still paid
+    // three wasted corpus scans per gate run (r12 review).
+    "q_hll_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "click").select(col("user_id"))
+      a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter"))
+        .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
+        .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+        .select(col("exact_a"), col("exact_b"), col("exact_inter"))
+    }),
 
     // R7/R6 — incremental aggregate maintenance: the materialized-rollup
     // refresh pattern. A day/type rollup already exists for everything up

@@ -295,7 +295,14 @@ final class ServiceShell(
   private def closeWs(sock: Socket, code: Int = 1000, reason: String = ""): Unit = {
     try {
       val rb = reason.getBytes(UTF_8)
-      val rlen = math.min(rb.length, 123)
+      // truncate at a UTF-8 codepoint boundary: RFC 6455 §5.5.1 requires
+      // the close reason to be valid UTF-8, and a raw 123-byte cut can
+      // split a multi-byte sequence — strict clients would then treat the
+      // CLOSE itself as a protocol error. Continuation bytes are
+      // 10xxxxxx; back up past them to the sequence start.
+      var rlen = math.min(rb.length, 123)
+      while (rlen > 0 && rlen < rb.length && (rb(rlen) & 0xC0) == 0x80)
+        rlen -= 1
       val out = sock.getOutputStream
       out.write(0x88)
       out.write(2 + rlen)
@@ -485,14 +492,23 @@ object ServiceShell {
     */
   private[streaming] def streamFromSpec(
       rawQuery: String): Either[String, Option[Replay.OffsetSpec]] = {
-    val params: Map[String, String] = rawQuery.split('&').toSeq
-      .filter(_.nonEmpty)
-      .map { kv =>
-        val eq = kv.indexOf('=')
-        val (k, v) = if (eq >= 0) (kv.take(eq), kv.drop(eq + 1)) else (kv, "")
-        java.net.URLDecoder.decode(k, "UTF-8") ->
-          java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
+    // malformed percent-encoding (e.g. `?stream_from_ordinal=%zz`) must be
+    // the same protocol error as any other bad value — a thrown decode
+    // exception here would escape serveWs AFTER the 101 handshake and the
+    // client would see an abnormal 1006 drop instead of the 1002 frame
+    val params: Map[String, String] =
+      try rawQuery.split('&').toSeq
+        .filter(_.nonEmpty)
+        .map { kv =>
+          val eq = kv.indexOf('=')
+          val (k, v) = if (eq >= 0) (kv.take(eq), kv.drop(eq + 1)) else (kv, "")
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      catch {
+        case _: IllegalArgumentException =>
+          return Left("malformed percent-encoding in query string")
+      }
     def nonEmpty(k: String): Option[String] = params.get(k).filter(_.nonEmpty)
     def asLong(k: String): Either[String, Option[Long]] = nonEmpty(k) match {
       case None => Right(None)

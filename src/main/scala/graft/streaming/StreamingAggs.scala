@@ -48,9 +48,18 @@ object StreamingAggs {
                       watermark: String = "10 minutes"): DataFrame = {
     require(ref.length == 10, s"reference must carry 10 bucket shares, got ${ref.length}")
     require(math.abs(ref.sum - 1.0) < 1e-6, s"reference shares must sum to 1, got ${ref.sum}")
+    // a zero reference share would make (p − q)·ln(p/q) = +∞ the moment
+    // live mass lands in that bucket — the reference must arrive smoothed
+    // (the batch twin's (n+1)/(total+10) shares are, by construction)
+    require(ref.forall(_ > 0), s"reference shares must be positive (smoothed): $ref")
     require(hi > lo, s"bucket range must be non-degenerate: lo=$lo hi=$hi")
-    val bucket = least(floor((col(valueCol) - lit(lo)) / lit((hi - lo) / 10)),
-      lit(9L)).cast("int")
+    // clamp BOTH sides: live drift can leave [lo, hi) in either direction
+    // and every value must count — low-side mass folds into bucket 0 as
+    // high-side folds into 9 (an unclamped negative bucket would match no
+    // conditional sum and silently vanish from the distribution, hiding
+    // exactly the drift this monitor exists to alarm on)
+    val bucket = greatest(least(floor((col(valueCol) - lit(lo)) /
+      lit((hi - lo) / 10)), lit(9L)), lit(0L)).cast("int")
     val cnts = (0 until 10).map(i =>
       sum(when(bucket === i, 1L).otherwise(0L)).as(s"__b$i"))
     val total = (0 until 10).map(i => col(s"__b$i")).reduce(_ + _)
@@ -59,7 +68,10 @@ object StreamingAggs {
       val q = lit(ref(i))
       (p - q) * log(p / q)
     }.reduce(_ + _)
-    df.withWatermark(tsCol, watermark)
+    // null measurements carry no distribution information and must not
+    // count (least(null, 9) would silently file them as top-bucket mass)
+    df.filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
       .agg(cnts.head, cnts.tail: _*)
       .select(col("window"), total.as("n_values"),
