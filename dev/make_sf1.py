@@ -51,10 +51,16 @@ def off(table: str, col: str) -> int:
 
 doc_off = off("documents", "doc_id")
 write("documents", f"""
-  SELECT d.doc_id + t.i * {doc_off} AS doc_id,
-         regexp_replace(d.text, '(\\S+)', '\\1' || t.i, 'g') AS text,
-         d.lang, d.source, d.n_chars
-  FROM '{SRC}/documents.parquet' d, range({COPIES}) t(i)""")
+  WITH rewritten AS (
+    SELECT d.doc_id + t.i * {doc_off} AS doc_id,
+           regexp_replace(d.text, '(\\S+)', '\\1' || t.i, 'g') AS text,
+           d.lang, d.source
+    FROM '{SRC}/documents.parquet' d, range({COPIES}) t(i))
+  -- n_chars recomputed: the suffix rewrite lengthens text, and a stale
+  -- copied n_chars would make n_chars <> len(text) internally
+  -- inconsistent on sf1 (ADVICE r12)
+  SELECT doc_id, text, lang, source, CAST(len(text) AS BIGINT) AS n_chars
+  FROM rewritten""")
 
 vec_off = off("embeddings", "vec_id")
 write("embeddings", f"""

@@ -91,6 +91,11 @@ object Round12Queries {
     // source repeats — the overfit-risk signal a mixing table exists to
     // surface). One corpus pass for the masses; everything after is
     // source-cardinality-sized (a broadcast scalar for the normalizer).
+    // Parity note (ADVICE r12): pow() is allowed ~1 ulp of engine skew, so
+    // the raw weight is quantized ONCE — half-up into integer 1e-6 units
+    // (the house +0.5 offset dampens boundary flips) — and EVERYTHING
+    // downstream (weight, exp_tokens_1m, epochs) derives from that single
+    // BIGINT, never re-touching the raw double.
     "t_mix_weights" -> ((s, d) => {
       val bySrc = docs(s, d)
         .groupBy(col("source"))
@@ -98,16 +103,19 @@ object Round12Queries {
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
       val norm = bySrc.agg(
         sum(pow(col("n_tokens").cast("double"), 0.7)).as("z"))
+      // weight in integer micro-units: w_u = ⌊w·1e6 + 0.5⌋ — ALSO the
+      // expected token draw from a 1M-token budget, so exp_tokens_1m IS w_u
+      val wUnits = floor(pow(col("n_tokens").cast("double"), 0.7) / col("z")
+        * 1000000 + 0.5).cast("long")
       bySrc.crossJoin(broadcast(norm))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          wUnits.as("wu"))
         .select(
           col("source"), col("n_docs"), col("n_tokens"),
-          floorRound(pow(col("n_tokens").cast("double"), 0.7) / col("z"), 4)
-            .as("weight"),
-          floor(pow(col("n_tokens").cast("double"), 0.7) / col("z") * 1000000)
-            .cast("long").as("exp_tokens_1m"),
-          floorRound(
-            floor(pow(col("n_tokens").cast("double"), 0.7) / col("z") * 1000000) /
-              col("n_tokens").cast("double"), 4).as("epochs"))
+          floorRound(col("wu").cast("double") / 1000000, 4).as("weight"),
+          col("wu").as("exp_tokens_1m"),
+          floorRound(col("wu").cast("double") /
+            col("n_tokens").cast("double"), 4).as("epochs"))
         .orderBy("source")
     }),
 
@@ -257,7 +265,11 @@ object Round12Queries {
     // per bucket) keep ln() off zero; PSI = Σ (p−q)·ln(p/q), 6-dp
     // floored. One pass builds both halves' bucket counts (conditional
     // aggregation over the broadcast split point); the PSI fold is
-    // 10-row arithmetic.
+    // 10-row arithmetic over ALL 10 buckets — a 10-row spine left-joins
+    // the observed counts so a bucket empty in BOTH halves still
+    // contributes its (p−q)ln(p/q) smoothing term, exactly like the
+    // streaming twin psiDriftWindows's 10 conditional sums (ADVICE r12:
+    // without the spine the two twins disagreed on identical data).
     "q_psi_drift" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_id"), col("value"))
       // split point = integer midpoint of the id range (exact in both
@@ -276,9 +288,17 @@ object Round12Queries {
               ((col("hi") - col("lo")) / 10)), lit(9L)))
             .otherwise(lit(0L)).cast("int").as("bucket"),
           (col("event_id") <= col("mid")).as("first_half"))
-      val counts = bucketed.groupBy(col("bucket"))
+      val observed = bucketed.groupBy(col("bucket"))
         .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_p"),
           sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_q"))
+      // full 10-bucket spine (a 10-row local range — no shuffle): empty
+      // buckets surface with n = 0 so smoothing applies to all 10 terms
+      val spine = s.range(10).toDF("bucket")
+        .select(col("bucket").cast("int").as("bucket"))
+      val counts = spine.join(observed, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_p"), lit(0L)).as("n_p"),
+          coalesce(col("n_q"), lit(0L)).as("n_q"))
       val tot = counts.agg(sum(col("n_p")).as("tp"), sum(col("n_q")).as("tq"))
       counts.crossJoin(broadcast(tot))
         .select(((col("n_p") + 1).cast("double") / (col("tp") + 10)).as("p"),
@@ -387,16 +407,19 @@ object Round12Queries {
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
            FROM documents GROUP BY source),
-         z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z FROM bysrc)
+         z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z FROM bysrc),
+         w AS (
+           SELECT source, n_docs, n_tokens,
+                  CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z
+                             * 1000000 + 0.5) AS BIGINT) AS wu
+           FROM bysrc, z)
          SELECT source, n_docs, n_tokens,
-                floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z
-                      * 10000 + 0.5) / 10000 AS weight,
-                CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z * 1000000)
-                     AS BIGINT) AS exp_tokens_1m,
-                floor(floor(pow(CAST(n_tokens AS DOUBLE), 0.7) / z * 1000000)
-                      / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000
-                  AS epochs
-         FROM bysrc, z ORDER BY source""",
+                floor(CAST(wu AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+                  AS weight,
+                wu AS exp_tokens_1m,
+                floor(CAST(wu AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      * 10000 + 0.5) / 10000 AS epochs
+         FROM w ORDER BY source""",
 
     "t_chunk_windows" ->
       s"""WITH t AS (
@@ -429,13 +452,18 @@ object Round12Queries {
                        ELSE 0 END AS INT) AS bucket,
                   e.event_id <= b.mid AS first_half
            FROM events e, b),
-         c AS (
+         obs AS (
            SELECT bucket,
                   CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_p,
                   CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
                     AS n_q
            FROM bk GROUP BY bucket),
+         sp AS (SELECT CAST(r.range AS INT) AS bucket FROM range(10) r),
+         c AS (
+           SELECT sp.bucket, coalesce(obs.n_p, 0) AS n_p,
+                  coalesce(obs.n_q, 0) AS n_q
+           FROM sp LEFT JOIN obs ON obs.bucket = sp.bucket),
          t AS (SELECT sum(n_p) AS tp, sum(n_q) AS tq FROM c),
          pq AS (
            SELECT (n_p + 1) / CAST(t.tp + 10 AS DOUBLE) AS p,

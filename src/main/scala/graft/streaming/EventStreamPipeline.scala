@@ -41,6 +41,12 @@ object EventStreamPipeline {
     * push endpoint (the socket lives where the data is — the driver never
     * touches the record stream); in the spec it appends to a shared
     * queue. Must be Serializable: the factory ships in the task closure.
+    *
+    * Delivery caveat: because sends happen inside the partition task, a
+    * task retry / speculative attempt replays the partition and re-sends
+    * frames delivered before the failure — at-least-once on retry (the
+    * driver collect() path is at-most-once). See the executor-path note
+    * in `run`.
     */
   trait SenderFactory extends Serializable {
     def open(): (String => Unit, () => Unit)
@@ -137,8 +143,17 @@ object EventStreamPipeline {
     // executor-path POISON relay: the partition task cannot touch the
     // driver latch, so it counts POISON sightings in an accumulator and
     // the foreachBatch tail (driver side, after the action returns)
-    // latches + requests the stop — same guarantees as the driver path:
-    // in-batch truncation at POISON, nothing delivered in later batches.
+    // latches + requests the stop — same ORDERING guarantees as the
+    // driver path (in-batch truncation at POISON, nothing delivered in
+    // later batches), but NOT the same delivery guarantee under failure:
+    // delivery happens inside the task, so a task retry or speculative
+    // attempt on a real cluster replays the partition from its start and
+    // RE-SENDS frames already delivered before the failure — at-least-
+    // once on retry, where the driver path (send only after collect()
+    // succeeds) stays at-most-once. Deploy the executor sender with
+    // spark.speculation=false and spark.task.maxFailures=1 for this
+    // query (or a dedup-by-ordinal receiver) when duplicate frames are
+    // unacceptable.
     lazy val poisonAcc = spark.sparkContext.longAccumulator(s"poison-$queryName")
     coordinator.registerWith(routingKey) { () =>
       checkpointDir.fold(writer0)(

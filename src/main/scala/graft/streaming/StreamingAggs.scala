@@ -75,8 +75,11 @@ object StreamingAggs {
       .groupBy(window(col(tsCol), window_))
       .agg(cnts.head, cnts.tail: _*)
       .select(col("window"), total.as("n_values"),
-        graft.functions.ParityMath.floorRound(psi, 6).as("psi"),
-        (psi >= 0.25).as("drift_alarm"))
+        graft.functions.ParityMath.floorRound(psi, 6).as("psi"))
+      // alarm on the SAME 6-dp value that is emitted — thresholding the
+      // unrounded psi could show psi = 0.25 with drift_alarm = false at
+      // the boundary (ADVICE r12): consumer-visible value and alarm agree
+      .withColumn("drift_alarm", col("psi") >= 0.25)
   }
 
   /** R14 streaming — session windows per key (inactivity gap). */
