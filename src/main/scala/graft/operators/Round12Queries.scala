@@ -104,7 +104,12 @@ object Round12Queries {
       val norm = bySrc.agg(
         sum(pow(col("n_tokens").cast("double"), 0.7)).as("z"))
       // weight in integer micro-units: w_u = ⌊w·1e6 + 0.5⌋ — ALSO the
-      // expected token draw from a 1M-token budget, so exp_tokens_1m IS w_u
+      // expected token draw from a 1M-token budget, so exp_tokens_1m IS w_u.
+      // NOT a hard allocation (ADVICE r13): half-up rounding means
+      // Σ exp_tokens_1m can exceed the 1e6 budget by up to n_sources/2
+      // units (each source may round up by ~0.5). A consumer that needs
+      // Σ ≤ budget exactly should re-floor the draws and distribute the
+      // remainder (largest-fraction), not read these as a partition.
       val wUnits = floor(pow(col("n_tokens").cast("double"), 0.7) / col("z")
         * 1000000 + 0.5).cast("long")
       bySrc.crossJoin(broadcast(norm))

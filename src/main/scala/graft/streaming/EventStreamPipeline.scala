@@ -265,6 +265,27 @@ final class StreamCoordinator {
   def activeQuery(routingKey: String): Option[StreamingQuery] =
     Option(active.get(routingKey)).filter(_.isActive)
 
+  /** Graceful-shutdown fan-out — the engine-side analog of the reference's
+    * pre-stop hook (reference/hooks/pre-stop-hook.sh:8: kubelet touches
+    * `given.poison` on termination, and the lifecycle ends with every
+    * consumer taking POISON and the probes failing). Here the shell calls
+    * this when told to stop: every active consumer is stopped (the in-band
+    * pill's effect, applied to all keys at once) and the poison-taken flag
+    * latches so both health probes flip to 503 exactly as if each consumer had
+    * read POISON from its stream (probes/liveness.sh:4-8). Safe to call
+    * from an admin/shutdown thread: no foreachBatch self-deadlock applies
+    * (that hazard is only for stop() from inside the query's own sink).
+    */
+  def poisonAll(): Unit = {
+    poisonObserved.set(true)
+    val it = active.entrySet().iterator()
+    while (it.hasNext) {
+      val q = it.next().getValue
+      it.remove()
+      if (q.isActive) q.stop()
+    }
+  }
+
   /** Stop and deregister (stream deleted / POISON observed). */
   def release(routingKey: String): Unit = {
     val q = active.remove(routingKey)

@@ -61,6 +61,12 @@ final class ServiceShell(
   // the RUNNING marker of the reference's probes (probes/liveness.sh,
   // readiness.sh): set while the shell is serving; cleared on stop()
   private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // the given.poison marker of the reference's pre-stop hook
+  // (hooks/pre-stop-hook.sh:8): latched by preStop(); health goes 503
+  // immediately so no new traffic is routed while consumers drain
+  private val stopping = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // spec-removable handle for the optional JVM shutdown hook
+  private var shutdownHook: Option[Thread] = None
   private val conns = TrieMap.empty[String, Socket] // uuid -> live WS socket
   // routing key -> live WS socket: last-connect-wins fencing is per routing
   // key (StreamCoordinator), so when a new consumer displaces the old
@@ -94,6 +100,14 @@ final class ServiceShell(
     http.createContext("/health", (ex: com.sun.net.httpserver.HttpExchange) => {
       try handleHealth(ex) finally ex.close()
     })
+    // kubelet-exec analog for the pre-stop hook: a deploy script (or the
+    // container lifecycle) POSTs here instead of touching given.poison
+    http.createContext("/admin/prestop", (ex: com.sun.net.httpserver.HttpExchange) => {
+      try {
+        if (ex.getRequestMethod == "POST") { preStop(); respond(ex, 204, "") }
+        else respond(ex, 405, """{"error":"POST only"}""")
+      } finally ex.close()
+    })
     http.start()
     running.set(true)
     val acceptor = new Thread(() => acceptLoop(), "graft-ws-accept")
@@ -101,8 +115,57 @@ final class ServiceShell(
     acceptor.start()
   }
 
+  /** Graceful shutdown — the pre-stop hook analog
+    * (reference/hooks/pre-stop-hook.sh:8 + probes/liveness.sh:4-8): the
+    * reference's kubelet touches `given.poison` on termination, the
+    * publisher turns that into an in-band POISON per stream, every consumer
+    * takes the pill, `taken.poison` appears, and the probes fail until the
+    * grace period kills the pod. The engine analog, in the reference's
+    * observable order:
+    *
+    *   1. latch `stopping` — `/health/live` and `/health/ready` answer 503
+    *      immediately (no new traffic is routed to a terminating pod);
+    *   2. [[StreamCoordinator.poisonAll]] — every active consumer stops and
+    *      the coordinator's poison-taken flag latches, exactly as if each
+    *      consumer had read POISON from its stream;
+    *   3. close every live WebSocket with 1001 (going away — RFC 6455
+    *      §7.4.1's server-shutdown code; the in-band-POISON path closes
+    *      with 1000 because there the STREAM ended, here the SERVER is).
+    *
+    * Idempotent; reachable three ways, mirroring how the reference's hook
+    * can fire: directly (embedding application calls it), over HTTP
+    * (`POST /admin/prestop` — the kubelet-exec analog a deploy script can
+    * hit), or from the JVM shutdown hook ([[installShutdownHook]] — the
+    * SIGTERM path). Does NOT tear down the listeners — the reference
+    * relies on terminationGracePeriodSeconds for the actual kill; call
+    * [[stop]] for that.
+    */
+  def preStop(): Unit = {
+    if (!stopping.compareAndSet(false, true)) return
+    coordinator.poisonAll()
+    conns.values.foreach(s => closeWs(s, 1001, "Service stopping"))
+    conns.clear()
+    connsByKey.clear()
+  }
+
+  /** Register [[preStop]] as a JVM shutdown hook — the SIGTERM analog of
+    * the kubelet exec'ing the pre-stop script. Returns the hook thread so
+    * an embedding application (or spec) can deregister it.
+    */
+  def installShutdownHook(): Thread = {
+    val t = new Thread(() => preStop(), "graft-prestop")
+    Runtime.getRuntime.addShutdownHook(t)
+    shutdownHook = Some(t)
+    t
+  }
+
   def stop(): Unit = {
     running.set(false)
+    shutdownHook.foreach { t =>
+      try Runtime.getRuntime.removeShutdownHook(t)
+      catch { case _: IllegalStateException => () } // already shutting down
+    }
+    shutdownHook = None
     conns.values.foreach(s => try s.close() catch { case _: Exception => })
     conns.clear()
     connsByKey.clear()
@@ -156,7 +219,11 @@ final class ServiceShell(
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     (ex.getRequestMethod, path) match {
       case ("GET", "/health/live") | ("GET", "/health/ready") =>
-        if (coordinator.poisonTaken)
+        // stopping outranks poison-taken in the MESSAGE only — both are 503;
+        // a pre-stopped pod should say so even though poisonAll() also
+        // latched the coordinator flag
+        if (stopping.get) respond(ex, 503, """{"status":"stopping"}""")
+        else if (coordinator.poisonTaken)
           respond(ex, 503, """{"status":"poison taken"}""")
         else if (!running.get) respond(ex, 503, """{"status":"not running"}""")
         else respond(ex, 200, """{"status":"ok"}""")
@@ -216,6 +283,10 @@ final class ServiceShell(
         // (close 1002, app.py:268-277) and resolves the uuid (close 1000,
         // app.py:282-291). Errors are WS close frames, never HTTP errors.
         out.write(handshakeResponse(key).getBytes(UTF_8)); out.flush()
+        // a terminating pod must not start NEW consumers: post-preStop
+        // connects accept (the reference accepts unconditionally) and then
+        // immediately close 1001, same as the drain gave live consumers
+        if (stopping.get) { closeWs(sock, 1001, "Service stopping"); return }
         streamFromSpec(rawQuery) match {
           case Left(err) => closeWs(sock, 1002, err)
           case Right(specOpt) => registry.byUuid(u) match {

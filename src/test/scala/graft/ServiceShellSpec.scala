@@ -577,4 +577,119 @@ class ServiceShellSpec extends SparkSpec {
       coord.release("rk-tls")
     }
   }
+
+  test("service shell: pre-stop drains consumers, flips health 503, closes 1001") {
+    // VERDICT r13 #1 (the last reference-surface item): the pre-stop hook
+    // analog (hooks/pre-stop-hook.sh:8 + probes/liveness.sh:4-8). Order of
+    // observables after POST /admin/prestop: every consumer latches
+    // (poisonTaken, queries stopped), /health/* answer 503, live sockets
+    // close 1001 (going away), and NEW connects accept-then-close-1001.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val hook = shell.installShutdownHook() // registered + removable (SIGTERM path)
+    val http = HttpClient.newHttpClient()
+    def base = s"http://127.0.0.1:${shell.httpPort}"
+    def health(path: String): HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(base + path)).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-prestop"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+
+      val received = new LinkedBlockingQueue[String]()
+      val closed = new CompletableFuture[Integer]()
+      val listener = new WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { received.add(sb.toString); sb.setLength(0) }
+          ws.request(1)
+          null
+        }
+        override def onClose(ws: WebSocket, statusCode: Int,
+                             reason: String): java.util.concurrent.CompletionStage[_] = {
+          closed.complete(statusCode); null
+        }
+        override def onError(ws: WebSocket, error: Throwable): Unit = {
+          closed.complete(-1); ()
+        }
+      }
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), listener).join()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-prestop").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val q = coord.activeQuery("rk-prestop").getOrElse(
+          fail("consumer did not attach within 30 s"))
+        stream.addData(Msg("""{"message_type": "pre"}""", 1, 100L))
+        q.processAllAvailable()
+        assert(received.poll(30, TimeUnit.SECONDS) ===
+          """{"ess_ordinal": 1, "ess_timestamp": 100, "message_type": "pre"}""")
+        assert(health("/health/live").statusCode() === 200)
+
+        // the hook fires (kubelet-exec analog): 204, idempotent
+        def prestop(): HttpResponse[String] = http.send(
+          HttpRequest.newBuilder(URI.create(base + "/admin/prestop"))
+            .POST(HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(prestop().statusCode() === 204)
+
+        // 1. all consumers latch: poison taken, query stopped + deregistered
+        assert(coord.poisonTaken, "preStop must latch the poison-taken flag")
+        val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-prestop").isDefined && System.nanoTime() < d2)
+          Thread.sleep(50)
+        assert(coord.activeQuery("rk-prestop").isEmpty,
+          "preStop must stop every active consumer")
+        assert(!q.isActive)
+
+        // 2. both probes 503, with the stopping status
+        val live = health("/health/live")
+        assert(live.statusCode() === 503 && live.body.contains("stopping"))
+        assert(health("/health/ready").statusCode() === 503)
+
+        // 3. the live socket observed a 1001 close frame (going away)
+        assert(closed.get(30, TimeUnit.SECONDS) === 1001)
+
+        // idempotent second fire
+        assert(prestop().statusCode() === 204)
+
+        // 4. a NEW connect accepts (reference accepts unconditionally) and
+        // immediately closes 1001 — no fresh consumer starts
+        val closed2 = new CompletableFuture[Integer]()
+        val ws2 = http.newWebSocketBuilder()
+          .buildAsync(URI.create(loc), new WebSocket.Listener {
+            override def onClose(w: WebSocket, code: Int,
+                                 reason: String): java.util.concurrent.CompletionStage[_] = {
+              closed2.complete(code); null
+            }
+            override def onError(w: WebSocket, error: Throwable): Unit = {
+              closed2.complete(-1); ()
+            }
+          }).join()
+        try {
+          assert(closed2.get(30, TimeUnit.SECONDS) === 1001)
+          assert(coord.activeQuery("rk-prestop").isEmpty,
+            "post-preStop connect must not start a consumer")
+        } finally { try ws2.abort() catch { case _: Exception => } }
+      } finally {
+        try ws.abort() catch { case _: Exception => }
+      }
+    } finally {
+      shell.stop() // also removes the shutdown hook
+      assert(!Runtime.getRuntime.removeShutdownHook(hook),
+        "stop() must have deregistered the JVM shutdown hook")
+      coord.release("rk-prestop")
+    }
+  }
 }
