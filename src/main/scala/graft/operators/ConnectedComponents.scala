@@ -101,22 +101,21 @@ object ConnectedComponents {
     // at least twice (size probe + compute, or per-round joins), and an
     // un-truncated lineage would re-execute the caller's whole upstream
     // subtree (e.g. d_dedup_cluster's verified near-dup join) per read.
-    // localCheckpoint is the iterative-algorithm lineage-truncation
-    // standard. It is NON-recoverable: lineage is truncated, so a
-    // partition lost to executor failure errors the job rather than
-    // recomputing — the accepted trade for iterative loops (a reliable
-    // `checkpoint` to a cluster FS is the HA alternative when running
-    // with a checkpoint dir configured).
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // Lineage.cut is the iterative-algorithm lineage-truncation standard:
+    // localCheckpoint by default — NON-recoverable (lineage is truncated,
+    // so a partition lost to executor failure errors the job rather than
+    // recomputing), the accepted trade for iterative loops — or a reliable
+    // cluster-FS `checkpoint` when spark.graft.checkpoint.dir is set (the
+    // HA path for spot fleets / multi-hour loops; identical results).
+    val e0 = Lineage.cut(edges.select(col("src"), col("dst")))
     if (underThreshold(e0, localFinishEdges))
       return localComponents(e0)
     // Undirected form up front: both directions materialized ONCE, so the
     // per-round message step is a single join instead of two (same shuffled
     // row count, half the stages — rounds are overhead-bound on sparse
     // subgraphs).
-    val e = e0
-      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val e = Lineage.cut(e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
     // The per-round loop only ever reads the bidirectional checkpoint;
     // free e0's blocks now so the loop doesn't hold ~3x the edge set
     // (directed + both directions). Dataset.unpersist is a CacheManager
@@ -130,10 +129,9 @@ object ConnectedComponents {
     }
     // init = first neighbor-min fused into the node-set build: same
     // aggregate the plain distinct would cost, one propagation round free
-    var labels = e
+    var labels = Lineage.cut(e
       .groupBy(col("src").as("doc_id"))
-      .agg(min(least(col("src"), col("dst"))).as("label"))
-      .localCheckpoint(true)
+      .agg(min(least(col("src"), col("dst"))).as("label")))
     var prevSum = Long.MinValue
     var curSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var round = 0
@@ -150,7 +148,7 @@ object ConnectedComponents {
         df.join(r, col("label") === col("rep_id"))
           .select(col("doc_id"), col("rep_label").as("label"))
       }
-      val next = jump(jump(stepped)).localCheckpoint(false)
+      val next = Lineage.cut(jump(jump(stepped)), eager = false)
       prevSum = curSum
       curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       labels = next

@@ -278,19 +278,22 @@ object DeepRelational {
     // corpus scale step count, not per-step data, is the cost to cut;
     // the residue tables are three cheap self-joins paid once.
     "q_recursive_cte" -> ((s, d) => {
-      val e = DedupQueries.adjacentJaccard(s, d).filter(col("jaccard") >= 0.5)
-        .select(col("doc_a")).localCheckpoint(true)
+      val e = Lineage.cut(DedupQueries.adjacentJaccard(s, d)
+        .filter(col("jaccard") >= 0.5).select(col("doc_a")))
       e.createOrReplaceTempView("graft_rc_edge")
       // k-hop tables: doc has edges doc .. doc+k-1 (contiguous runs, so
       // e_k = e_{k/2} stitched with itself shifted k/2; e3 = e2 + e)
-      val e2 = e.as("a").join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 1)
-        .select(col("a.doc_a")).localCheckpoint(true)
+      val e2 = Lineage.cut(e.as("a")
+        .join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 1)
+        .select(col("a.doc_a")))
       e2.createOrReplaceTempView("graft_rc_edge2")
-      e2.as("a").join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
-        .select(col("a.doc_a")).localCheckpoint(true)
+      Lineage.cut(e2.as("a")
+        .join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
+        .select(col("a.doc_a")))
         .createOrReplaceTempView("graft_rc_edge3")
-      e2.as("a").join(e2.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
-        .select(col("a.doc_a")).localCheckpoint(true)
+      Lineage.cut(e2.as("a")
+        .join(e2.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
+        .select(col("a.doc_a")))
         .createOrReplaceTempView("graft_rc_edge4")
       // the stride-4 walk is referenced four times below (identity +
       // three residue expansions); checkpoint it so the recursion
@@ -307,7 +310,7 @@ object DeepRelational {
                SELECT w.root, w.doc_id + 4, w.depth + 4
                FROM walk w JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id)
            SELECT root, doc_id, depth FROM walk""")
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_))
         .createOrReplaceTempView("graft_rc_walk")
       s.sql(
         """SELECT root, doc_id, CAST(depth AS BIGINT) AS depth FROM graft_rc_walk

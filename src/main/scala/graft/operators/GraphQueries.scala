@@ -84,7 +84,7 @@ object GraphQueries {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
       .orderBy(col("w").desc, col("a"), col("b"))
       .limit(cap)
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_))
 
   /** Key-ordered variant of [[coPurchaseEdges]] for g_kcore: same pair
     * generation, capped by (a, b) order instead of weight. The top-weight
@@ -98,7 +98,7 @@ object GraphQueries {
       .distinct()
       .orderBy(col("a"), col("b"))
       .limit(cap)
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_))
 
   /** Both-direction edge view (src, dst) over a capped (a, b) frame. */
   private def bidirectional(edges: DataFrame): DataFrame =
@@ -337,7 +337,7 @@ object GraphQueries {
         .orderBy("node")
     }
     val e = bidirectional(edges)
-    var alive = e.select(col("src").as("n")).distinct().localCheckpoint(true)
+    var alive = Lineage.cut(e.select(col("src").as("n")).distinct())
     var prev = alive.count()
     var stable = prev == 0L
     var done = 0
@@ -348,7 +348,7 @@ object GraphQueries {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("n"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_))
       val cnt = next.count()
       stable = cnt == prev
       prev = cnt

@@ -856,14 +856,13 @@ object SimilarityQueries {
       e.crossJoin(broadcast(cells))
         .select(expr("graft_pick_cell(v, nrm, cells).best").as("best"))
         .agg(floorRound(avg(col("best")), 4)).head().getDouble(0)
-    var cells = e.filter(col("vec_id") % seedStride === 0)
+    var cells = Lineage.cut(e.filter(col("vec_id") % seedStride === 0)
       .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
-        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
-      .localCheckpoint(true)
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells")))
     val trace = scala.collection.mutable.ArrayBuffer(cohesionOf(cells))
     var step = 0
     while (step < steps) {
-      cells = lloydStep(e, cells).localCheckpoint(true)
+      cells = Lineage.cut(lloydStep(e, cells))
       trace += cohesionOf(cells)
       step += 1
     }
@@ -883,13 +882,12 @@ object SimilarityQueries {
   private[graft] def refinedCentArrK(e: DataFrame, seedStride: Int = 13,
       steps: Int = 3): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
-    var cells = e.filter(col("vec_id") % seedStride === 0)
+    var cells = Lineage.cut(e.filter(col("vec_id") % seedStride === 0)
       .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
-        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
-      .localCheckpoint(true)
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells")))
     var step = 0
     while (step < steps) {
-      cells = lloydStep(e, cells).localCheckpoint(true)
+      cells = Lineage.cut(lloydStep(e, cells))
       step += 1
     }
     cells
