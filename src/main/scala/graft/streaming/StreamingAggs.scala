@@ -703,6 +703,19 @@ object StreamingAggs {
     * order would. A doc arriving mid-bin straddles batches the same way
     * it would straddle bins. Packed rows go to `onPacked`; state is one
     * row per (shard, batch) — 32 longs a batch.
+    *
+    * With `piiScrub = true` (VERDICT r13 #8) the `t_pii_redact` scrub
+    * ([[graft.operators.Round13Queries.piiStages]]) runs FIRST, before any
+    * gate: `text` is replaced by its staged-scrubbed form and per-class
+    * hit counts (`n_email` / `n_phone` / `n_id` / `n_pii`) ride alongside
+    * the verdict in the `onBatch` frame. Ordering is the point — real
+    * ingest scrubs before accepting, so every downstream consumer of the
+    * text (the quality blend, the content sha and its dedup STATE, the
+    * near-dup shingles, packing token counts) sees only scrubbed text and
+    * the retained corpus is PII-free by construction. Scrubbing redacts,
+    * it does not reject: the hit counts are audit signals (a monitor
+    * alarms on a source whose PII rate jumps), not a gate. Pure per-row
+    * codegen'd regex work — zero added shuffle at any scale.
     */
   def startCorpusPipeline(docs: DataFrame, evalDocs: DataFrame,
                           stateRoot: String, checkpointDir: String,
@@ -710,16 +723,33 @@ object StreamingAggs {
                           minQuality: Double = 0.52, n: Int = 5,
                           sourceMix: Boolean = false,
                           packSequences: Boolean = false,
-                          onPacked: DataFrame => Unit = _ => ())
+                          onPacked: DataFrame => Unit = _ => (),
+                          piiScrub: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
+    // per-batch scrub stage: counts computed from the incoming text, then
+    // `text` itself replaced by the scrubbed form (each withColumn below
+    // resolves col("text") against the PRE-replacement column)
+    val scrubStage: DataFrame => DataFrame = df =>
+      if (!piiScrub) df
+      else {
+        val (nEmail, nPhone, nId, scrubbed) =
+          graft.operators.Round13Queries.piiStages(col("text"))
+        df.withColumn("n_email", nEmail)
+          .withColumn("n_phone", nPhone)
+          .withColumn("n_id", nId)
+          .withColumn("n_pii",
+            col("n_email") + col("n_phone") + col("n_id"))
+          .withColumn("text", scrubbed)
+      }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val gatePass = col("quality") >= minQuality && !col("repetitive") &&
           !col("contaminated") && col("is_new")
-        val gated = markGates(batch, evalGrams, s"$stateRoot/sha", batchId, n)
+        val gated = markGates(scrubStage(batch), evalGrams, s"$stateRoot/sha",
+            batchId, n)
           .persist()
         try {
           val (ndMarked, banded, commitNearDup) = markNearDups(

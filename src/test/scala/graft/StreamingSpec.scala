@@ -544,6 +544,76 @@ class StreamingSpec extends SparkSpec {
     assert(rMix === mixState, s"replay must rewrite identical state: $rMix")
   }
 
+  test("R20/T4 streaming: PII scrub runs before the gates; stream scrub ≡ batch scrub") {
+    // VERDICT r13 #8: the ingest gate scrubs BEFORE accepting — per-class
+    // hit counts ride in the verdict frame, downstream gates (sha dedup,
+    // quality, near-dup) see only scrubbed text, and the per-batch stream
+    // stage equals the batch piiStages applied to the same planted docs.
+    import graft.streaming.StreamingAggs
+    import graft.functions.TextFunctions.sha256Hex
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("corpus-pii").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    // 20 distinct tokens per doc (clears quality/repetition) + one planted
+    // PII class each; doc 4 is clean; doc 5 duplicates doc 1 EXACTLY after
+    // scrubbing only (different raw emails, same <EMAIL> tag) — the sha
+    // gate must catch it, proving dedup runs on scrubbed text
+    def base(i: Int): String = (0 until 20).map(j => s"tok${i}x$j").mkString(" ")
+    val d1 = base(1) + " contact user1@example.com now"
+    val d2 = base(2) + " call 555-1234 today"
+    val d3 = base(3) + " ssn 123456789 ref"
+    val d4 = base(4)
+    val d5 = base(1) + " contact other9@example.org now" // scrub-dup of d1
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4, 5L -> d5)
+    val stream = MemoryStream[(Long, String)](spark)
+    type V = (Int, Int, Int, Int, String, Boolean) // n_email/phone/id/pii, sha, accepted
+    val got = new ConcurrentLinkedQueue[(Long, V)]()
+    val q = StreamingAggs.startCorpusPipeline(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/state", s"$dir/ckpt",
+      batch => batch.select("doc_id", "n_email", "n_phone", "n_id", "n_pii",
+          "content_sha", "accepted")
+        .collect().foreach(r => got.add((r.getLong(0),
+          (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+            r.getString(5), r.getBoolean(6))))),
+      piiScrub = true)
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, V)](0)).toMap
+
+    // batch twin: the SAME piiStages over the same docs, plain DataFrame
+    val (ne, np, ni, scrubbed) =
+      graft.operators.Round13Queries.piiStages(col("text"))
+    val twin = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), ne.as("ne"), np.as("np"), ni.as("ni"),
+        sha256Hex(scrubbed).as("sha"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    docs.foreach { case (id, _) =>
+      val s = byDoc(id); val b = twin(id)
+      assert((s._1, s._2, s._3) === ((b._1, b._2, b._3)),
+        s"doc $id stream counts must equal batch scrub: $s vs $b")
+      assert(s._4 === s._1 + s._2 + s._3)
+      assert(s._5 === b._4, s"doc $id content sha must be over SCRUBBED text")
+    }
+    assert(byDoc(1L)._1 === 1 && byDoc(2L)._2 === 1 && byDoc(3L)._3 === 1 &&
+      byDoc(4L)._4 === 0, "each planted class detected exactly once")
+    // dedup on scrubbed text: d5 collapses onto d1's scrubbed sha
+    assert(byDoc(5L)._5 === byDoc(1L)._5 && !byDoc(5L)._6,
+      s"doc 5 must dedup against doc 1 post-scrub: ${byDoc(5L)}")
+    assert(Seq(1L, 2L, 3L, 4L).forall(byDoc(_)._6), "clean + scrubbed docs accept")
+    // retained state is PII-free by construction: exactly the 4 accepted
+    // scrubbed shas, none equal to a raw-text sha
+    val rawShas = docs.toDF("doc_id", "text")
+      .select(sha256Hex(col("text"))).as[String].collect().toSet
+    val state = spark.read.parquet(s"$dir/state/sha")
+      .select("content_sha").as[String].collect().toSet
+    assert(state === Seq(1L, 2L, 3L, 4L).map(byDoc(_)._5).toSet)
+    assert(state.intersect(rawShas) === Set(byDoc(4L)._5),
+      "only the PII-free doc's sha may match its raw form")
+  }
+
   test("R20/R12/T4 streaming: packing stage continues bins across batches; rejects consume no bin space") {
     import graft.streaming.StreamingAggs
     val dir = java.nio.file.Files.createTempDirectory("corpus-pack").toString
