@@ -92,22 +92,21 @@ object Bench {
       val joined = graft.streaming.StreamingAggs.correlateStreams(
         left, right, watermark = "10 minutes", within = "5 minutes")
       val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
-      // State-partition sizing (r12 study, BASELINE.md): a stream-stream
-      // join commits 4 state stores PER PARTITION PER BATCH, and at this
-      // fixture (100k rows, ~10 batches) that fixed commit cost dominates
-      // — measured throughput was ∝ 1/partitions (32→3.4k, 16→7.1k,
-      // 8→11.4k, 4→14.5k pairs/s steady) with RocksDB ≈ heap at equal
-      // counts. 8 keeps per-partition state meaningful at the fixture
-      // while still exercising parallel state commits; the partition
-      // count is fixed per checkpoint at the query's first batch, so the
-      // session conf is set only around query start and restored after.
-      // At 100 TB the same lever points the other way: size partitions so
-      // per-partition state stays in the store's comfort zone (~100s of
-      // MB), never default-32 regardless of state size. The conf is
-      // restored only AFTER the drain: the first micro-batch captures the
-      // partition count asynchronously after start() returns.
+      // State-partition sizing: AUTOSIZED from the estimated per-batch key
+      // cardinality (r13 — stateJoinPartitions carries the r12 study's
+      // heuristic and its full rationale; at this fixture, 100k unique
+      // event-id keys over ~10 batches ⇒ ~10k keys/batch, which the
+      // 2048-keys-per-partition target lands on the previously pinned 8 —
+      // same measured band, now derived instead of hardcoded). The
+      // partition count is fixed per checkpoint at the query's first
+      // batch, so the session conf is set only around query start; it is
+      // restored only AFTER the drain because the first micro-batch
+      // captures the count asynchronously after start() returns.
+      val estKeysPerBatch = math.max(1L, rows / 10)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.StreamingAggs
+          .stateJoinPartitions(estKeysPerBatch, spark = spark).toString)
       val t0 = System.nanoTime()
       val q = joined.writeStream
         .option("checkpointLocation", ckpt)

@@ -544,6 +544,29 @@ class StreamingSpec extends SparkSpec {
     assert(rMix === mixState, s"replay must rewrite identical state: $rMix")
   }
 
+  test("T6: stream-join state partitions autosize from per-batch key cardinality") {
+    // VERDICT r13 #7: the r12 study pinned 8 partitions at the bench
+    // fixture (throughput ∝ 1/partitions when per-partition state is
+    // small); the heuristic must DERIVE that same 8 from the fixture's
+    // ~10k keys/batch, clamp to the caller's parallelism ceiling, stay
+    // power-of-two stable under drift, and grow monotonically.
+    import graft.streaming.StreamingAggs.stateJoinPartitions
+    assert(stateJoinPartitions(10000) === 8,
+      "the bench fixture estimate (100k rows / 10 batches) must land on the pinned 8")
+    assert(stateJoinPartitions(0) === 1 && stateJoinPartitions(1) === 1)
+    assert(stateJoinPartitions(2048) === 1, "exactly one target-load partition")
+    assert(stateJoinPartitions(2049) === 2)
+    assert(stateJoinPartitions(1000000) === 32,
+      "default cap is the session shuffle-partition ceiling")
+    assert(stateJoinPartitions(1000000, maxPartitions = 512) === 512,
+      "at scale the cap, not the key estimate, binds")
+    // power-of-two rounding: small estimate drift must not resize state
+    assert(stateJoinPartitions(9000) === stateJoinPartitions(12000))
+    val xs = Seq(1L, 100L, 2048L, 4096L, 10000L, 50000L)
+      .map(stateJoinPartitions(_, maxPartitions = 1024))
+    assert(xs === xs.sorted, s"monotone in the estimate: $xs")
+  }
+
   test("R20/T4 streaming: PII scrub runs before the gates; stream scrub ≡ batch scrub") {
     // VERDICT r13 #8: the ingest gate scrubs BEFORE accepting — per-class
     // hit counts ride in the verdict frame, downstream gates (sha dedup,
