@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Round14Queries
+
+/** Round-14 operators: held-out bigram LM scoring, corpus snapshot diff. */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- t_lm_score -----------------------------------------------------
+
+  test("t_lm_score: planted bigram counts, smoothing, and integer NLL fold") {
+    // train: doc 0 "a b a b" -> c2 {(a,b):2, (b,a):1}; doc 2 "c d" ->
+    // {(c,d):1}; c1 {a:2, b:1, c:1}; V = |{a,b,c,d}| = 4
+    val train = Seq((0L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    // scored doc 1 "a b x": P(b|a) = (2+1)/(2+4) = 1/2 -> u = 6931;
+    //                       P(x|b) = (0+1)/(1+4) = 1/5 -> u = 16094
+    // scored doc 3 "x y": context x unseen -> P = (0+1)/(0+4) -> u = 13863
+    val scored = Seq((1L, "a b x"), (3L, "x y")).toDF("doc_id", "text")
+    val rows = Round14Queries.lmScore(train, scored).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows(1L) === ((2L, 23025L, 11512L, false)), rows(1L).toString)
+    assert(rows(3L) === ((1L, 13863L, 13863L, false)), rows(3L).toString)
+  }
+
+  test("t_lm_score: unseen-context docs against a wide vocab trip the high-ppl flag") {
+    // V = 40 distinct train tokens; a scored doc of entirely unseen
+    // bigrams floors at P = 1/(0+40) -> u = ln(40)*1e4 = 36889 > 34300
+    val train = Seq((0L, (0 until 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val scored = Seq((1L, "zz yy xx"), (3L, "w0 w1 w2")).toDF("doc_id", "text")
+    val rows = Round14Queries.lmScore(train, scored).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows(1L) === ((36889L, true)),
+      s"fully-OOV doc must flag: ${rows(1L)}")
+    // doc 3's bigrams are SEEN (w0 w1, w1 w2 each occur once in train):
+    // P = (1+1)/(1+40) -> u = ln(20.5)*1e4 = 30204 < 34300 -> unflagged
+    assert(rows(3L) === ((30204L, false)), rows(3L).toString)
+  }
+
+  test("t_lm_score: short docs score no bigrams and are absent") {
+    val train = Seq((0L, "a b")).toDF("doc_id", "text")
+    val scored = Seq((1L, "solo"), (3L, "a b")).toDF("doc_id", "text")
+    val ids = Round14Queries.lmScore(train, scored).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids === Set(3L))
+  }
+
+  // ---- d_snapshot_diff ------------------------------------------------
+
+  test("d_snapshot_diff: added / removed / changed / unchanged all classified") {
+    val a = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "bravo EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val rows = Round14Queries.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) === (("unchanged", 1L)))
+    assert(rows(2L) === (("changed", 1L)))
+    assert(rows(3L) === (("removed", 1L)), "doc only in the previous release")
+    assert(rows(4L) === (("added", 1L)), "doc only in the candidate")
+  }
+}
