@@ -122,15 +122,20 @@ object Round14Queries {
   private[graft] def snapshotDiff(a0: DataFrame, b0: DataFrame): DataFrame = {
     val a = a0.select(col("doc_id"), md5(col("text")).as("sha_a"))
     val b = b0.select(col("doc_id"), md5(col("text")).as("sha_b"))
-    val joined = a.join(b, Seq("doc_id"), "full_outer")
+    // materialize the slim (doc_id, status) frame ONCE — both consumers
+    // below (census + output) would otherwise re-execute the full-outer
+    // join (Lineage.cut: localCheckpoint, or reliable under the conf)
+    val joined = Lineage.cut(a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("sha_a").isNull, "added")
           .when(col("sha_b").isNull, "removed")
           .when(col("sha_a") =!= col("sha_b"), "changed")
-          .otherwise("unchanged").as("status"))
+          .otherwise("unchanged").as("status")))
+    // the census is ≤ 4 rows — always broadcast (the full-outer id join
+    // above is the only corpus-sized exchange in the plan)
     val counts = joined.groupBy(col("status"))
       .agg(count(lit(1)).as("n_status"))
-    joined.join(counts, "status")
+    joined.join(broadcast(counts), "status")
       .select(col("doc_id"), col("status"), col("n_status"))
       .orderBy("doc_id")
   }
