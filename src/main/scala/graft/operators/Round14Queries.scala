@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *                                 snapshots by (doc_id, content sha): the
   *                                 data-versioning audit every iterative
   *                                 corpus release runs before shipping.
+  *   - `v_embedding_drift` R19     embedding-space drift monitor — the
+  *                                 `q_psi_drift` analog for the vector
+  *                                 family: reference-vs-current centroid
+  *                                 cosine, mean-shift L2, norm drift, one
+  *                                 alarmable row.
   */
 object Round14Queries {
 
@@ -74,6 +79,28 @@ object Round14Queries {
         docs.select(col("doc_id"),
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" revised")))
             .otherwise(col("text")).as("text")))
+    }),
+
+    // R19 — EMBEDDING-SPACE DRIFT MONITOR: reference = even vec_id,
+    // current = odd (the q_psi_drift split discipline applied to the
+    // vector family). Per-dim means are quantized to integer 1e-6 units
+    // FIRST (one floor at the aggregate edge — everything downstream is
+    // exact integer math both engines replay bit-for-bit): centroid
+    // cosine from integer dots, mean-shift L2 in 1e-6 units; per-row
+    // norms are quantized to 1e-4 units before the integer sum, so the
+    // per-half average norm is an exact integer division. One output
+    // row; `drifted` alarms on centroid cosine under the dial. Scale
+    // shape: one (half, pos) keyed aggregate (128 rows) + one per-row
+    // norm pass — nothing corpus-sized shuffles beyond the two partial
+    // aggregates; the monitor a nightly embedding pipeline runs at any
+    // corpus size.
+    "v_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+        .filter(size(col("v")) === 64)
+      embeddingDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
     })
   )
 
@@ -113,6 +140,51 @@ object Round14Queries {
         expr("nll_units div n_bigrams").as("nll_avg_units"),
         (expr("nll_units div n_bigrams") > highNllUnits).as("high_ppl"))
       .orderBy("doc_id")
+  }
+
+  /** Mean-shift alarm multiplier for `v_embedding_drift`: the null
+    * expectation for unit-norm iid halves is E|m̄ref − m̄cur|² =
+    * 1/n_ref + 1/n_cur (each half's centroid is noise of squared length
+    * ~1/n), so the alarm fires at `k·√(1/n_ref + 1/n_cur)` with k = 3 —
+    * several sigma above the CLT null, the sketch-bound discipline. The
+    * centroid COSINE is emitted as an informational column but not
+    * alarmed on: for centered/unit-norm corpora both centroids are noise
+    * vectors and their cosine is arbitrary (the iid fixture measures
+    * ~0.1 at sf0.1 — meaningless, not drift).
+    */
+  private[graft] val DriftShiftSigma = 3.0
+
+  /** Embedding-drift core (see the `v_embedding_drift` def). `ref` and
+    * `cur` carry (vec_id, v) with 64-dim double vectors.
+    */
+  private[graft] def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.l2Norm
+    def dimMeans(df: DataFrame, u: String): DataFrame =
+      df.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(expr("CAST(floor(avg(x) * 1000000 + 0.5) AS BIGINT)").as(u))
+    def normStats(df: DataFrame, n: String, avg: String): DataFrame =
+      df.select(floor(l2Norm(col("v")) * 10000 + 0.5).as("nu"))
+        .agg(count(lit(1)).as(n), sum(col("nu")).as("__s"))
+        .select(col(n), expr(s"__s div $n").as(avg))
+    val dims = dimMeans(ref, "u0").join(dimMeans(cur, "u1"), "pos")
+      .agg(sum(col("u0") * col("u1")).as("dot"),
+        sum(col("u0") * col("u0")).as("q0"),
+        sum(col("u1") * col("u1")).as("q1"),
+        sum((col("u0") - col("u1")) * (col("u0") - col("u1"))).as("s2"))
+    dims
+      .crossJoin(broadcast(normStats(ref, "n_ref", "norm_avg_ref_u4")))
+      .crossJoin(broadcast(normStats(cur, "n_cur", "norm_avg_cur_u4")))
+      .select(col("n_ref"), col("n_cur"),
+        expr("""floor(CAST(dot AS DOUBLE) / (sqrt(CAST(q0 AS DOUBLE)) * sqrt(CAST(q1 AS DOUBLE)))
+                  * 10000 + 0.5) / 10000""").as("cos_mean4"),
+        expr("CAST(floor(sqrt(CAST(s2 AS DOUBLE)) + 0.5) AS BIGINT)").as("mean_shift_u6"),
+        expr(s"""CAST(floor($DriftShiftSigma *
+             sqrt(1.0 / n_ref + 1.0 / n_cur) * 1000000 + 0.5) AS BIGINT)""")
+          .as("shift_limit_u6"),
+        col("norm_avg_ref_u4"), col("norm_avg_cur_u4"),
+        (col("norm_avg_cur_u4") - col("norm_avg_ref_u4")).as("norm_delta_u4"))
+      .withColumn("drifted", col("mean_shift_u6") > col("shift_limit_u6"))
   }
 
   /** Snapshot-diff core (see the `d_snapshot_diff` def): `a` is the
@@ -173,6 +245,54 @@ object Round14Queries {
                 CAST(sum(u) // count(*) AS BIGINT) AS nll_avg_units,
                 (sum(u) // count(*)) > $LmHighNllUnits AS high_ppl
          FROM u GROUP BY doc_id ORDER BY doc_id""",
+
+    // replays the half split, the 1e-6-unit per-dim means, the integer
+    // centroid cosine / mean-shift arithmetic, and the 1e-4-unit norm
+    // averages exactly
+    "v_embedding_drift" ->
+      s"""WITH ex AS (
+           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE len(embedding) = 64),
+         dm AS (
+           SELECT vec_id % 2 AS half, i,
+                  CAST(floor(avg(e) * 1000000 + 0.5) AS BIGINT) AS u
+           FROM ex GROUP BY 1, 2),
+         pv AS (
+           SELECT i, max(CASE WHEN half = 0 THEN u END) AS u0,
+                  max(CASE WHEN half = 1 THEN u END) AS u1
+           FROM dm GROUP BY i),
+         st AS (
+           SELECT CAST(sum(u0 * u1) AS BIGINT) AS dot,
+                  CAST(sum(u0 * u0) AS BIGINT) AS q0,
+                  CAST(sum(u1 * u1) AS BIGINT) AS q1,
+                  CAST(sum((u0 - u1) * (u0 - u1)) AS BIGINT) AS s2
+           FROM pv),
+         nr AS (
+           SELECT vec_id, vec_id % 2 AS half,
+                  CAST(floor(sqrt(sum(e * e)) * 10000 + 0.5) AS BIGINT) AS nu
+           FROM ex GROUP BY vec_id),
+         ns AS (
+           SELECT half, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(nu) AS BIGINT) AS s
+           FROM nr GROUP BY half)
+         SELECT r.n AS n_ref, c.n AS n_cur,
+                floor(CAST(st.dot AS DOUBLE) /
+                    (sqrt(CAST(st.q0 AS DOUBLE)) * sqrt(CAST(st.q1 AS DOUBLE)))
+                  * 10000 + 0.5) / 10000 AS cos_mean4,
+                CAST(floor(sqrt(CAST(st.s2 AS DOUBLE)) + 0.5) AS BIGINT) AS mean_shift_u6,
+                CAST(floor($DriftShiftSigma *
+                    sqrt(1.0 / r.n + 1.0 / c.n) * 1000000 + 0.5) AS BIGINT)
+                  AS shift_limit_u6,
+                CAST(r.s // r.n AS BIGINT) AS norm_avg_ref_u4,
+                CAST(c.s // c.n AS BIGINT) AS norm_avg_cur_u4,
+                CAST(c.s // c.n - r.s // r.n AS BIGINT) AS norm_delta_u4,
+                CAST(floor(sqrt(CAST(st.s2 AS DOUBLE)) + 0.5) AS BIGINT) >
+                  CAST(floor($DriftShiftSigma *
+                    sqrt(1.0 / r.n + 1.0 / c.n) * 1000000 + 0.5) AS BIGINT)
+                  AS drifted
+         FROM st, (SELECT * FROM ns WHERE half = 0) r,
+              (SELECT * FROM ns WHERE half = 1) c""",
 
     // replays the derived snapshots, the full-outer id join, the sha
     // compare and the status census exactly

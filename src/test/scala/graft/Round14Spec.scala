@@ -46,6 +46,28 @@ class Round14Spec extends SparkSpec {
     assert(ids === Set(3L))
   }
 
+  // ---- v_embedding_drift ----------------------------------------------
+
+  test("v_embedding_drift: identical distributions stay under the CLT null; a planted shift alarms") {
+    def axis(i: Int): Seq[Double] = Seq.tabulate(64)(j => if (j == i % 64) 1.0 else 0.0)
+    // ref and cur cycle the same 64 axis vectors -> identical centroids,
+    // shift exactly 0, well under the 3-sigma limit
+    val ref = (0 until 128).map(i => (i.toLong * 2, axis(i))).toDF("vec_id", "v")
+    val same = (0 until 128).map(i => (i.toLong * 2 + 1, axis(i))).toDF("vec_id", "v")
+    val calm = graft.operators.Round14Queries.embeddingDrift(ref, same).head()
+    assert(calm.getAs[Long]("mean_shift_u6") === 0L)
+    assert(calm.getAs[Long]("shift_limit_u6") > 0L)
+    assert(!calm.getAs[Boolean]("drifted"))
+    assert(calm.getAs[Long]("norm_delta_u4") === 0L, "unit vectors both halves")
+    // drifted current: every vector collapses onto axis 0 -> centroid
+    // moves from the uniform mixture to e0, shift ~0.98 >> limit ~0.42
+    val bad = (0 until 128).map(i => (i.toLong * 2 + 1, axis(0))).toDF("vec_id", "v")
+    val hot = graft.operators.Round14Queries.embeddingDrift(ref, bad).head()
+    assert(hot.getAs[Boolean]("drifted"),
+      s"collapsed distribution must alarm: $hot")
+    assert(hot.getAs[Long]("mean_shift_u6") > hot.getAs[Long]("shift_limit_u6"))
+  }
+
   // ---- d_snapshot_diff ------------------------------------------------
 
   test("d_snapshot_diff: added / removed / changed / unchanged all classified") {
