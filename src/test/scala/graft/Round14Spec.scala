@@ -68,6 +68,56 @@ class Round14Spec extends SparkSpec {
     assert(hot.getAs[Long]("mean_shift_u6") > hot.getAs[Long]("shift_limit_u6"))
   }
 
+  // ---- simhash two-level overflow recovery (r14 fix) -------------------
+
+  /** Hand-built banded-signature rows (doc_id, sh, n, m, band, h, __sz)
+    * — the exact frame the recovery stage consumes, with band bytes fully
+    * controlled instead of reverse-engineering simhash inputs.
+    */
+  private def rankedRows(bByte1: Long): org.apache.spark.sql.DataFrame = {
+    // bucket (band 0, h = 5) flooded by three mutually-distant fillers
+    // (byte1 = 9, pairwise hamming 32 >> their τ) with LOW doc_ids, plus
+    // the true near-dup pair A=10 / B=11 (hamming 1, τ(20 tokens) = 13)
+    def f(hi: Int): Long = (0xFFFFL << (16 * hi)) | (9L << 8) | 5L
+    val shA = (7L << 8) | 5L
+    val shB = ((7L << 8) | 5L) ^ (1L << 16)
+    val shB2 = (bByte1 << 8) | 5L // variant: B's next-band byte overridden
+    Seq(
+      (1L, f(1), 100, 98, 0, 5L, 5L),
+      (2L, f(2), 100, 98, 0, 5L, 5L),
+      (3L, f(3), 100, 98, 0, 5L, 5L),
+      (10L, shA, 20, 18, 0, 5L, 5L),
+      (11L, if (bByte1 == 7L) shB else shB2, 20, 18, 0, 5L, 5L)
+    ).toDF("doc_id", "sh", "n", "m", "band", "h", "__sz")
+  }
+
+  test("simhash overflow recovery: a capped-out pair survives via the next-band byte") {
+    // cap 2: every member of the size-5 bucket routes to recovery; the
+    // fillers' sub-bucket (h2 = 9) L2-caps and their mutual hamming fails
+    // τ anyway; A and B land alone in sub-bucket h2 = 7 and pair
+    val pairs = graft.operators.DedupQueries
+      .simhashOverflowCandidates(rankedRows(7L), cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L)))
+  }
+
+  test("simhash overflow recovery: no overflow, no recovery rows") {
+    val pairs = graft.operators.DedupQueries
+      .simhashOverflowCandidates(rankedRows(7L), cap = 5)
+      .collect()
+    assert(pairs.isEmpty, "cap >= bucket size must route nothing to recovery")
+  }
+
+  test("simhash overflow recovery: a pair the flood follows into L2 stays the observed residual") {
+    // B's next-band byte matches the FILLERS (9): B ranks past the L2 cap
+    // behind them, A sits alone in h2 = 7 — the honest residual the
+    // simhash_bucket_overflow_l2 metric exists to report
+    val pairs = graft.operators.DedupQueries
+      .simhashOverflowCandidates(rankedRows(9L), cap = 2)
+      .collect()
+    assert(pairs.isEmpty)
+  }
+
   // ---- d_snapshot_diff ------------------------------------------------
 
   test("d_snapshot_diff: added / removed / changed / unchanged all classified") {
