@@ -82,6 +82,55 @@ object StreamingAggs {
       .withColumn("drift_alarm", col("psi") >= 0.25)
   }
 
+  /** T3/R19 streaming — EMBEDDING-DRIFT monitor per event-time window
+    * (r14): the `v_embedding_drift` batch twin's live half. Each window's
+    * per-dim centroid is compared against a broadcast OFFLINE reference
+    * (the units the batch query's quantized means produce over the
+    * reference corpus — the psiDriftWindows reference-handoff pattern),
+    * with the SAME integer discipline: window means quantized to 1e-6
+    * units, integer mean-shift L2, alarm at the 3-sigma CLT null
+    * k·√(1/n_ref + 1/n_window) (see `Round14Queries.DriftShiftSigma`).
+    *
+    * Shape: ONE stateful aggregation — `dim` per-dim sums + a count ride
+    * one agg (chained streaming aggs are not plannable) — followed by a
+    * stateless per-row fold over the dim columns. State per window =
+    * dim doubles + a long; the watermark evicts closed windows. At
+    * 100 TB-rate ingest the agg is map-side partial like any windowed
+    * sum; `dim` is a schema constant, never data-sized.
+    */
+  def embeddingDriftWindows(df: DataFrame, tsCol: String, vecCol: String,
+                            refMeansU: Seq[Long], refN: Long, dim: Int = 64,
+                            sigma: Double = 3.0,
+                            window_ : String = "10 minutes",
+                            watermark: String = "10 minutes"): DataFrame = {
+    require(refMeansU.length == dim,
+      s"reference must carry $dim per-dim mean units, got ${refMeansU.length}")
+    require(refN > 0, s"reference count must be positive, got $refN")
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1)).as(s"__s$i"))
+    val n = col("n_vectors")
+    // per-dim window-mean units, quantized exactly like the batch twin
+    def u(i: Int) =
+      floor(col(s"__s$i") / n * 1000000 + 0.5).cast("long")
+    val s2 = (0 until dim).map { i =>
+      val d = u(i) - lit(refMeansU(i))
+      d * d
+    }.reduce(_ + _)
+    val shift = floor(sqrt(s2.cast("double")) + lit(0.5)).cast("long")
+    val limit = floor(lit(sigma) *
+      sqrt(lit(1.0) / lit(refN.toDouble) + lit(1.0) / n) * 1000000 + 0.5)
+      .cast("long")
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n_vectors"), sums: _*)
+      .select((Seq(col("window"), n, shift.as("mean_shift_u6"),
+        limit.as("shift_limit_u6"))): _*)
+      // alarm on the SAME emitted integers (the psiDriftWindows parity
+      // rule: consumer-visible value and alarm must agree at the edge)
+      .withColumn("drifted", col("mean_shift_u6") > col("shift_limit_u6"))
+  }
+
   /** R14 streaming — session windows per key (inactivity gap). */
   def sessions(df: DataFrame, tsCol: String, gap: String,
                watermark: String = "10 minutes"): DataFrame =

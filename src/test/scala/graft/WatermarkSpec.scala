@@ -17,6 +17,7 @@ object WatermarkSpec {
   case class Ev(routing_key: String, ordinal: Long, ts: Timestamp)
   case class REv(routing_key: String, r_ordinal: Long, r_ts: Timestamp)
   case class VEv(ts: Timestamp, value: Double)
+  case class EEv(ts: Timestamp, v: Seq[Double])
 }
 
 /** T3 — watermarked event-time operators: tumbling windows finalize once
@@ -80,6 +81,42 @@ class WatermarkSpec extends SparkSpec {
       assert(drifted.getLong(1) === 10L)
       assert(drifted.getDouble(2) > 0.25, s"shifted window must alarm: ${drifted.getDouble(2)}")
       assert(drifted.getBoolean(3))
+    } finally q.stop()
+  }
+
+  test("R19/T3 streaming: embedding-drift windows alarm when the centroid leaves the CLT null") {
+    // streaming twin of v_embedding_drift: reference centroid
+    // (0.25, 0.25, 0.25, 0.25) over dim 4 (units 250000 each, n_ref 100).
+    // Window 1 cycles the four axis vectors 4x -> window centroid equals
+    // the reference exactly (shift 0); window 2 collapses onto axis 0 ->
+    // shift = sqrt(750000^2 + 3*250000^2) = 866025 units, above the
+    // 3-sigma limit 3*sqrt(1/100 + 1/16)*1e6 = 807773.
+    def axis(i: Int): Seq[Double] = Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0)
+    val stream = MemoryStream[EEv](spark)
+    val out = StreamingAggs.embeddingDriftWindows(stream.toDF(), "ts", "v",
+      refMeansU = Seq.fill(4)(250000L), refN = 100L, dim = 4,
+      window_ = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("edrift_out").start()
+    try {
+      stream.addData((0 until 16).map(i => EEv(t(1), axis(i % 4))): _*)
+      stream.addData((0 until 16).map(_ => EEv(t(12), axis(0))): _*)
+      q.processAllAvailable()
+      stream.addData(EEv(t(40), axis(1))) // advance watermark: close both
+      q.processAllAvailable()
+      val rows = spark.table("edrift_out")
+        .select(col("window.start").cast("string"), col("n_vectors"),
+          col("mean_shift_u6"), col("shift_limit_u6"), col("drifted"))
+        .collect().sortBy(_.getString(0))
+      assert(rows.length === 2, rows.mkString(";"))
+      val calm = rows(0)
+      assert(calm.getLong(1) === 16L && calm.getLong(2) === 0L)
+      assert(!calm.getBoolean(4), s"on-reference window must stay calm: $calm")
+      val hot = rows(1)
+      assert(hot.getLong(1) === 16L)
+      assert(hot.getLong(2) === 866025L, s"collapsed centroid shift: $hot")
+      assert(hot.getLong(2) > hot.getLong(3) && hot.getBoolean(4),
+        s"collapsed window must alarm: $hot")
     } finally q.stop()
   }
 
