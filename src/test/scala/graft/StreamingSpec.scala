@@ -740,5 +740,41 @@ class StreamingSpec extends SparkSpec {
       s"live arrivals in probed cells must be servable: $served")
     assert(!served.map(_._1).contains(21L),
       s"an arrival homed in an unprobed cell leaked into serving: $served")
+
+    // r14: the index-health loop closes IN-STREAM — the cell census runs
+    // directly over the accumulating stored codes (the nightly monitor a
+    // real ANN service schedules), and a flood of arrivals into one cell
+    // flips the rebalance flag
+    import org.apache.spark.sql.functions.{count, lit}
+    def census() = SimilarityQueries.cellSkewCensus(
+      spark.read.parquet(s"$dir/codes")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs")))
+      .collect()
+    val before = census()
+    val byCell = before.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.head.getLong(2) === byCell.size.toLong) // n_cells
+    assert(before.head.getLong(3) === byCell.values.max)  // max_n
+    val sorted = byCell.values.toSeq.sorted
+    val med2 = sorted((sorted.size - 1) / 2) + sorted(sorted.size / 2)
+    assert(before.head.getLong(4) === med2)
+    val rebalanceBefore = before.head.getBoolean(6)
+
+    // flood cell 8 (axis-2 home) with 24 arrivals, then re-census: the
+    // max/median ratio crosses 4 and the monitor demands a retrain
+    val q2 = StreamingAggs.startIncrementalVectorIndex(
+      stream.toDF().toDF("vec_id", "v"), seed.toDF("vec_id", "v"),
+      s"$dir/codes", s"$dir/ckpt2", _ => (), centroidStride = 4)
+    try {
+      stream.addData((0 until 24).map(i =>
+        (100L + i, axis(2, 1.0 + i * 0.1))): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = census()
+    assert(after.head.getBoolean(6),
+      s"flooded cell must trip the rebalance flag: ${after.mkString(";")}")
+    assert(after.head.getLong(3) > before.head.getLong(3),
+      "the flood must be visible as the new max cell")
+    assert(!rebalanceBefore,
+      "fixture premise: the pre-flood index is balanced under ratio 4")
   }
 }
