@@ -176,8 +176,12 @@ object Round14Queries {
       .crossJoin(broadcast(normStats(ref, "n_ref", "norm_avg_ref_u4")))
       .crossJoin(broadcast(normStats(cur, "n_cur", "norm_avg_cur_u4")))
       .select(col("n_ref"), col("n_cur"),
-        expr("""floor(CAST(dot AS DOUBLE) / (sqrt(CAST(q0 AS DOUBLE)) * sqrt(CAST(q1 AS DOUBLE)))
-                  * 10000 + 0.5) / 10000""").as("cos_mean4"),
+        // a perfectly-symmetric half can quantize to a zero centroid —
+        // its cosine is undefined, not infinite: null, never a
+        // floor(NaN/Infinity) artifact (both engines guard identically)
+        expr("""CASE WHEN q0 > 0 AND q1 > 0 THEN
+                  floor(CAST(dot AS DOUBLE) / (sqrt(CAST(q0 AS DOUBLE)) * sqrt(CAST(q1 AS DOUBLE)))
+                    * 10000 + 0.5) / 10000 END""").as("cos_mean4"),
         expr("CAST(floor(sqrt(CAST(s2 AS DOUBLE)) + 0.5) AS BIGINT)").as("mean_shift_u6"),
         expr(s"""CAST(floor($DriftShiftSigma *
              sqrt(1.0 / n_ref + 1.0 / n_cur) * 1000000 + 0.5) AS BIGINT)""")
@@ -277,9 +281,10 @@ object Round14Queries {
                   CAST(sum(nu) AS BIGINT) AS s
            FROM nr GROUP BY half)
          SELECT r.n AS n_ref, c.n AS n_cur,
-                floor(CAST(st.dot AS DOUBLE) /
-                    (sqrt(CAST(st.q0 AS DOUBLE)) * sqrt(CAST(st.q1 AS DOUBLE)))
-                  * 10000 + 0.5) / 10000 AS cos_mean4,
+                CASE WHEN st.q0 > 0 AND st.q1 > 0 THEN
+                  floor(CAST(st.dot AS DOUBLE) /
+                      (sqrt(CAST(st.q0 AS DOUBLE)) * sqrt(CAST(st.q1 AS DOUBLE)))
+                    * 10000 + 0.5) / 10000 END AS cos_mean4,
                 CAST(floor(sqrt(CAST(st.s2 AS DOUBLE)) + 0.5) AS BIGINT) AS mean_shift_u6,
                 CAST(floor($DriftShiftSigma *
                     sqrt(1.0 / r.n + 1.0 / c.n) * 1000000 + 0.5) AS BIGINT)
