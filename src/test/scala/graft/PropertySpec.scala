@@ -216,4 +216,40 @@ class PropertySpec extends SparkSpec {
       assert(got === truth, s"log=$log")
     }
   }
+
+  test("R20 \u2200 texts: PII scrub counts are non-negative, residual-free, idempotent") {
+    import graft.operators.Round13Queries
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+    val pii = Gen.oneOf("a.b@example.com", "555-1234", "123456789", "x9@y.io",
+      "user.name+tag@sub.domain.org")
+    val textGen = Gen.nonEmptyListOf(Gen.frequency(4 -> word, 1 -> pii))
+      .map(_.take(12).mkString(" "))
+    val (ne, np, ni, t) = Round13Queries.piiStages(col("text"))
+    def scrub(text: String): (Int, Int, Int, String) = {
+      val r = Seq(text).toDF("text")
+        .select(ne.as("a"), np.as("b"), ni.as("c"), t.as("t")).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))
+    }
+    samples(textGen, 20).foreach { text =>
+      val (a, b, c, scrubbed) = scrub(text)
+      assert(a >= 0 && b >= 0 && c >= 0)
+      val (a2, b2, c2, again) = scrub(scrubbed)
+      assert((a2, b2, c2) === ((0, 0, 0)),
+        s"residual PII after scrubbing '$text' -> '$scrubbed'")
+      assert(again === scrubbed, s"second scrub must be identity on '$scrubbed'")
+    }
+  }
+
+  test("T6 \u2200 estimates: state-partition autosizing bounded, monotone, pow2 unless clamped") {
+    import graft.streaming.StreamingAggs.stateJoinPartitions
+    val gen = Gen.zip(Gen.chooseNum(0L, 10000000L), Gen.chooseNum(1, 4096))
+    samples(gen, 40).foreach { case (est, cap) =>
+      val p = stateJoinPartitions(est, cap)
+      assert(p >= 1 && p <= cap, s"est=$est cap=$cap -> $p")
+      assert(stateJoinPartitions(est + 1, cap) >= p,
+        s"one more key must never shrink the count: est=$est cap=$cap")
+      assert(p === cap || (p & (p - 1)) === 0,
+        s"unclamped counts must be powers of two: est=$est cap=$cap -> $p")
+    }
+  }
 }
