@@ -730,16 +730,37 @@ object StreamingAggs {
       .drop("__c", "__seen", "__rk")
   }
 
+  /** Per-batch PII scrub stage shared by [[startCorpusGate]] and
+    * [[startCorpusPipeline]] (VERDICT r13 #8): when enabled, `text` is
+    * replaced by its `t_pii_redact` staged-scrubbed form BEFORE any gate
+    * and per-class hit counts ride alongside (each withColumn resolves
+    * col("text") against the PRE-replacement column). Identity when off.
+    */
+  private def piiScrubStage(enabled: Boolean): DataFrame => DataFrame = df =>
+    if (!enabled) df
+    else {
+      val (nEmail, nPhone, nId, scrubbed) =
+        graft.operators.Round13Queries.piiStages(col("text"))
+      df.withColumn("n_email", nEmail)
+        .withColumn("n_phone", nPhone)
+        .withColumn("n_id", nId)
+        .withColumn("n_pii",
+          col("n_email") + col("n_phone") + col("n_id"))
+        .withColumn("text", scrubbed)
+    }
+
   def startCorpusGate(docs: DataFrame, evalDocs: DataFrame, seenShaDir: String,
                       checkpointDir: String, onBatch: DataFrame => Unit,
-                      minQuality: Double = 0.52, n: Int = 5)
+                      minQuality: Double = 0.52, n: Int = 5,
+                      piiScrub: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marked = markGates(batch, evalGrams, seenShaDir, batchId, n)
+        val marked = markGates(piiScrubStage(piiScrub)(batch), evalGrams,
+            seenShaDir, batchId, n)
           .withColumn("accepted",
             col("quality") >= minQuality && !col("repetitive") &&
               !col("contaminated") && col("is_new"))
@@ -822,21 +843,7 @@ object StreamingAggs {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
-    // per-batch scrub stage: counts computed from the incoming text, then
-    // `text` itself replaced by the scrubbed form (each withColumn below
-    // resolves col("text") against the PRE-replacement column)
-    val scrubStage: DataFrame => DataFrame = df =>
-      if (!piiScrub) df
-      else {
-        val (nEmail, nPhone, nId, scrubbed) =
-          graft.operators.Round13Queries.piiStages(col("text"))
-        df.withColumn("n_email", nEmail)
-          .withColumn("n_phone", nPhone)
-          .withColumn("n_id", nId)
-          .withColumn("n_pii",
-            col("n_email") + col("n_phone") + col("n_id"))
-          .withColumn("text", scrubbed)
-      }
+    val scrubStage = piiScrubStage(piiScrub)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

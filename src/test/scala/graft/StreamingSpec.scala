@@ -637,6 +637,38 @@ class StreamingSpec extends SparkSpec {
       "only the PII-free doc's sha may match its raw form")
   }
 
+  test("R20/T4 streaming: the simple corpus gate composes the same PII scrub") {
+    // API symmetry with startCorpusPipeline(piiScrub = true): the plain
+    // gate scrubs before its four gates too, counts ride the verdict, and
+    // the sha state holds the scrubbed form
+    import graft.streaming.StreamingAggs
+    import graft.functions.TextFunctions.sha256Hex
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("gate-pii").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    val text = (0 until 20).map(j => s"gk$j").mkString(" ") +
+      " contact gate.user@example.com now"
+    val got = new ConcurrentLinkedQueue[(Int, String, Boolean)]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingAggs.startCorpusGate(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/sha", s"$dir/ckpt",
+      batch => batch.select("n_email", "content_sha", "accepted")
+        .collect().foreach(r => got.add((r.getInt(0), r.getString(1), r.getBoolean(2)))),
+      piiScrub = true)
+    try {
+      stream.addData((1L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (nEmail, sha, accepted) = got.poll()
+    val expectedSha = Seq(text).toDF("text")
+      .select(sha256Hex(graft.operators.Round13Queries.piiStages(col("text"))._4))
+      .as[String].head()
+    assert(nEmail === 1 && accepted, s"($nEmail, $accepted)")
+    assert(sha === expectedSha, "gate sha must be over the scrubbed text")
+    assert(spark.read.parquet(s"$dir/sha").select("content_sha")
+      .as[String].collect().toSeq === Seq(expectedSha))
+  }
+
   test("R20/R12/T4 streaming: packing stage continues bins across batches; rejects consume no bin space") {
     import graft.streaming.StreamingAggs
     val dir = java.nio.file.Files.createTempDirectory("corpus-pack").toString
