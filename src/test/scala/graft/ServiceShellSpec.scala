@@ -637,6 +637,14 @@ class ServiceShellSpec extends SparkSpec {
           """{"ess_ordinal": 1, "ess_timestamp": 100, "message_type": "pre"}""")
         assert(health("/health/live").statusCode() === 200)
 
+        // the hook is POST-only (a GET must not drain the service)
+        val wrongVerb = http.send(
+          HttpRequest.newBuilder(URI.create(base + "/admin/prestop")).GET.build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(wrongVerb.statusCode() === 405)
+        assert(health("/health/live").statusCode() === 200,
+          "a rejected verb must not have triggered the drain")
+
         // the hook fires (kubelet-exec analog): 204, idempotent
         def prestop(): HttpResponse[String] = http.send(
           HttpRequest.newBuilder(URI.create(base + "/admin/prestop"))
