@@ -148,7 +148,10 @@ object ConnectedComponents {
         df.join(r, col("label") === col("rep_id"))
           .select(col("doc_id"), col("rep_label").as("label"))
       }
-      val next = Lineage.cut(jump(jump(stepped)), eager = false)
+      // cutSuperseding: eagerly materialize the new labels, then free the
+      // previous round's blocks (or reliable checkpoint files) — the loop
+      // holds ~1 generation of label storage instead of one per round
+      val next = Lineage.cutSuperseding(jump(jump(stepped)), labels)
       prevSum = curSum
       curSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       labels = next

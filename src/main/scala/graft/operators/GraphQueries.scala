@@ -348,7 +348,9 @@ object GraphQueries {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("n"))
-        .transform(Lineage.cut(_))
+        // supersede last round's alive set: its storage is freed once the
+        // new cut materializes (bounded footprint across peel rounds)
+        .transform(Lineage.cutSuperseding(_, alive))
       val cnt = next.count()
       stable = cnt == prev
       prev = cnt

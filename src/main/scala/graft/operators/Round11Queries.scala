@@ -171,7 +171,7 @@ object Round11Queries {
         .groupBy(col("p_name"))
         .agg(count(lit(1)).as("support"), min(col("p_partkey")).as("canon_key"))
         .withColumn("block", regexp_extract(col("p_name"), "[^ ]+$", 0))
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_))
       val a = ents.as("a"); val b = ents.as("b")
       a.join(b,
           col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
@@ -374,7 +374,7 @@ object Round11Queries {
              date_trunc("hour", max(col("ts"))).as("eh"))
         // checkpointed: starts and ends both read it — without this the
         // corpus-wide two-window sessionization executes per consumer
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_))
       val starts = ses.groupBy(col("sh").as("hour"))
         .agg(count(lit(1)).as("n_start"))
       val ends = ses.groupBy(col("eh").as("hour"))
@@ -422,7 +422,7 @@ object Round11Queries {
                       graft.plans.TopK.Ord("l_partkey")), k = 5)
         .select(col("month"), col("l_partkey"), col("qty"),
           col("rk").cast("int").as("rk"))
-        .localCheckpoint(true) // consumed twice (current + shifted previous)
+        .transform(Lineage.cut(_)) // consumed twice (current + shifted previous)
       val prev = board.select(
         add_months(col("month"), 1).as("month"),
         col("l_partkey"), col("rk").as("prev_rk"))
@@ -556,7 +556,7 @@ object Round11Queries {
       // two raw-event distincts would scan the corpus twice more.
       val daily = ev.groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(Lineage.cut(_))
       val grid = daily.select(col("day")).distinct()
         .crossJoin(daily.select(col("event_type")).distinct())
       val tot = daily.groupBy(col("day")).agg(sum(col("cnt")).as("total"))
@@ -629,7 +629,7 @@ object Round11Queries {
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           units.as("score_units"))
         .filter(col("score_units") > 0)
-        .localCheckpoint(true) // consumed by edges-restrict, scoring, and census
+        .transform(Lineage.cut(_)) // consumed by edges-restrict, scoring, and census
       val edges = DedupQueries.adjacentJaccard(s, d)
         .filter(col("jaccard") >= 0.5)
         .join(gated.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
@@ -688,7 +688,7 @@ object Round11Queries {
       val cm = Tables.documents(s, d)
         .select(col("lang"), TextQueries.langPred.as("pred"))
         .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // class²-sized; read by 4 consumers below
+        .transform(Lineage.cut(_)) // class²-sized; read by 4 consumers below
       val classes = cm.select(col("lang").as("cls"))
         .unionByName(cm.select(col("pred").as("cls"))).distinct()
       val tp = cm.filter(col("lang") === col("pred"))
@@ -922,12 +922,12 @@ object Round11Queries {
     // tot/bp/bounds and `bp` is self-joined (t vs p) — without the
     // checkpoints the caller's corpus-scale aggregation re-executes ~5
     // times (the q_entity_resolution lesson applied here).
-    val daily = counts.withColumnRenamed(bucketCol, "bucket").localCheckpoint(true)
+    val daily = counts.withColumnRenamed(bucketCol, "bucket").transform(Lineage.cut(_))
     val tot = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("total"))
     val bp = daily.join(tot, Seq("bucket"))
       .select(col("bucket"), col("event_type"),
         intDiv(col("cnt") * lit(10000L), col("total")).as("bp"))
-      .localCheckpoint(true)
+      .transform(Lineage.cut(_))
     val bounds = daily.agg(min(col("bucket")).as("b_min"),
                            max(col("bucket")).as("b_max"))
     val t = bp.as("t"); val p = bp.as("p")

@@ -60,10 +60,11 @@ object Round14Queries {
     // R17/R6 — CORPUS SNAPSHOT DIFF: the release-over-release audit.
     // Snapshot A ("previous release") and B ("candidate") are derived
     // deterministically from the fixture so both engines construct
-    // identical inputs: A = docs with doc_id % 5 != 4 and doc_id % 11 != 0
-    // keeping their original text, PLUS the % 11 == 0 docs in their
-    // pre-edit form (text without the appended token); B = every doc,
-    // with " revised" appended when doc_id % 11 == 0. Diff by doc_id
+    // identical inputs: A = docs with doc_id % 5 != 4, all carrying their
+    // ORIGINAL text (including the % 11 == 0 docs — the edit exists only
+    // in B); B = every doc, with " revised" appended when
+    // doc_id % 11 == 0, so % 11 == 0 docs present in A diff as
+    // "changed" and the % 5 == 4 docs as "added". Diff by doc_id
     // (presence) then by md5 (content): status ∈ added / changed /
     // unchanged (removed cannot occur in this fixture shape — A ⊆ B by
     // id — but the expression handles it; the spec plants one). Output:

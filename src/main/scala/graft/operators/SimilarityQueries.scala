@@ -862,7 +862,7 @@ object SimilarityQueries {
     val trace = scala.collection.mutable.ArrayBuffer(cohesionOf(cells))
     var step = 0
     while (step < steps) {
-      cells = Lineage.cut(lloydStep(e, cells))
+      cells = Lineage.cutSuperseding(lloydStep(e, cells), cells)
       trace += cohesionOf(cells)
       step += 1
     }
@@ -887,7 +887,7 @@ object SimilarityQueries {
         col("v").as("cv"), col("nrm").as("cnrm")))).as("cells")))
     var step = 0
     while (step < steps) {
-      cells = Lineage.cut(lloydStep(e, cells))
+      cells = Lineage.cutSuperseding(lloydStep(e, cells), cells)
       step += 1
     }
     cells

@@ -282,7 +282,16 @@ final class StreamCoordinator {
     while (it.hasNext) {
       val q = it.next().getValue
       it.remove()
-      if (q.isActive) q.stop()
+      // StreamingQuery.stop can throw (e.g. TimeoutException under
+      // spark.sql.streaming.stopTimeout); one failing consumer must not
+      // abort the drain — the remaining consumers still get stopped and
+      // the caller (preStop) still closes every socket (ADVICE r14). The
+      // pod is terminating either way: the grace-period kill is the
+      // backstop for a query that refuses to stop, as in the reference.
+      if (q.isActive) {
+        try q.stop()
+        catch { case _: Exception => () }
+      }
     }
   }
 

@@ -52,7 +52,16 @@ final class ServiceShell(
     // `wss://`. None (default) keeps plaintext loopback; the control
     // plane stays HTTP either way (the reference terminates TLS at the
     // ingress for both planes — transport config, not engine semantics).
-    tls: Option[javax.net.ssl.SSLContext] = None) {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    // Authorization for POST /admin/prestop (ADVICE r14): the reference's
+    // pre-stop is a kubelet EXEC inside the pod, never network-exposed, so
+    // the HTTP analog must not let any client that can reach the port
+    // drain the service. Default (None): only loopback peers may trigger
+    // the drain — the kubelet-exec shape (the whole server binds loopback
+    // today, but the check survives a future bind change). Some(token):
+    // a request carrying `X-Graft-Prestop-Token: <token>` is authorized
+    // from any peer — the deploy-script-over-the-network shape.
+    adminToken: Option[String] = None) {
 
   import ServiceShell._
 
@@ -104,8 +113,9 @@ final class ServiceShell(
     // container lifecycle) POSTs here instead of touching given.poison
     http.createContext("/admin/prestop", (ex: com.sun.net.httpserver.HttpExchange) => {
       try {
-        if (ex.getRequestMethod == "POST") { preStop(); respond(ex, 204, "") }
-        else respond(ex, 405, """{"error":"POST only"}""")
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+        else if (!prestopAuthorized(ex)) respond(ex, 403, """{"error":"forbidden"}""")
+        else { preStop(); respond(ex, 204, "") }
       } finally ex.close()
     })
     http.start()
@@ -140,6 +150,21 @@ final class ServiceShell(
     * relies on terminationGracePeriodSeconds for the actual kill; call
     * [[stop]] for that.
     */
+  /** Drain authorization (ADVICE r14): token match when configured
+    * (constant-time compare — no secret-prefix timing oracle), loopback
+    * peer otherwise. The reference's pre-stop is a kubelet exec — an
+    * in-pod actor — so "who may drain" defaults to the in-host analog.
+    */
+  private def prestopAuthorized(ex: com.sun.net.httpserver.HttpExchange): Boolean =
+    adminToken match {
+      case Some(tok) =>
+        Option(ex.getRequestHeaders.getFirst("X-Graft-Prestop-Token")).exists(h =>
+          MessageDigest.isEqual(h.getBytes(UTF_8), tok.getBytes(UTF_8)))
+      case None =>
+        Option(ex.getRemoteAddress).map(_.getAddress)
+          .forall(a => a.isLoopbackAddress)
+    }
+
   def preStop(): Unit = {
     if (!stopping.compareAndSet(false, true)) return
     coordinator.poisonAll()
@@ -313,6 +338,23 @@ final class ServiceShell(
               val spec = specOpt.getOrElse(specFor(rec.routingKey))
               val query = EventStreamPipeline.start(spark, sourceFor(rec.routingKey),
                 rec.routingKey, spec, coordinator, send)
+              // re-check stopping AFTER registration + query start (ADVICE
+              // r14): preStop latches `stopping` FIRST and only then reads
+              // conns/coordinator, so either (a) preStop ran before our
+              // put/start — this re-check sees the latch and we tear down
+              // exactly as the drain would have (release, deregister,
+              // close 1001) — or (b) preStop runs after, finds our query
+              // and socket registered, and drains them itself. The earlier
+              // pre-registration check alone left window (a) open: a
+              // consumer started on a terminating pod, its socket
+              // uncloseable because conns was already cleared.
+              if (stopping.get) {
+                coordinator.release(rec.routingKey, query)
+                conns.remove(rec.uuid, sock)
+                connsByKey.remove(rec.routingKey, sock)
+                closeWs(sock, 1001, "Service stopping")
+                return
+              }
               // reader loop: handle client close/ping; EOF or close frame
               // means the consumer is gone — disconnect stops the consumer
               // (app/app.py:502-508), safe here because this is NOT the
