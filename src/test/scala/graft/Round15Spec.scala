@@ -81,4 +81,63 @@ class Round15Spec extends SparkSpec {
     assert(out(1L) === ((3L, 2L, "x y z p q r")))
     assert(out(2L) === ((3L, 2L, "u v w s t o")))
   }
+
+  // ---- v_ivf_retrain ----------------------------------------------------
+
+  test("v_ivf_retrain: planted seed skew trips the census; 2-step Lloyd retrain clears it") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.plans.GraftFunctions.register(spark)
+    def vec(parts: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(64)(0.0)
+      parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // stride-4 seeds land pathologically: seed 0 sits ON cluster A
+    // (axis 0) and captures EVERYTHING (cluster B at axis 1 has cosine 0
+    // to it but NEGATIVE/zero cosine to the other two seeds), while seeds
+    // 4 and 8 point away from all mass and capture only themselves —
+    // the one-bloated-cell shape the census exists to catch
+    val aIds = Iterator.from(1).filter(_ % 4 != 0).take(30).map(_.toLong).toSeq
+    val bIds = Iterator.from(200).filter(_ % 4 != 0).take(30).map(_.toLong).toSeq
+    val rows =
+      Seq(0L -> vec(0 -> 1.0),
+          4L -> vec(0 -> 0.8, 1 -> -0.6),
+          8L -> vec(0 -> 0.8, 2 -> -0.6),
+          // id 12 completes the 0..15 PQ codebook range; as a seed it is
+          // axis-0 like seed 0, ties lose to the lower cell id, so it
+          // captures NOTHING and drops out of the census (empty cells
+          // vanish — the lloydStep contract), keeping k = 3
+          12L -> vec(0 -> 1.0)) ++
+        aIds.map(_ -> vec(0 -> 1.0)) ++ bIds.map(_ -> vec(1 -> 1.0))
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+
+    val audit = Round15Queries.ivfRetrainAudit(e, seedStride = 4, steps = 2)
+      .collect().head
+    // pre: 62 of 64 vectors in seed 0's cell, medians starved -> trip
+    assert(audit.getAs[Long]("n_cells_pre") === 3L)
+    assert(audit.getAs[Long]("max_n_pre") === 62L)
+    assert(audit.getAs[Long]("med2_pre") === 2L)
+    assert(audit.getAs[Boolean]("rebalance_pre"),
+      s"planted skew must trip the census: $audit")
+    // post: the 2-step Lloyd retrain pulls one centroid onto each
+    // cluster; the flag clears and the integer verdict records it
+    assert(!audit.getAs[Boolean]("rebalance_post"),
+      s"retrain must clear the rebalance flag: $audit")
+    assert(audit.getAs[Boolean]("improved"), s"skew must not worsen: $audit")
+    assert(audit.getAs[Long]("max_n_post") * audit.getAs[Long]("med2_pre") <
+      audit.getAs[Long]("max_n_pre") * audit.getAs[Long]("med2_post"),
+      s"skew ratio must strictly drop on this fixture: $audit")
+
+    // the re-encoded codes ARE the post-census population: per-cell
+    // counts over the annotated frame reproduce the audit's globals, and
+    // every vector carries a packed PQ code against the unchanged codebook
+    val (_, codes) = Round15Queries.ivfRetrainEncode(e, seedStride = 4, steps = 2)
+    val byCell = codes.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell.size.toLong === audit.getAs[Long]("n_cells_post"))
+    assert(byCell.values.max === audit.getAs[Long]("max_n_post"))
+    assert(codes.count() === 64L)
+    assert(codes.filter(col("pq_code").isNull).count() === 0L)
+  }
 }
