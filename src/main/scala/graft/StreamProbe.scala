@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * metrics carry the same 2-3× first-run multiplier the batch queries do.
   * Usage: runMain graft.StreamProbe <sfDir> <pipeline|join> [runs] [backend]
   *   backend: default | rocksdb
+  *
+  * `state` mode (VERDICT r14 #4 — observe the heap→RocksDB crossover
+  * instead of extrapolating it): drive a per-key stateful aggregation
+  * with BATCHES of entirely fresh synthetic keys, so total state grows by
+  * `keysPerBatch` per micro-batch while per-batch input work stays
+  * constant — any per-batch time growth is the state store's marginal
+  * cost at that state size (snapshot/maintenance on heap, compaction on
+  * RocksDB), not query work. Prints one line per batch; run once per
+  * backend and read the divergence point.
+  * Usage: runMain graft.StreamProbe <sfDir> state [nBatches] [backend] [keysPerBatch]
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -21,6 +31,12 @@ object StreamProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (backend == "rocksdb") graft.streaming.StateBackend.useRocksDB(spark)
+    if (which == "state") {
+      stateGrowth(spark, nBatches = runs, backend = backend,
+        keysPerBatch = if (args.length > 4) args(4).toInt else 500000)
+      spark.stop()
+      return
+    }
     try Tables.events(spark, d).count() catch { case _: Throwable => () }
     for (i <- 1 to runs) {
       val (rows, secs) =
@@ -29,5 +45,38 @@ object StreamProbe {
       println(f"$which[$backend] run $i: $rows rows in $secs%.2f s = ${rows / secs}%.0f rows/s")
     }
     spark.stop()
+  }
+
+  /** Grow keyed-aggregation state by `keysPerBatch` FRESH keys per batch
+    * for `nBatches` batches (default 3 from the shared [runs] arg — pass
+    * 16+ for the crossover study: 16 × 500k = 8M keys ≈ 1M/partition at
+    * 8 shuffle partitions) and print the per-batch wall time trajectory.
+    */
+  private def stateGrowth(spark: SparkSession, nBatches: Int,
+                          backend: String, keysPerBatch: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-stateprobe-$backend").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().toDF("k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      var next = 0L
+      for (b <- 1 to nBatches) {
+        val t0 = System.nanoTime()
+        ms.addData(next until (next + keysPerBatch): _*)
+        next += keysPerBatch
+        q.processAllAvailable()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"state[$backend] batch $b%2d: totalKeys=$next%,d " +
+          f"$s%6.2f s  ${keysPerBatch / s}%,.0f keys/s")
+      }
+    } finally q.stop()
   }
 }

@@ -809,4 +809,91 @@ class StreamingSpec extends SparkSpec {
     assert(!rebalanceBefore,
       "fixture premise: the pre-flood index is balanced under ratio 4")
   }
+
+  test("R6/R17 streaming: snapshot-diff twin classifies against the running release head, batch ≡ stream") {
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.functions.{col, md5}
+    val dir = java.nio.file.Files.createTempDirectory("snap-diff").toString
+    val stateDir = s"$dir/state"
+    // seed release (batch=-1 slice): docs 1 and 2 at their v1 texts
+    val seedDocs = Seq((1L, "one v1"), (2L, "two v1"))
+    seedDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("sha"))
+      .write.parquet(s"$stateDir/batch=-1")
+    val stream = MemoryStream[(Long, String)](spark)
+    val got = new ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = StreamingAggs.startIncrementalSnapshotDiff(
+      stream.toDF().toDF("doc_id", "text"), stateDir, s"$dir/ckpt",
+      b => b.select("doc_id", "status", "batch_id").collect()
+        .foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2)))))
+    try {
+      // batch 0: unchanged / changed / added against the seed
+      stream.addData((1L, "one v1"), (2L, "two v2"), (3L, "three v1"))
+      q.processAllAvailable()
+      // batch 1: doc 2's v2 is now the head (unchanged), doc 3 changes
+      // AGAIN, doc 4 arrives new
+      stream.addData((2L, "two v2"), (3L, "three v2"), (4L, "four v1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = got.toArray(new Array[(Long, String, Long)](0))
+      .groupBy(_._3).map { case (b, xs) =>
+        b -> xs.map(x => x._1 -> x._2).toMap }
+    assert(byBatch(0L) === Map(1L -> "unchanged", 2L -> "changed", 3L -> "added"),
+      byBatch(0L).toString)
+    assert(byBatch(1L) === Map(2L -> "unchanged", 3L -> "changed", 4L -> "added"),
+      byBatch(1L).toString)
+
+    // batch ≡ stream: the BATCH snapshot diff between the seed release
+    // and the final corpus equals the per-doc fold of the stream's
+    // verdicts (ever-added -> added: the doc was not in the release;
+    // else ever-changed -> changed; else unchanged)
+    val finalDocs = Seq((1L, "one v1"), (2L, "two v2"),
+      (3L, "three v2"), (4L, "four v1"))
+    val batchDiff = graft.operators.Round14Queries
+      .snapshotDiff(seedDocs.toDF("doc_id", "text"), finalDocs.toDF("doc_id", "text"))
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamFold = got.toArray(new Array[(Long, String, Long)](0))
+      .groupBy(_._1).map { case (d, xs) =>
+        val ss = xs.map(_._2).toSet
+        d -> (if (ss("added")) "added"
+              else if (ss("changed")) "changed" else "unchanged") }
+    assert(streamFold === batchDiff,
+      s"stream fold $streamFold must equal batch diff $batchDiff")
+
+    // the state head IS the final corpus: latest sha per doc matches md5
+    // of the final texts
+    val head = spark.read.parquet(stateDir)
+      .select(col("doc_id"), col("sha"), col("batch"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.maxBy(_.getAs[Int]("batch")).getString(1) }
+    val expected = finalDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("sha"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(head === expected, s"state head $head != final corpus $expected")
+
+    // replay (post-append-pre-commit crash shape): re-delivering batch 0
+    // on a fresh checkpoint re-marks identically — its own batch=0 slice
+    // is excluded from the head read — and the state table is unchanged
+    val preCount = spark.read.parquet(stateDir).count()
+    val stream2 = MemoryStream[(Long, String)](spark)
+    val got2 = new ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = StreamingAggs.startIncrementalSnapshotDiff(
+      stream2.toDF().toDF("doc_id", "text"), stateDir, s"$dir/ckpt-replay",
+      b => b.select("doc_id", "status").collect()
+        .foreach(r => got2.add((r.getLong(0), r.getString(1)))))
+    try {
+      stream2.addData((1L, "one v1"), (2L, "two v2"), (3L, "three v1"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val replayed = got2.toArray(new Array[(Long, String)](0)).toMap
+    // doc 3's head on replay is batch=1's v2 (a LATER batch already
+    // committed), so the v1 re-delivery reads as changed — replay after
+    // subsequent commits re-classifies against the CURRENT head, which
+    // is the correct at-least-once readout; docs 1 and 2 reproduce
+    assert(replayed === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"),
+      replayed.toString)
+    assert(spark.read.parquet(stateDir).count() === preCount,
+      "replay must not grow the state table")
+  }
 }
