@@ -290,7 +290,13 @@ final class StreamCoordinator {
       // backstop for a query that refuses to stop, as in the reference.
       if (q.isActive) {
         try q.stop()
-        catch { case _: Exception => () }
+        catch {
+          // A lost interrupt on a JVM shutdown-hook thread delays
+          // termination — restore the flag so the hook's caller sees it
+          // (ADVICE r15); everything else is swallowed per the note above.
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Exception            => ()
+        }
       }
     }
   }

@@ -125,6 +125,24 @@ final class ServiceShell(
     acceptor.start()
   }
 
+  /** Drain authorization (ADVICE r14): token match when configured
+    * (constant-time compare — no secret-prefix timing oracle), loopback
+    * peer otherwise. The reference's pre-stop is a kubelet exec — an
+    * in-pod actor — so "who may drain" defaults to the in-host analog.
+    * Missing or unresolved peer info DENIES (ADVICE r15): the check must
+    * fail closed if a future bind change exposes it to non-local peers.
+    */
+  private def prestopAuthorized(ex: com.sun.net.httpserver.HttpExchange): Boolean =
+    adminToken match {
+      case Some(tok) =>
+        Option(ex.getRequestHeaders.getFirst("X-Graft-Prestop-Token")).exists(h =>
+          MessageDigest.isEqual(h.getBytes(UTF_8), tok.getBytes(UTF_8)))
+      case None =>
+        Option(ex.getRemoteAddress)
+          .flatMap(a => Option(a.getAddress))
+          .exists(_.isLoopbackAddress)
+    }
+
   /** Graceful shutdown — the pre-stop hook analog
     * (reference/hooks/pre-stop-hook.sh:8 + probes/liveness.sh:4-8): the
     * reference's kubelet touches `given.poison` on termination, the
@@ -150,21 +168,6 @@ final class ServiceShell(
     * relies on terminationGracePeriodSeconds for the actual kill; call
     * [[stop]] for that.
     */
-  /** Drain authorization (ADVICE r14): token match when configured
-    * (constant-time compare — no secret-prefix timing oracle), loopback
-    * peer otherwise. The reference's pre-stop is a kubelet exec — an
-    * in-pod actor — so "who may drain" defaults to the in-host analog.
-    */
-  private def prestopAuthorized(ex: com.sun.net.httpserver.HttpExchange): Boolean =
-    adminToken match {
-      case Some(tok) =>
-        Option(ex.getRequestHeaders.getFirst("X-Graft-Prestop-Token")).exists(h =>
-          MessageDigest.isEqual(h.getBytes(UTF_8), tok.getBytes(UTF_8)))
-      case None =>
-        Option(ex.getRemoteAddress).map(_.getAddress)
-          .forall(a => a.isLoopbackAddress)
-    }
-
   def preStop(): Unit = {
     if (!stopping.compareAndSet(false, true)) return
     coordinator.poisonAll()
