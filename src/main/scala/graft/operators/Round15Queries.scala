@@ -39,8 +39,9 @@ object Round15Queries {
     * 3-token segments — measured at sf0.01 this yields 7,460 distinct
     * lines of which 231 cross the boilerplate cut (real work for the
     * filter: most text survives, repeated fragments drop). On real data
-    * with newlines the segmentation is `split(text, '\n')` and everything
-    * downstream is unchanged.
+    * with newlines pass `newlineSplit = true` to [[lineDedup]] — the
+    * segmentation becomes `split(text, '\n')` and everything downstream
+    * is unchanged (spec-pinned in Round15Spec).
     */
   private[graft] val LineTokens = 3
 
@@ -157,19 +158,35 @@ object Round15Queries {
     * reconstructed from surviving lines in original order (empty string
     * when every line was boilerplate — the row still appears, so the
     * "this page was ALL chrome" census is readable downstream).
+    *
+    * Segmentation modes (VERDICT r16 #6 — the scaladoc's newline claim
+    * now has an executable path):
+    *   - token-window (default): fixed non-overlapping `w`-token segments
+    *     — the stand-in for the fixture's single-line docs;
+    *   - `newlineSplit = true`: real-corpus mode — `split(text, '\n')`,
+    *     the C4 segmentation verbatim; reconstruction re-joins survivors
+    *     with '\n'. Blank lines hash equal corpus-wide and fall to the
+    *     frequency cut like any other repeated line (C4 drops them too).
+    *     Everything downstream of line formation is shared between modes.
     */
   private[graft] def lineDedup(docs: DataFrame, w: Int = LineTokens,
-                               maxDocs: Long = MaxDocsPerLine): DataFrame = {
-    // fixed non-overlapping w-token segments, built narrow: indices
-    // 0..ceil(n/w)-1 via filter (NOT sequence(0, ceil-1): Spark's
-    // sequence runs DESCENDING when stop < start — the t_lm_score lesson)
-    val lines = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(filter(sequence(0, size(toks) div $w),
-                             i -> i * $w < size(toks)),
-                      i -> array_join(slice(toks, i * $w + 1, $w), ' '))"""))
-        .as(Seq("line_no", "line")))
+                               maxDocs: Long = MaxDocsPerLine,
+                               newlineSplit: Boolean = false): DataFrame = {
+    val sep = if (newlineSplit) "\n" else " "
+    val lines = (if (newlineSplit)
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    else
+      // fixed non-overlapping w-token segments, built narrow: indices
+      // 0..ceil(n/w)-1 via filter (NOT sequence(0, ceil-1): Spark's
+      // sequence runs DESCENDING when stop < start — the t_lm_score lesson)
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(filter(sequence(0, size(toks) div $w),
+                               i -> i * $w < size(toks)),
+                        i -> array_join(slice(toks, i * $w + 1, $w), ' '))"""))
+          .as(Seq("line_no", "line"))))
       .withColumn("lh", xxhash64(col("line")))
     // corpus frequency: distinct docs per line hash (within-doc repeats
     // count once — a doc's own refrain is not cross-doc boilerplate)
@@ -186,7 +203,7 @@ object Round15Queries {
               when(col("ndocs") <= maxDocs,
                 struct(col("line_no"), col("line"))))),
             x => x.getField("line")),
-          " ").as("kept_text"))
+          sep).as("kept_text"))
       .orderBy("doc_id")
   }
 

@@ -223,8 +223,12 @@ object EventStreamPipeline {
   * key; a new consumer displaces the old one (stop, not error), and stream
   * deletion stops the consumer — the DELETE /event-stream/{id} ordering
   * (app.py:684-715).
+  *
+  * Non-final as a test seam: ServiceShellSpec subclasses it to inject a
+  * throwing `release` (the TimeoutException a slow q.stop() can raise) and
+  * prove the shell's teardown paths survive it.
   */
-final class StreamCoordinator {
+class StreamCoordinator {
   private val active = new ConcurrentHashMap[String, StreamingQuery]()
   // the taken.poison marker of the reference's probes (probes/liveness.sh):
   // flips once when any consumer takes POISON and never resets — the
@@ -278,6 +282,13 @@ final class StreamCoordinator {
     */
   def poisonAll(): Unit = {
     poisonObserved.set(true)
+    // A lost interrupt on a JVM shutdown-hook thread delays termination,
+    // so the flag must reach the hook's caller (ADVICE r15) — but
+    // restoring it INSIDE the loop would make every subsequent q.stop()
+    // (which awaits termination internally) throw InterruptedException
+    // immediately, weakening the stop attempt for the remaining consumers
+    // (ADVICE r16). Latch locally; re-raise once after the drain.
+    var interrupted = false
     val it = active.entrySet().iterator()
     while (it.hasNext) {
       val q = it.next().getValue
@@ -291,14 +302,12 @@ final class StreamCoordinator {
       if (q.isActive) {
         try q.stop()
         catch {
-          // A lost interrupt on a JVM shutdown-hook thread delays
-          // termination — restore the flag so the hook's caller sees it
-          // (ADVICE r15); everything else is swallowed per the note above.
-          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: InterruptedException => interrupted = true
           case _: Exception            => ()
         }
       }
     }
+    if (interrupted) Thread.currentThread().interrupt()
   }
 
   /** Stop and deregister (stream deleted / POISON observed). */

@@ -82,6 +82,40 @@ class Round15Spec extends SparkSpec {
     assert(out(2L) === ((3L, 2L, "u v w s t o")))
   }
 
+  test("d_line_dedup: newlineSplit mode segments on real \\n lines and reconstructs with \\n") {
+    // real-corpus mode (VERDICT r16 #6): docs carry actual newline-
+    // delimited lines of varying token counts; the cookie banner shared
+    // by 3 docs drops everywhere, bodies re-join with '\n' in order
+    val banner = "accept all cookies to continue"
+    val docs = Seq(
+      (0L, s"$banner\nthe first body line\nsecond body line here"),
+      (1L, s"opening remarks\n$banner\nclosing remarks"),
+      (2L, s"a standalone essay paragraph\n$banner"),
+      (3L, "unrelated document with no banner"))
+    val out = Round15Queries.lineDedup(
+        docs.toDF("doc_id", "text"), newlineSplit = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) === ((3L, 2L, "the first body line\nsecond body line here")))
+    assert(out(1L) === ((3L, 2L, "opening remarks\nclosing remarks")))
+    assert(out(2L) === ((2L, 1L, "a standalone essay paragraph")))
+    assert(out(3L) === ((1L, 1L, "unrelated document with no banner")))
+  }
+
+  test("d_line_dedup: newlineSplit all-boilerplate doc keeps its row, empty reconstruction") {
+    val banner = "share on social media"
+    val docs = Seq(
+      (0L, banner), (1L, banner), (2L, banner),
+      (3L, s"$banner\nreal content survives"))
+    val out = Round15Queries.lineDedup(
+        docs.toDF("doc_id", "text"), newlineSplit = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) === ((1L, 0L, "")))
+    assert(out(3L) === ((2L, 1L, "real content survives")))
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+  }
+
   // ---- v_ivf_retrain ----------------------------------------------------
 
   test("v_ivf_retrain: planted seed skew trips the census; 2-step Lloyd retrain clears it") {

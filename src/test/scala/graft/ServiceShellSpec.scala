@@ -700,4 +700,141 @@ class ServiceShellSpec extends SparkSpec {
       coord.release("rk-prestop")
     }
   }
+
+  // StreamCoordinator whose identity-scoped release deregisters normally and
+  // THEN throws — the TimeoutException shape a slow q.stop() raises under
+  // spark.sql.streaming.stopTimeout (VERDICT r16: both shell teardown paths
+  // must survive it — map removals, close frame, sock.close).
+  private class ThrowingReleaseCoordinator extends StreamCoordinator {
+    @volatile var releaseThrows = 0
+    override def release(routingKey: String,
+                         q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      super.release(routingKey, q)
+      releaseThrows += 1
+      throw new java.util.concurrent.TimeoutException("injected stop failure")
+    }
+  }
+
+  test("service shell: throwing q.stop() on EOF teardown cannot leak socket-map entries") {
+    val registry = new EventStreamRegistry
+    val coord = new ThrowingReleaseCoordinator
+    val stream = MemoryStream[Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def base = s"http://127.0.0.1:${shell.httpPort}"
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-eofthrow"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+
+      val received = new LinkedBlockingQueue[String]()
+      val closed = new CompletableFuture[Integer]()
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), new WebSocket.Listener {
+          override def onText(w: WebSocket, data: CharSequence,
+                              last: Boolean): java.util.concurrent.CompletionStage[_] = {
+            if (last) received.add(data.toString)
+            w.request(1)
+            null
+          }
+          override def onClose(w: WebSocket, code: Int,
+                               reason: String): java.util.concurrent.CompletionStage[_] = {
+            closed.complete(code); null
+          }
+          override def onError(w: WebSocket, error: Throwable): Unit = {
+            closed.complete(-1); ()
+          }
+        }).join()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-eofthrow").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        val q = coord.activeQuery("rk-eofthrow").getOrElse(
+          fail("consumer did not attach within 30 s"))
+        stream.addData(Msg("""{"message_type": "eof"}""", 1, 100L))
+        q.processAllAvailable()
+        assert(received.poll(30, TimeUnit.SECONDS) ===
+          """{"ess_ordinal": 1, "ess_timestamp": 100, "message_type": "eof"}""")
+
+        // client-initiated close — the server's reader loop unwinds and the
+        // EOF teardown runs with the injected throwing release
+        ws.sendClose(WebSocket.NORMAL_CLOSURE, "bye").join()
+        val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while ((shell.liveConnEntries > 0 || coord.releaseThrows == 0) &&
+               System.nanoTime() < d2)
+          Thread.sleep(50)
+        assert(coord.releaseThrows === 1, "the injected release must have thrown")
+        assert(shell.liveConnEntries === 0,
+          "a throwing q.stop() must not leak conns/connsByKey entries")
+        assert(coord.activeQuery("rk-eofthrow").isEmpty)
+        // the server still answered the close handshake before the throw
+        assert(closed.get(30, TimeUnit.SECONDS) === 1000)
+      } finally { try ws.abort() catch { case _: Exception => } }
+    } finally shell.stop()
+  }
+
+  test("service shell: throwing q.stop() in the stopping re-check still closes 1001 and cleans the maps") {
+    // Pins the post-registration re-check window exactly: preStop's latch
+    // lands between EventStreamPipeline.start and the re-check, so the
+    // handler takes the stopping branch with a release that throws — the
+    // 1001 frame must still reach the client and both maps must be clean
+    // (VERDICT r16: before the guard, the throw skipped all three).
+    val registry = new EventStreamRegistry
+    val stream = MemoryStream[Msg](spark)
+    @volatile var shellRef: ServiceShell = null
+    val coord = new ThrowingReleaseCoordinator {
+      override def registerWith(routingKey: String)(
+          startQ: () => org.apache.spark.sql.streaming.StreamingQuery)
+          : org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = super.registerWith(routingKey)(startQ)
+        // the latch fires AFTER the query started + registered, BEFORE the
+        // handler's re-check — the race window ADVICE r14 closed
+        shellRef.beginStopping()
+        q
+      }
+    }
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shellRef = shell
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def base = s"http://127.0.0.1:${shell.httpPort}"
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-stopthrow"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+
+      val closed = new CompletableFuture[Integer]()
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), new WebSocket.Listener {
+          override def onClose(w: WebSocket, code: Int,
+                               reason: String): java.util.concurrent.CompletionStage[_] = {
+            closed.complete(code); null
+          }
+          override def onError(w: WebSocket, error: Throwable): Unit = {
+            closed.complete(-1); ()
+          }
+        }).join()
+      try {
+        // the 1001 close frame must arrive DESPITE the throwing release
+        assert(closed.get(30, TimeUnit.SECONDS) === 1001)
+        assert(coord.releaseThrows === 1, "the stopping re-check must have released")
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (shell.liveConnEntries > 0 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(shell.liveConnEntries === 0,
+          "the stopping re-check must remove both map entries before releasing")
+        assert(coord.activeQuery("rk-stopthrow").isEmpty,
+          "the re-check's release must still have stopped + deregistered the query")
+      } finally { try ws.abort() catch { case _: Exception => } }
+    } finally shell.stop()
+  }
 }
