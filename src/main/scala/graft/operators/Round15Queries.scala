@@ -172,8 +172,17 @@ object Round15Queries {
   private[graft] def lineDedup(docs: DataFrame, w: Int = LineTokens,
                                maxDocs: Long = MaxDocsPerLine,
                                newlineSplit: Boolean = false): DataFrame = {
-    val sep = if (newlineSplit) "\n" else " "
-    val lines = (if (newlineSplit)
+    val lines = docLines(docs, w, newlineSplit)
+    lineCut(lines, docFreq(lines), maxDocs, newlineSplit).orderBy("doc_id")
+  }
+
+  /** Line formation shared by the batch operator and the streaming corpus
+    * pipeline's line scrub ([[graft.streaming.StreamingAggs]]): (doc_id,
+    * line_no, line, lh) — token-window or newline-split per the flag.
+    */
+  private[graft] def docLines(docs: DataFrame, w: Int = LineTokens,
+                              newlineSplit: Boolean = false): DataFrame =
+    (if (newlineSplit)
       docs.select(col("doc_id"),
         posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
     else
@@ -188,10 +197,21 @@ object Round15Queries {
                         i -> array_join(slice(toks, i * $w + 1, $w), ' '))"""))
           .as(Seq("line_no", "line"))))
       .withColumn("lh", xxhash64(col("line")))
-    // corpus frequency: distinct docs per line hash (within-doc repeats
-    // count once — a doc's own refrain is not cross-doc boilerplate)
-    val freq = lines.select(col("lh"), col("doc_id")).distinct()
+
+  /** Corpus frequency over [[docLines]] output: distinct docs per line
+    * hash (within-doc repeats count once — a doc's own refrain is not
+    * cross-doc boilerplate).
+    */
+  private[graft] def docFreq(lines: DataFrame): DataFrame =
+    lines.select(col("lh"), col("doc_id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("ndocs"))
+
+  /** The cut + in-order reconstruction over [[docLines]] output and a
+    * frequency table (lh, ndocs) — the batch operator feeds it its own
+    * corpus counts; the streaming scrub feeds prior-state-augmented ones.
+    */
+  private[graft] def lineCut(lines: DataFrame, freq: DataFrame,
+                             maxDocs: Long, newlineSplit: Boolean): DataFrame =
     lines.join(freq, Seq("lh"))
       .groupBy(col("doc_id"))
       .agg(
@@ -203,9 +223,7 @@ object Round15Queries {
               when(col("ndocs") <= maxDocs,
                 struct(col("line_no"), col("line"))))),
             x => x.getField("line")),
-          sep).as("kept_text"))
-      .orderBy("doc_id")
-  }
+          if (newlineSplit) "\n" else " ").as("kept_text"))
 
   val oracles: Map[String, String] = Map(
 

@@ -749,6 +749,67 @@ object StreamingAggs {
         .withColumn("text", scrubbed)
     }
 
+  /** Per-batch boilerplate line scrub of [[startCorpusPipeline]] (VERDICT
+    * r15 #7 / r16 #7 — `d_line_dedup`'s streaming twin, the last gate
+    * without one): `text` is replaced by its surviving-lines
+    * reconstruction, with `n_lines` / `n_kept_lines` audit columns
+    * alongside, BEFORE any downstream gate — so the content sha, the
+    * dedup state, the quality blend, and the near-dup shingles all see
+    * chrome-free text, exactly as the piiScrub ordering note argues.
+    *
+    * Frequency state (`lineDir`): one row per (lh, ndocs) per batch —
+    * this batch's per-line-hash DISTINCT-DOC counts. Doc counts are
+    * additive across batches (a doc arrives in exactly one batch), so
+    * the accumulated corpus frequency is prior sums (own-slice excluded
+    * on read, idempotent per-batch overwrite on commit ⇒ a replayed
+    * batch re-derives its first attempt's scrub exactly) plus the
+    * current batch's own counts — full within-batch visibility, the
+    * same causal at-ingest semantics as the sha/mix/pack state
+    * families: a line that only crosses the [[maxDocs]] cut via later
+    * accumulation scrubs from later docs, not retroactively. State
+    * counts ALL arriving docs, not just accepted ones — chrome
+    * frequency is a property of what arrives (the batch operator counts
+    * its whole input too), and a nav menu on pages that fail quality is
+    * still chrome. Line formation/cut/reconstruction are shared with the
+    * batch operator ([[graft.operators.Round15Queries.docLines]] /
+    * `lineCut`), so a single-batch run is textually identical to
+    * `d_line_dedup` over the same corpus (spec-pinned).
+    *
+    * 100 TB: line formation is per-row narrow work; every shuffle keys
+    * on the 8-byte xxhash64 line hash (line text never shuffles on the
+    * frequency side); reconstruction is one doc_id-keyed aggregate.
+    * State grows one row per DISTINCT new line per batch.
+    */
+  private def lineScrubStage(batch: DataFrame, lineDir: String,
+                             batchId: Long, maxDocs: Long)
+      : (DataFrame, () => Unit) = {
+    import graft.operators.Round15Queries.{docFreq, docLines, lineCut}
+    import org.apache.spark.sql.types._
+    val s = batch.sparkSession
+    val lines = docLines(batch.select(col("doc_id"), col("text")))
+    val cur = docFreq(lines)
+    val prior =
+      (if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(lineDir)))
+        s.read.parquet(lineDir).filter(col("batch") =!= batchId)
+          .select(col("lh"), col("ndocs"))
+      else s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("lh", LongType),
+          StructField("ndocs", LongType)))))
+        .groupBy(col("lh")).agg(sum(col("ndocs")).as("__nd_prior"))
+    val freq = cur.join(prior, Seq("lh"), "left_outer")
+      .select(col("lh"),
+        (col("ndocs") + coalesce(col("__nd_prior"), lit(0L))).as("ndocs"))
+    val cut = lineCut(lines, freq, maxDocs, newlineSplit = false)
+    val out = batch
+      .join(cut.select(col("doc_id"), col("n_lines"),
+        col("n_kept").as("n_kept_lines"), col("kept_text")), "doc_id")
+      .withColumn("text", col("kept_text"))
+      .drop("kept_text")
+    (out,
+      () => cur.write.mode("overwrite").parquet(s"$lineDir/batch=$batchId"))
+  }
+
   def startCorpusGate(docs: DataFrame, evalDocs: DataFrame, seenShaDir: String,
                       checkpointDir: String, onBatch: DataFrame => Unit,
                       minQuality: Double = 0.52, n: Int = 5,
@@ -831,6 +892,15 @@ object StreamingAggs {
     * it does not reject: the hit counts are audit signals (a monitor
     * alarms on a source whose PII rate jumps), not a gate. Pure per-row
     * codegen'd regex work — zero added shuffle at any scale.
+    *
+    * With `lineScrub = true` (VERDICT r16 #7) the `d_line_dedup`
+    * boilerplate-line scrub ([[lineScrubStage]]) runs after the PII scrub
+    * and before every gate: lines occurring in more than `maxDocsPerLine`
+    * distinct documents across the accumulated ingest (the
+    * `<stateRoot>/lines` frequency state, batch-partitioned with
+    * own-slice exclusion) are dropped from `text`, with `n_lines` /
+    * `n_kept_lines` audit columns alongside — so dedup shas, near-dup
+    * shingles, and quality scores are all computed over chrome-free text.
     */
   def startCorpusPipeline(docs: DataFrame, evalDocs: DataFrame,
                           stateRoot: String, checkpointDir: String,
@@ -839,7 +909,10 @@ object StreamingAggs {
                           sourceMix: Boolean = false,
                           packSequences: Boolean = false,
                           onPacked: DataFrame => Unit = _ => (),
-                          piiScrub: Boolean = false)
+                          piiScrub: Boolean = false,
+                          lineScrub: Boolean = false,
+                          maxDocsPerLine: Long =
+                            graft.operators.Round15Queries.MaxDocsPerLine)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
@@ -849,7 +922,15 @@ object StreamingAggs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val gatePass = col("quality") >= minQuality && !col("repetitive") &&
           !col("contaminated") && col("is_new")
-        val gated = markGates(scrubStage(batch), evalGrams, s"$stateRoot/sha",
+        // scrub order: PII first (redact before anything reads the text),
+        // then boilerplate lines (chrome off before sha/shingles/quality),
+        // then the gates — see each stage's scaladoc
+        val (preGated, commitLines) =
+          if (lineScrub)
+            lineScrubStage(scrubStage(batch), s"$stateRoot/lines", batchId,
+              maxDocsPerLine)
+          else (scrubStage(batch), () => ())
+        val gated = markGates(preGated, evalGrams, s"$stateRoot/sha",
             batchId, n)
           .persist()
         try {
@@ -877,6 +958,7 @@ object StreamingAggs {
                 .write.mode("overwrite").parquet(s"$stateRoot/mix/batch=$batchId")
             if (packSequences)
               packBatch(accepted, s"$stateRoot/pack", batchId, onPacked)
+            commitLines() // line-frequency state: ALL batch docs' counts
           } finally { full.unpersist(); banded.unpersist() }
         } finally gated.unpersist()
         ()

@@ -717,6 +717,89 @@ class StreamingSpec extends SparkSpec {
       (2L, 300L, 1)), st.toString)
   }
 
+  test("R17/R20/T4 streaming: boilerplate line scrub — batch ≡ stream, frequency accumulates across batches") {
+    // VERDICT r16 #7: d_line_dedup's streaming twin. Lines over the
+    // MaxDocsPerLine(=2) distinct-doc cut scrub from `text` BEFORE the
+    // gates; the frequency state accumulates, so a line that crosses the
+    // cut only via a LATER batch scrubs from that batch's docs (causal
+    // at-ingest — earlier emissions stand).
+    import graft.streaming.StreamingAggs
+    import graft.operators.Round15Queries
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("corpus-lines").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    val nav = "home about contact"   // 3 tokens = one synthesized line
+    val chrome = "foo bar baz"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> s"$nav alpha beta gamma",          // batch 0
+      2L -> s"delta epsilon zeta $nav",        // batch 0
+      3L -> s"$nav eta theta iota",            // batch 1: nav hits ndocs 3
+      4L -> s"$chrome kappa lambda mu",        // batch 1: chrome intra-batch
+      5L -> s"nu xi omicron $chrome",          // batch 1
+      6L -> s"$chrome pi rho sigma")           // batch 1
+    type V = (String, Long, Long) // scrubbed text, n_lines, n_kept_lines
+    val got = new ConcurrentLinkedQueue[(Long, V)]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingAggs.startCorpusPipeline(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/state", s"$dir/ckpt",
+      batch => batch.select("doc_id", "text", "n_lines", "n_kept_lines")
+        .collect().foreach(r => got.add((r.getLong(0),
+          (r.getString(1), r.getLong(2), r.getLong(3))))),
+      lineScrub = true)
+    try {
+      stream.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, V)](0)).toMap
+    // batch 0: nav is in only 2 docs so far — ≤ cut, everything survives
+    assert(byDoc(1L) === ((s"$nav alpha beta gamma", 2L, 2L)), byDoc(1L).toString)
+    assert(byDoc(2L) === ((s"delta epsilon zeta $nav", 2L, 2L)), byDoc(2L).toString)
+    // batch 1: accumulated nav count = 3 > 2 ⇒ scrubbed from doc 3;
+    // chrome reaches 3 docs WITHIN the batch ⇒ scrubbed from all three
+    assert(byDoc(3L) === (("eta theta iota", 2L, 1L)),
+      s"accumulated frequency must scrub nav from the later doc: ${byDoc(3L)}")
+    assert(byDoc(4L) === (("kappa lambda mu", 2L, 1L)), byDoc(4L).toString)
+    assert(byDoc(5L) === (("nu xi omicron", 2L, 1L)), byDoc(5L).toString)
+    assert(byDoc(6L) === (("pi rho sigma", 2L, 1L)), byDoc(6L).toString)
+    // line-frequency state: one slice per batch, nav counted 2 then 1
+    val navHash = Seq(nav).toDF("line")
+      .select(org.apache.spark.sql.functions.xxhash64(col("line")))
+      .as[Long].head()
+    val navCounts = spark.read.parquet(s"$dir/state/lines")
+      .filter(col("lh") === navHash)
+      .select("ndocs", "batch").as[(Long, Int)].collect().toSet
+    assert(navCounts === Set((2L, 0), (1L, 1)), navCounts.toString)
+
+    // stream ≡ batch: the same corpus in ONE batch reproduces the batch
+    // operator's reconstruction exactly (shared formation/cut/rebuild)
+    val expected = Round15Queries.lineDedup(docs.toDF("doc_id", "text"))
+      .select("doc_id", "kept_text", "n_lines", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val oneGot = new ConcurrentLinkedQueue[(Long, V)]()
+    val oneStream = MemoryStream[(Long, String)](spark)
+    val oneDir = java.nio.file.Files.createTempDirectory("corpus-lines-one").toString
+    val oq = StreamingAggs.startCorpusPipeline(
+      oneStream.toDF().toDF("doc_id", "text"), evalDocs,
+      s"$oneDir/state", s"$oneDir/ckpt",
+      batch => batch.select("doc_id", "text", "n_lines", "n_kept_lines")
+        .collect().foreach(r => oneGot.add((r.getLong(0),
+          (r.getString(1), r.getLong(2), r.getLong(3))))),
+      lineScrub = true)
+    try {
+      oneStream.addData(docs: _*)
+      oq.processAllAvailable()
+    } finally oq.stop()
+    val oneByDoc = oneGot.toArray(new Array[(Long, V)](0)).toMap
+    docs.foreach { case (id, _) =>
+      assert(oneByDoc(id) === expected(id),
+        s"single-batch stream must equal batch d_line_dedup for doc $id: " +
+          s"stream=${oneByDoc(id)} batch=${expected(id)}")
+    }
+  }
+
   test("R19/T4 streaming: incremental vector index — serving stored codes ≡ the composed IVF-PQ plan") {
     import graft.streaming.StreamingAggs
     import graft.operators.SimilarityQueries
