@@ -27,6 +27,17 @@ import org.apache.spark.sql.SparkSession
   * on the same harness (sf0.1 state fits heap, so the default stays the
   * faster in-memory provider there; the RocksDB path is correctness-pinned
   * by StateBackendSpec — equal results, rocksdb metrics present).
+  *
+  * MEASURED crossover (BASELINE.md round-17 state-crossover section;
+  * `StreamProbe state`, 16 × 500k fresh keys, 8 partitions): at
+  * heap-comfortable sizes RocksDB costs a flat ~1.25×/batch; heap's
+  * per-batch cost starts GROWING at ~5M resident keys (~625k/partition
+  * — full-map re-snapshot per version) while RocksDB stays size-flat
+  * through 8M, with the slope-extended wall-clock cross at ~1.5-2M
+  * keys/partition and heap MEMORY (two deserialized versions) the
+  * binding constraint before that. Rule of thumb: heap below ~500k
+  * keys/partition, RocksDB beyond; size shuffle partitions so
+  * per-partition state stays in the store's comfort zone either way.
   */
 object StateBackend {
 
