@@ -70,6 +70,21 @@ object Round15Queries {
     "d_line_dedup" -> ((s, d) =>
       lineDedup(Tables.documents(s, d).select(col("doc_id"), col("text")))),
 
+    // R17/R20 — the NEWLINE segmentation mode of the line dedup, oracled
+    // end-to-end (VERDICT r16 #6: the mode must be an executable path,
+    // not prose): the fixture's single-line docs are given real newlines
+    // by a deterministic rewrite (a '\n' after every 4th token — the same
+    // transformation on both sides), then deduped with
+    // `lineDedup(newlineSplit = true)`. Scale shape identical to
+    // d_line_dedup: the rewrite is per-row narrow work, everything
+    // downstream keys on the 8-byte line hash.
+    "d_line_dedup_nl" -> ((s, d) =>
+      lineDedup(
+        Tables.documents(s, d).select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n")
+            .as("text")),
+        newlineSplit = true)),
+
     // R19 — IVF RETRAIN LOOP (VERDICT r14 #5): v_ivf_cell_skew monitors,
     // refinedCentArrK retrains, pqIndexAnnotate re-encodes — this query
     // composes flag → retrain → re-census into the one-row audit an index
@@ -250,6 +265,36 @@ object Round15Queries {
                 coalesce(string_agg(
                   CASE WHEN f.ndocs <= $MaxDocsPerLine THEN l.line END,
                   ' ' ORDER BY l.line_no), '') AS kept_text
+         FROM lines l JOIN freq f USING (line)
+         GROUP BY l.doc_id ORDER BY l.doc_id""",
+
+    // the newline mode's oracle: same rewrite (RE2 '\1' + chr(10) ≡ Java
+    // '$1\n'; both engines continue past each non-overlapping match), then
+    // chr(10)-split lines with 1-based ordinals (ordering-equivalent to
+    // Spark's 0-based posexplode), the distinct-doc frequency, the cut,
+    // and the chr(10)-joined in-order reconstruction
+    "d_line_dedup_nl" ->
+      s"""WITH nl AS (
+           SELECT doc_id,
+                  regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ',
+                                 '\\1' || chr(10), 'g') AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id,
+                  CAST(generate_subscripts(string_split(text, chr(10)), 1)
+                       AS BIGINT) AS line_no,
+                  unnest(string_split(text, chr(10))) AS line
+           FROM nl),
+         freq AS (
+           SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+           FROM lines GROUP BY line)
+         SELECT l.doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN f.ndocs <= $MaxDocsPerLine
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                coalesce(string_agg(
+                  CASE WHEN f.ndocs <= $MaxDocsPerLine THEN l.line END,
+                  chr(10) ORDER BY l.line_no), '') AS kept_text
          FROM lines l JOIN freq f USING (line)
          GROUP BY l.doc_id ORDER BY l.doc_id""",
 

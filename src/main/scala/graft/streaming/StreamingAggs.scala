@@ -920,8 +920,14 @@ object StreamingAggs {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // with lineScrub on, a doc whose every line was boilerplate scrubs
+        // to the empty string — pure chrome is not corpus material, and
+        // letting it through would ACCEPT it (the quality blend scores ""
+        // as 1-token/1-distinct ⇒ 0.8) and burn its empty-string sha in
+        // the dedup state; gate it out explicitly
         val gatePass = col("quality") >= minQuality && !col("repetitive") &&
-          !col("contaminated") && col("is_new")
+          !col("contaminated") && col("is_new") &&
+          (if (lineScrub) col("n_kept_lines") > 0 else lit(true))
         // scrub order: PII first (redact before anything reads the text),
         // then boilerplate lines (chrome off before sha/shingles/quality),
         // then the gates — see each stage's scaladoc

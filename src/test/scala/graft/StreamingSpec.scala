@@ -730,21 +730,26 @@ class StreamingSpec extends SparkSpec {
     val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
     val nav = "home about contact"   // 3 tokens = one synthesized line
     val chrome = "foo bar baz"
+    // bodies are 6 distinct tokens (two 3-token lines) so the SCRUBBED
+    // text still clears the quality/repetition dials — a 3-token residue
+    // trips the small-denominator repetition artifact, which is not what
+    // this test is about
     val docs: Seq[(Long, String)] = Seq(
-      1L -> s"$nav alpha beta gamma",          // batch 0
-      2L -> s"delta epsilon zeta $nav",        // batch 0
-      3L -> s"$nav eta theta iota",            // batch 1: nav hits ndocs 3
-      4L -> s"$chrome kappa lambda mu",        // batch 1: chrome intra-batch
-      5L -> s"nu xi omicron $chrome",          // batch 1
-      6L -> s"$chrome pi rho sigma")           // batch 1
-    type V = (String, Long, Long) // scrubbed text, n_lines, n_kept_lines
+      1L -> s"$nav alpha beta gamma delta epsilon zeta",   // batch 0
+      2L -> s"eta theta iota kappa lambda mu $nav",        // batch 0
+      3L -> s"$nav omega psi chi phi upsilon tau",         // batch 1: nav hits ndocs 3
+      4L -> s"$chrome one two three four five six",        // batch 1: chrome intra-batch
+      5L -> s"seven eight nine ten eleven twelve $chrome", // batch 1
+      6L -> s"$chrome red orange yellow green blue indigo", // batch 1
+      7L -> chrome)                                        // batch 1: ALL chrome
+    type V = (String, Long, Long, Boolean) // text, n_lines, n_kept_lines, accepted
     val got = new ConcurrentLinkedQueue[(Long, V)]()
     val stream = MemoryStream[(Long, String)](spark)
     val q = StreamingAggs.startCorpusPipeline(
       stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/state", s"$dir/ckpt",
-      batch => batch.select("doc_id", "text", "n_lines", "n_kept_lines")
+      batch => batch.select("doc_id", "text", "n_lines", "n_kept_lines", "accepted")
         .collect().foreach(r => got.add((r.getLong(0),
-          (r.getString(1), r.getLong(2), r.getLong(3))))),
+          (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))),
       lineScrub = true)
     try {
       stream.addData(docs(0), docs(1))
@@ -754,15 +759,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val byDoc = got.toArray(new Array[(Long, V)](0)).toMap
     // batch 0: nav is in only 2 docs so far — ≤ cut, everything survives
-    assert(byDoc(1L) === ((s"$nav alpha beta gamma", 2L, 2L)), byDoc(1L).toString)
-    assert(byDoc(2L) === ((s"delta epsilon zeta $nav", 2L, 2L)), byDoc(2L).toString)
+    assert(byDoc(1L) ===
+      ((s"$nav alpha beta gamma delta epsilon zeta", 3L, 3L, true)), byDoc(1L).toString)
+    assert(byDoc(2L) ===
+      ((s"eta theta iota kappa lambda mu $nav", 3L, 3L, true)), byDoc(2L).toString)
     // batch 1: accumulated nav count = 3 > 2 ⇒ scrubbed from doc 3;
-    // chrome reaches 3 docs WITHIN the batch ⇒ scrubbed from all three
-    assert(byDoc(3L) === (("eta theta iota", 2L, 1L)),
+    // chrome reaches 4 docs WITHIN the batch ⇒ scrubbed from all four
+    assert(byDoc(3L) === (("omega psi chi phi upsilon tau", 3L, 2L, true)),
       s"accumulated frequency must scrub nav from the later doc: ${byDoc(3L)}")
-    assert(byDoc(4L) === (("kappa lambda mu", 2L, 1L)), byDoc(4L).toString)
-    assert(byDoc(5L) === (("nu xi omicron", 2L, 1L)), byDoc(5L).toString)
-    assert(byDoc(6L) === (("pi rho sigma", 2L, 1L)), byDoc(6L).toString)
+    assert(byDoc(4L) === (("one two three four five six", 3L, 2L, true)), byDoc(4L).toString)
+    assert(byDoc(5L) === (("seven eight nine ten eleven twelve", 3L, 2L, true)), byDoc(5L).toString)
+    assert(byDoc(6L) === (("red orange yellow green blue indigo", 3L, 2L, true)), byDoc(6L).toString)
+    // the ALL-chrome doc scrubs to "" and must be REJECTED (pure chrome
+    // is not corpus material; without the n_kept_lines gate the quality
+    // blend would score "" at 0.8 and accept it)
+    assert(byDoc(7L) === (("", 1L, 0L, false)), byDoc(7L).toString)
     // line-frequency state: one slice per batch, nav counted 2 then 1
     val navHash = Seq(nav).toDF("line")
       .select(org.apache.spark.sql.functions.xxhash64(col("line")))
@@ -771,14 +782,17 @@ class StreamingSpec extends SparkSpec {
       .filter(col("lh") === navHash)
       .select("ndocs", "batch").as[(Long, Int)].collect().toSet
     assert(navCounts === Set((2L, 0), (1L, 1)), navCounts.toString)
+    // rejected docs burn no sha state: exactly the six accepted shas
+    assert(spark.read.parquet(s"$dir/state/sha").count() === 6)
 
     // stream ≡ batch: the same corpus in ONE batch reproduces the batch
     // operator's reconstruction exactly (shared formation/cut/rebuild)
+    type W = (String, Long, Long) // text, n_lines, n_kept_lines
     val expected = Round15Queries.lineDedup(docs.toDF("doc_id", "text"))
       .select("doc_id", "kept_text", "n_lines", "n_kept")
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    val oneGot = new ConcurrentLinkedQueue[(Long, V)]()
+    val oneGot = new ConcurrentLinkedQueue[(Long, W)]()
     val oneStream = MemoryStream[(Long, String)](spark)
     val oneDir = java.nio.file.Files.createTempDirectory("corpus-lines-one").toString
     val oq = StreamingAggs.startCorpusPipeline(
