@@ -529,7 +529,11 @@ final class ServiceShell(
                 // 1006 TCP drop instead of its own status code
                 lock.synchronized {
                   try {
-                    val echo = payload.take(2) // status code bytes, if sent
+                    // echo the 2 status-code bytes when present; a 1-byte
+                    // close payload is itself invalid (RFC 6455 §5.5.1) —
+                    // reply with a bare close rather than echo the violation
+                    val echo = if (payload.length >= 2) payload.take(2)
+                               else Array.emptyByteArray
                     out.write(0x88)
                     out.write(echo.length)
                     if (echo.nonEmpty) out.write(echo)

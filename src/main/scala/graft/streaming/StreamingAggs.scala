@@ -801,10 +801,16 @@ object StreamingAggs {
       .select(col("lh"),
         (col("ndocs") + coalesce(col("__nd_prior"), lit(0L))).as("ndocs"))
     val cut = lineCut(lines, freq, maxDocs, newlineSplit = false)
+    // left join: a doc that produced NO lines (null text) must stay
+    // VISIBLE — with n_kept_lines = 0 the gate rejects it with an audit
+    // row, instead of an inner join silently dropping it from the batch
     val out = batch
       .join(cut.select(col("doc_id"), col("n_lines"),
-        col("n_kept").as("n_kept_lines"), col("kept_text")), "doc_id")
-      .withColumn("text", col("kept_text"))
+        col("n_kept").as("n_kept_lines"), col("kept_text")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("n_lines", coalesce(col("n_lines"), lit(0L)))
+      .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
+      .withColumn("text", coalesce(col("kept_text"), col("text")))
       .drop("kept_text")
     (out,
       () => cur.write.mode("overwrite").parquet(s"$lineDir/batch=$batchId"))
