@@ -342,7 +342,14 @@ final class ServiceShell(
               // (ADVICE r10)
               conns.put(rec.uuid, sock).filter(_ ne sock).foreach(s => closeWs(s))
               connsByKey.put(rec.routingKey, sock).filter(_ ne sock).foreach(s => closeWs(s))
-              val lock = new Object
+              // ALL writes to one socket — text frames, pongs, close
+              // frames — serialize on the Socket instance itself, so a
+              // close racing an in-flight send (e.g. the stopping
+              // re-check's 1001 while a throwing q.stop() left the query
+              // still sending) can never interleave bytes mid-frame;
+              // closeWs and readFrames' control replies use the same
+              // monitor (code-review r17)
+              val lock: AnyRef = sock
               // the push sink: one text frame per delivered record; sends
               // are serialized per socket (per-stream delivery is serial)
               val send: String => Unit = msg => lock.synchronized {
@@ -445,13 +452,14 @@ final class ServiceShell(
       var rlen = math.min(rb.length, 123)
       while (rlen > 0 && rlen < rb.length && (rb(rlen) & 0xC0) == 0x80)
         rlen -= 1
-      val out = sock.getOutputStream
-      out.write(0x88)
-      out.write(2 + rlen)
-      out.write((code >> 8) & 0xFF)
-      out.write(code & 0xFF)
-      if (rlen > 0) out.write(rb, 0, rlen)
-      out.flush()
+      val payload = new Array[Byte](2 + rlen)
+      payload(0) = ((code >> 8) & 0xFF).toByte
+      payload(1) = (code & 0xFF).toByte
+      System.arraycopy(rb, 0, payload, 2, rlen)
+      // monitor = the Socket: a 1001 from preStop/displacement/teardown
+      // must not interleave with a text frame the consumer's sender is
+      // mid-writing on another thread (code-review r17)
+      writeClose(sock, sock.getOutputStream, payload)
     } catch { case _: Exception => }
     try sock.close() catch { case _: Exception => }
   }
@@ -494,12 +502,7 @@ final class ServiceShell(
         else if (len < 0 || len > MaxClientFrame) {
           // 1009 message-too-big close, then drop the connection — never
           // `new Array[Byte](len.toInt)` on an attacker-supplied length
-          lock.synchronized {
-            try {
-              out.write(Array(0x88.toByte, 0x02.toByte, 0x03.toByte, 0xF1.toByte))
-              out.flush()
-            } catch { case _: Exception => }
-          }
+          writeClose(lock, out, Array(0x03.toByte, 0xF1.toByte))
           open = false
         } else {
           val mask = new Array[Byte](4)
@@ -526,32 +529,27 @@ final class ServiceShell(
                 // echo the close handshake (RFC 6455 §5.5.1: an endpoint
                 // receiving a Close frame must send one in response) —
                 // without it a cleanly-closing client observes an abnormal
-                // 1006 TCP drop instead of its own status code
-                lock.synchronized {
-                  try {
-                    // echo the 2 status-code bytes when present; a 1-byte
-                    // close payload is itself invalid (RFC 6455 §5.5.1) —
-                    // reply with a bare close rather than echo the violation
-                    val echo = if (payload.length >= 2) payload.take(2)
-                               else Array.emptyByteArray
-                    out.write(0x88)
-                    out.write(echo.length)
-                    if (echo.nonEmpty) out.write(echo)
-                    out.flush()
-                  } catch { case _: Exception => }
-                }
+                // 1006 TCP drop instead of its own status code. Echo only
+                // a code an endpoint may itself SEND (1000-1011 minus the
+                // reserved 1004/1005/1006, or the private 3000-4999 range
+                // — §7.4); a missing, 1-byte, or forbidden code gets a
+                // bare close rather than an echoed violation.
+                val echo =
+                  if (payload.length >= 2) {
+                    val code = ((payload(0) & 0xFF) << 8) | (payload(1) & 0xFF)
+                    val sendable = (code >= 1000 && code <= 1011 &&
+                      code != 1004 && code != 1005 && code != 1006) ||
+                      (code >= 3000 && code <= 4999)
+                    if (sendable) payload.take(2) else Array.emptyByteArray
+                  } else Array.emptyByteArray
+                writeClose(lock, out, echo)
                 open = false
               case 0x9 if payload.length > 125 =>
                 // a control frame with >125-byte payload is itself an RFC
                 // 6455 §5.5 violation — and echoing it would set the mask
                 // bit in our single length byte, corrupting the frame.
                 // Protocol error ⇒ 1002 close, drop the connection.
-                lock.synchronized {
-                  try {
-                    out.write(Array(0x88.toByte, 0x02.toByte, 0x03.toByte, 0xEA.toByte))
-                    out.flush()
-                  } catch { case _: Exception => }
-                }
+                writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
                 open = false
               case 0x9 => lock.synchronized { // ping -> pong, same payload
                 out.write((0x8A & 0xFF).toByte)
@@ -566,6 +564,24 @@ final class ServiceShell(
       }
     }
   }
+
+  /** The ONE close-frame writer (code-review r17 — this framing was
+    * hand-rolled in four places): opcode 8 + payload, written under
+    * `monitor` — the per-connection write monitor is the Socket instance,
+    * so a close can never interleave with an in-flight text frame or
+    * pong from another thread. Best-effort: a failed write never throws
+    * (the connection is being torn down either way).
+    */
+  private def writeClose(monitor: AnyRef, out: OutputStream,
+                         payload: Array[Byte]): Unit =
+    monitor.synchronized {
+      try {
+        out.write(0x88)
+        out.write(payload.length)
+        if (payload.nonEmpty) out.write(payload)
+        out.flush()
+      } catch { case _: Exception => }
+    }
 
   private def writeTextFrame(out: OutputStream, msg: String): Unit = {
     val data = msg.getBytes(UTF_8)

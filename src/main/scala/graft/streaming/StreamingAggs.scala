@@ -684,6 +684,23 @@ object StreamingAggs {
     * (own-slice excluded ⇒ replay-stable). Returns the batch columns +
     * quality / repetitive / contaminated / content_sha / is_new.
     */
+  /** Batch-partitioned state read shared by every state family (sha /
+    * mix / pack / lines — code-review r17: the pattern lived in three
+    * hand-rolled copies): prior rows under `dir` with the OWN slice
+    * (`batch == batchId`) excluded — the replay-stability contract in
+    * one place — or an empty frame of `schema` when no state exists yet.
+    */
+  private def readState(s: org.apache.spark.sql.SparkSession, dir: String,
+                        batchId: Long,
+                        schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+      s.read.parquet(dir)
+        .filter(col("batch") =!= batchId) // replay: ignore own prior append
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    else s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   private def markGates(batch: DataFrame, evalGrams: DataFrame,
                         seenShaDir: String, batchId: Long,
                         n: Int): DataFrame = {
@@ -706,16 +723,10 @@ object StreamingAggs {
       .select(col("doc_id"), explode(shingles("text", n)).as("g"))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("__c", lit(true))
-    val seen =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(seenShaDir)))
-        s.read.parquet(seenShaDir)
-          .filter(col("batch") =!= batchId) // replay: ignore own prior append
-          .select(col("content_sha")).distinct()
-      else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("content_sha",
-            org.apache.spark.sql.types.StringType))))
+    val seen = readState(s, seenShaDir, batchId,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content_sha",
+          org.apache.spark.sql.types.StringType)))).distinct()
     val wSha = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_sha")).orderBy(col("doc_id"))
     batch
@@ -782,21 +793,21 @@ object StreamingAggs {
     */
   private def lineScrubStage(batch: DataFrame, lineDir: String,
                              batchId: Long, maxDocs: Long)
-      : (DataFrame, () => Unit) = {
+      : (DataFrame, DataFrame) = {
     import graft.operators.Round15Queries.{docFreq, docLines, lineCut}
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
     val lines = docLines(batch.select(col("doc_id"), col("text")))
-    val cur = docFreq(lines)
-    val prior =
-      (if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(lineDir)))
-        s.read.parquet(lineDir).filter(col("batch") =!= batchId)
-          .select(col("lh"), col("ndocs"))
-      else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("lh", LongType),
-          StructField("ndocs", LongType)))))
-        .groupBy(col("lh")).agg(sum(col("ndocs")).as("__nd_prior"))
+    // persisted: the per-batch counts feed BOTH the scrub join (via the
+    // gated persist downstream) and the state commit — without the cache
+    // the commit re-pays the line-formation scan and both shuffles
+    // (code-review r17). The PIPELINE owns the unpersist (its outer
+    // finally), so the cache is freed on success and failure alike.
+    val cur = docFreq(lines).persist()
+    val prior = readState(s, lineDir, batchId,
+      StructType(Seq(StructField("lh", LongType),
+        StructField("ndocs", LongType))))
+      .groupBy(col("lh")).agg(sum(col("ndocs")).as("__nd_prior"))
     val freq = cur.join(prior, Seq("lh"), "left_outer")
       .select(col("lh"),
         (col("ndocs") + coalesce(col("__nd_prior"), lit(0L))).as("ndocs"))
@@ -812,8 +823,7 @@ object StreamingAggs {
       .withColumn("n_kept_lines", coalesce(col("n_kept_lines"), lit(0L)))
       .withColumn("text", coalesce(col("kept_text"), col("text")))
       .drop("kept_text")
-    (out,
-      () => cur.write.mode("overwrite").parquet(s"$lineDir/batch=$batchId"))
+    (out, cur)
   }
 
   def startCorpusGate(docs: DataFrame, evalDocs: DataFrame, seenShaDir: String,
@@ -937,11 +947,12 @@ object StreamingAggs {
         // scrub order: PII first (redact before anything reads the text),
         // then boilerplate lines (chrome off before sha/shingles/quality),
         // then the gates — see each stage's scaladoc
-        val (preGated, commitLines) =
-          if (lineScrub)
-            lineScrubStage(scrubStage(batch), s"$stateRoot/lines", batchId,
-              maxDocsPerLine)
-          else (scrubStage(batch), () => ())
+        val (preGated, lineFreq) =
+          if (lineScrub) {
+            val (o, cur) = lineScrubStage(scrubStage(batch),
+              s"$stateRoot/lines", batchId, maxDocsPerLine)
+            (o, Some(cur))
+          } else (scrubStage(batch), None)
         val gated = markGates(preGated, evalGrams, s"$stateRoot/sha",
             batchId, n)
           .persist()
@@ -970,9 +981,11 @@ object StreamingAggs {
                 .write.mode("overwrite").parquet(s"$stateRoot/mix/batch=$batchId")
             if (packSequences)
               packBatch(accepted, s"$stateRoot/pack", batchId, onPacked)
-            commitLines() // line-frequency state: ALL batch docs' counts
+            // line-frequency state: ALL batch docs' counts
+            lineFreq.foreach(_.write.mode("overwrite")
+              .parquet(s"$stateRoot/lines/batch=$batchId"))
           } finally { full.unpersist(); banded.unpersist() }
-        } finally gated.unpersist()
+        } finally { gated.unpersist(); lineFreq.foreach(_.unpersist()) }
         ()
       }
       .start()
@@ -990,14 +1003,9 @@ object StreamingAggs {
     val binCap = 512
     val baseSchema = StructType(Seq(StructField("shard", LongType),
       StructField("shard_tokens", LongType)))
-    val base =
-      (if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(packDir)))
-        s.read.parquet(packDir).filter(col("batch") =!= batchId)
-          .select(baseSchema.fieldNames.map(col).toSeq: _*)
-      else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema))
-        .groupBy(col("shard"))
-        .agg(sum(col("shard_tokens")).cast(LongType).as("base_tokens"))
+    val base = readState(s, packDir, batchId, baseSchema)
+      .groupBy(col("shard"))
+      .agg(sum(col("shard_tokens")).cast(LongType).as("base_tokens"))
     val toks = accepted.select(col("doc_id"), (col("doc_id") % 32).as("shard"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1034,12 +1042,7 @@ object StreamingAggs {
     val s = ndFull.sparkSession
     val mixSchema = StructType(Seq(StructField("source", StringType),
       StructField("src_tokens", LongType)))
-    val prior =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(mixDir)))
-        s.read.parquet(mixDir).filter(col("batch") =!= batchId)
-          .select(mixSchema.fieldNames.map(col).toSeq: _*)
-      else s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], mixSchema)
+    val prior = readState(s, mixDir, batchId, mixSchema)
     val bySrc = prior.groupBy(col("source"))
       .agg(sum(col("src_tokens")).cast(LongType).as("src_tokens"))
     val totals = bySrc.agg(
