@@ -38,7 +38,7 @@ object SparkEntry {
       ExtendedQueries.defs ++ DeepRelational.defs ++ Round3Queries.defs ++
       Round4Queries.defs ++ Round7Queries.defs ++ Round9Queries.defs ++
       Round11Queries.defs ++ Round12Queries.defs ++ Round13Queries.defs ++
-      Round14Queries.defs ++ Round15Queries.defs ++
+      Round14Queries.defs ++ Round15Queries.defs ++ Round17Queries.defs ++
       AnalyticsQueries.defs ++ GraphQueries.defs ++ WarehouseQueries.defs
 
   /** DuckDB-runnable ANSI SQL twin for each SQL-expressible query. */
@@ -48,6 +48,6 @@ object SparkEntry {
       ExtendedQueries.oracles ++ DeepRelational.oracles ++ Round3Queries.oracles ++
       Round4Queries.oracles ++ Round7Queries.oracles ++ Round9Queries.oracles ++
       Round11Queries.oracles ++ Round12Queries.oracles ++ Round13Queries.oracles ++
-      Round14Queries.oracles ++ Round15Queries.oracles ++
+      Round14Queries.oracles ++ Round15Queries.oracles ++ Round17Queries.oracles ++
       AnalyticsQueries.oracles ++ GraphQueries.oracles ++ WarehouseQueries.oracles
 }

@@ -37,6 +37,11 @@ object StreamProbe {
       spark.stop()
       return
     }
+    if (which == "corpus") {
+      corpusBench(spark, d, runs)
+      spark.stop()
+      return
+    }
     try Tables.events(spark, d).count() catch { case _: Throwable => () }
     for (i <- 1 to runs) {
       val (rows, secs) =
@@ -45,6 +50,39 @@ object StreamProbe {
       println(f"$which[$backend] run $i: $rows rows in $secs%.2f s = ${rows / secs}%.0f rows/s")
     }
     spark.stop()
+  }
+
+  /** `corpus` mode (r17): price the composed streaming corpus pipeline —
+    * the sf documents table through [[graft.streaming.StreamingAggs
+    * .startCorpusPipeline]] in ~5 micro-batches, once with the
+    * boilerplate line scrub OFF and once ON, so the scrub's marginal
+    * per-doc cost is a measured figure (BASELINE.md), not a guess.
+    * Usage: runMain graft.StreamProbe <sfDir> corpus [runs]
+    */
+  private def corpusBench(spark: SparkSession, d: String, runs: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val evalDocs = Seq("benchmark holdout grams live only here").toDF("text")
+    val slice = math.max(docs.length / 5, 1)
+    for (scrub <- Seq(false, true); i <- 1 to runs) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-corpusprobe").toString
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAggs.startCorpusPipeline(
+        ms.toDF().toDF("doc_id", "text"), evalDocs,
+        s"$dir/state", s"$dir/ckpt", _ => (), lineScrub = scrub)
+      val t0 = System.nanoTime()
+      try docs.grouped(slice).foreach { g =>
+        ms.addData(g.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"corpus[lineScrub=$scrub] run $i: ${docs.length} docs " +
+        f"in $s%.2f s = ${docs.length / s}%.0f docs/s")
+    }
   }
 
   /** Grow keyed-aggregation state by `keysPerBatch` FRESH keys per batch
