@@ -68,9 +68,12 @@ object StreamingAggs {
       val q = lit(ref(i))
       (p - q) * log(p / q)
     }.reduce(_ + _)
-    // null measurements carry no distribution information and must not
-    // count (least(null, 9) would silently file them as top-bucket mass)
-    df.filter(col(valueCol).isNotNull)
+    // null AND NaN measurements carry no distribution information and
+    // must not count (least(null, 9) would silently file nulls as
+    // top-bucket mass; floor(NaN) yields 0, so a NaN flood would inflate
+    // bucket-0 share and fire or mask the alarm on signal-free data —
+    // code-review r17)
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
       .agg(cnts.head, cnts.tail: _*)
@@ -106,12 +109,17 @@ object StreamingAggs {
     require(refMeansU.length == dim,
       s"reference must carry $dim per-dim mean units, got ${refMeansU.length}")
     require(refN > 0, s"reference count must be positive, got $refN")
+    // per-dim avg, NOT sum/n_vectors: avg skips null ELEMENTS per dim
+    // exactly as the batch twin's per-dim avg(x) does — dividing a
+    // null-skipping sum by the total row count would bias the mean low
+    // on vectors with null elements and diverge from the batch
+    // quantization (code-review r17)
     val sums = (0 until dim).map(i =>
-      sum(element_at(col(vecCol), i + 1)).as(s"__s$i"))
+      avg(element_at(col(vecCol), i + 1)).as(s"__s$i"))
     val n = col("n_vectors")
     // per-dim window-mean units, quantized exactly like the batch twin
     def u(i: Int) =
-      floor(col(s"__s$i") / n * 1000000 + 0.5).cast("long")
+      floor(col(s"__s$i") * 1000000 + 0.5).cast("long")
     val s2 = (0 until dim).map { i =>
       val d = u(i) - lit(refMeansU(i))
       d * d
@@ -249,6 +257,9 @@ object StreamingAggs {
     */
   def statsEveryN(keyed: Dataset[(String, Boolean)], every: Int,
                   idleTtlMs: Long = 0L): Dataset[StreamStats] = {
+    // fail at construction, not with an executor-side ArithmeticException
+    // at the first row (the psi/drift monitors' require() convention)
+    require(every > 0, s"emit interval must be positive, got $every")
     import keyed.sparkSession.implicits._
     // Idle-TTL reclamation (idleTtlMs > 0) keeps state O(#live streams),
     // not O(#streams ever): a routing key silent for idleTtlMs drops its
@@ -399,6 +410,7 @@ object StreamingAggs {
     */
   final class StatsEveryNProcessor(every: Int)
       extends StatefulProcessor[String, (String, Boolean), StreamStats] {
+    require(every > 0, s"emit interval must be positive, got $every")
     @transient private var counters: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -523,29 +535,28 @@ object StreamingAggs {
     * the upstream gates — state must stay exactly the accepted corpus).
     */
   private def markNearDups(batch: DataFrame, stateDir: String, batchId: Long)
-      : (DataFrame, DataFrame, DataFrame => Unit) = {
+      : (DataFrame, Seq[DataFrame], DataFrame => Unit) = {
     import graft.functions.TextFunctions.{minhashBands, shingles}
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
     graft.plans.GraftFunctions.register(s)
-    def readSlice(dir: String, schema: StructType): DataFrame =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-        s.read.parquet(dir).filter(col("batch") =!= batchId)
-          .select(schema.fieldNames.map(col).toSeq: _*)
-      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val bandSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("band", IntegerType), StructField("h", LongType)))
     val shSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("sh", ArrayType(StringType))))
+    // feat persisted too (code-review r17): the shingle + MinHash work is
+    // the expensive part and five downstream joins consume it (cross x2,
+    // intra x2, commit) — caching only `banded` re-ran it per join
     val feat = batch.select(col("doc_id"), shingles("text", 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", expr("graft_minhash(sh)"))
+      .persist()
     val banded = feat
       .select(col("doc_id"), explode(minhashBands("sig", 8, 4)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.h"))
       .persist()
-    val storedBands = readSlice(s"$stateDir/bands", bandSchema)
-    val storedSh = readSlice(s"$stateDir/shingles", shSchema)
+    val storedBands = readState(s, s"$stateDir/bands", batchId, bandSchema)
+    val storedSh = readState(s, s"$stateDir/shingles", batchId, shSchema)
     // cross-batch: arriving band rows probe the accepted corpus's buckets
     val crossDup = banded
       .join(storedBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "h"))
@@ -571,7 +582,7 @@ object StreamingAggs {
       banded.join(accepted, "doc_id")
         .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
     }
-    (marked, banded, commit)
+    (marked, Seq(banded, feat), commit)
   }
 
   def startIncrementalNearDup(docs: DataFrame, stateDir: String,
@@ -581,12 +592,12 @@ object StreamingAggs {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (marked0, banded, commit) = markNearDups(batch, stateDir, batchId)
+        val (marked0, caches, commit) = markNearDups(batch, stateDir, batchId)
         val marked = marked0.persist()
         try {
           onBatch(marked)
           commit(marked.filter(!col("is_neardup")).select(col("doc_id")))
-        } finally { marked.unpersist(); banded.unpersist() }
+        } finally { marked.unpersist(); caches.foreach(_.unpersist()) }
         ()
       }
       .start()
@@ -695,17 +706,36 @@ object StreamingAggs {
                         schema: org.apache.spark.sql.types.StructType)
       : DataFrame =
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-      s.read.parquet(dir)
+      // explicit schema (+ the batch partition column): a crash during a
+      // family's FIRST commit leaves the dir holding only _temporary
+      // task files, and schema INFERENCE over zero footers throws
+      // "Unable to infer schema" on every replay — a permanent wedge
+      // that breaks the idempotent-replay contract. With the schema
+      // supplied, zero data files read as an empty frame and the replay
+      // proceeds to rewrite the slice (code-review r17).
+      s.read.schema(schema.add(org.apache.spark.sql.types.StructField(
+          "batch", org.apache.spark.sql.types.LongType)))
+        .parquet(dir)
         .filter(col("batch") =!= batchId) // replay: ignore own prior append
         .select(schema.fieldNames.map(col).toSeq: _*)
     else s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def markGates(batch: DataFrame, evalGrams: DataFrame,
+  private def markGates(batch0: DataFrame, evalGrams: DataFrame,
                         seenShaDir: String, batchId: Long,
                         n: Int): DataFrame = {
     import graft.functions.TextFunctions.{sha256Hex, shingles}
     import graft.functions.ParityMath.floorRound
+    // null text carries no content: the gates compute over '' so every
+    // per-doc frame keeps a row (repetition() yields NO row for null
+    // text and markGates's inner join would silently DROP the doc from
+    // the batch — the vanish the line scrub's left join exists to
+    // prevent), and `has_text` = false rides out for the callers'
+    // accept predicate to reject it WITH an audit row (code-review r17)
+    val batch = batch0
+      .withColumn("has_text",
+        col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("text", coalesce(col("text"), lit("")))
     val s = batch.sparkSession
     graft.plans.GraftFunctions.register(s)
     // quality: the d_corpus_build_v2 blend, per-row
@@ -839,8 +869,8 @@ object StreamingAggs {
         val marked = markGates(piiScrubStage(piiScrub)(batch), evalGrams,
             seenShaDir, batchId, n)
           .withColumn("accepted",
-            col("quality") >= minQuality && !col("repetitive") &&
-              !col("contaminated") && col("is_new"))
+            col("has_text") && col("quality") >= minQuality &&
+              !col("repetitive") && !col("contaminated") && col("is_new"))
           .persist()
         try {
           onBatch(marked)
@@ -941,7 +971,8 @@ object StreamingAggs {
         // letting it through would ACCEPT it (the quality blend scores ""
         // as 1-token/1-distinct ⇒ 0.8) and burn its empty-string sha in
         // the dedup state; gate it out explicitly
-        val gatePass = col("quality") >= minQuality && !col("repetitive") &&
+        val gatePass = col("has_text") &&
+          col("quality") >= minQuality && !col("repetitive") &&
           !col("contaminated") && col("is_new") &&
           (if (lineScrub) col("n_kept_lines") > 0 else lit(true))
         // scrub order: PII first (redact before anything reads the text),
@@ -957,7 +988,7 @@ object StreamingAggs {
             batchId, n)
           .persist()
         try {
-          val (ndMarked, banded, commitNearDup) = markNearDups(
+          val (ndMarked, ndCaches, commitNearDup) = markNearDups(
             gated.filter(gatePass).select(col("doc_id"), col("text")),
             s"$stateRoot/neardup", batchId)
           val ndFull = gated
@@ -984,7 +1015,7 @@ object StreamingAggs {
             // line-frequency state: ALL batch docs' counts
             lineFreq.foreach(_.write.mode("overwrite")
               .parquet(s"$stateRoot/lines/batch=$batchId"))
-          } finally { full.unpersist(); banded.unpersist() }
+          } finally { full.unpersist(); ndCaches.foreach(_.unpersist()) }
         } finally { gated.unpersist(); lineFreq.foreach(_.unpersist()) }
         ()
       }
@@ -1183,12 +1214,20 @@ object StreamingAggs {
     import graft.functions.VectorFunctions.l2Norm
     val seed = seedVectors.select(col("vec_id"), col("v"))
       .withColumn("nrm", l2Norm(col("v")))
+    graft.plans.GraftFunctions.register(vectors.sparkSession)
+    // built ONCE from the fixed seed corpus, as the scaladoc promises —
+    // these used to be rebuilt inside every foreachBatch, re-running the
+    // seed scan + centroid/codebook aggregations per micro-batch
+    // (code-review r17). The artifacts are index-sized one-row frames;
+    // persisted so each batch's annotate re-broadcasts from cache. They
+    // stay cached for the query's lifetime (freed with the session).
+    val (centArr, cb) =
+      graft.operators.SimilarityQueries.pqIndexBuild(seed, centroidStride)
+    centArr.persist()
+    cb.persist()
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.plans.GraftFunctions.register(batch.sparkSession)
-        val (centArr, cb) =
-          graft.operators.SimilarityQueries.pqIndexBuild(seed, centroidStride)
         val annotated = graft.operators.SimilarityQueries
           .pqIndexAnnotate(batch, centArr, cb)
           .persist()

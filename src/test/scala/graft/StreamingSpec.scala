@@ -717,6 +717,43 @@ class StreamingSpec extends SparkSpec {
       (2L, 300L, 1)), st.toString)
   }
 
+  test("R20/T4 streaming: null-text doc stays visible with accepted=false; _temporary-only state dir does not wedge") {
+    // code-review r17, two fixes in one lifecycle: (1) a null-text doc
+    // used to VANISH from the batch (repetition() emits no row for null
+    // text and markGates joined inner) — it must surface with
+    // has_text=false and an accepted=false audit row; (2) a crash during
+    // a state family's FIRST commit leaves the dir holding only
+    // _temporary, and schema inference over zero footers threw on every
+    // replay — with the explicit read schema the batch proceeds.
+    import graft.streaming.StreamingAggs
+    val dir = java.nio.file.Files.createTempDirectory("gate-nulltext").toString
+    // the wedge shape: state dir exists, holds only _temporary
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/sha/_temporary"))
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    val good = (0 until 20).map(j => s"nt$j").mkString(" ")
+    type V = (Boolean, Boolean) // has_text, accepted
+    val got = new ConcurrentLinkedQueue[(Long, V)]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = StreamingAggs.startCorpusGate(
+      stream.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/sha", s"$dir/ckpt",
+      batch => batch.select("doc_id", "has_text", "accepted")
+        .collect().foreach(r => got.add((r.getLong(0),
+          (r.getBoolean(1), r.getBoolean(2))))))
+    try {
+      stream.addData((1L, null), (2L, good), (3L, ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, V)](0)).toMap
+    assert(byDoc.keySet === Set(1L, 2L, 3L),
+      s"every doc must surface in the audit frame: ${byDoc.keySet}")
+    assert(byDoc(1L) === ((false, false)), s"null text: ${byDoc(1L)}")
+    assert(byDoc(2L) === ((true, true)), s"real text: ${byDoc(2L)}")
+    assert(byDoc(3L) === ((false, false)), s"empty text: ${byDoc(3L)}")
+    // only the real doc's sha entered state
+    assert(spark.read.parquet(s"$dir/sha").count() === 1)
+  }
+
   test("R17/R20/T4 streaming: boilerplate line scrub — batch ≡ stream, frequency accumulates across batches") {
     // VERDICT r16 #7: d_line_dedup's streaming twin. Lines over the
     // MaxDocsPerLine(=2) distinct-doc cut scrub from `text` BEFORE the
