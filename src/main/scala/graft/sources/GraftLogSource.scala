@@ -202,23 +202,29 @@ object GraftLog {
       rows.isEmpty || rows.map(_._2).max < tsWatermarkMs
     }.map { f => Files.delete(f); f.getFileName.toString }
 
-  private[sources] def maxOrdinal(dir: String): Long = {
-    // latestOffset runs on the driver EVERY trigger: when all segments
-    // carry name bounds, the head position is a directory listing, not a
-    // full log read; one unmarked segment forces the fallback scan
-    val files = segmentFiles(dir)
-    val bounds = files.map { f =>
-      f.toString match {
-        case BoundsRe(_, mx) => Some(mx.toLong)
-        case _ => None
-      }
+  /** Per-segment (min, max) ordinal bounds: from the name when embedded
+    * (no file open), else by opening THAT segment only — one unmarked
+    * fixture segment must not force a full-log read on the per-trigger
+    * driver path (code-review r17; previously any unmarked file demoted
+    * [[maxOrdinal]] to readAll over every segment). Empty segments
+    * contribute no bounds.
+    */
+  private def fileBounds(f: Path): Option[(Long, Long)] =
+    nameBounds(f).orElse {
+      val ords = parseSegment(f).map(_._1)
+      if (ords.isEmpty) None else Some((ords.min, ords.max))
     }
-    if (files.nonEmpty && bounds.forall(_.isDefined)) bounds.flatten.max
-    else {
-      val all = readAll(dir)
-      if (all.isEmpty) -1L else all.map(_._1).max
-    }
-  }
+
+  private[graft] def maxOrdinal(dir: String): Long =
+    segmentFiles(dir).flatMap(fileBounds).map(_._2)
+      .maxOption.getOrElse(-1L)
+
+  /** Smallest ordinal currently in the log; 0 when empty (the earliest
+    * cursor then rests at −1, the pre-fix behavior for an empty log).
+    */
+  private[graft] def minOrdinal(dir: String): Long =
+    segmentFiles(dir).flatMap(fileBounds).map(_._1)
+      .minOption.getOrElse(0L)
 }
 
 /** Streaming offset = last delivered ordinal. */
@@ -384,8 +390,21 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap,
       s"1013: stream does not exist: $dir (set allowMissing=true to subscribe to a not-yet-created log)")
   private val startOrdinal = Option(options.get("startingOrdinal")).map(_.toLong)
   private val startTimestamp = Option(options.get("startingTimestamp")).map(_.toLong)
-  private val startMode = Option(options.get("startingOffsets")).getOrElse("earliest")
+  // value validated case-insensitively: CaseInsensitiveStringMap folds
+  // KEYS only, and a typo'd/"LATEST" value silently falling through to
+  // earliest would replay the whole retention archive — the reference's
+  // S6 contract errors loudly on a bad offset specification
+  // (code-review r17)
+  private val startMode = Option(options.get("startingOffsets"))
+    .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("earliest")
+  require(startMode == "earliest" || startMode == "latest",
+    s"startingOffsets must be 'earliest' or 'latest', got '$startMode' " +
+      "(reference S6: a bad offset specification is a loud error, WS close 1002)")
   private val maxPerTrigger = Option(options.get("maxOrdinalsPerTrigger")).map(_.toLong)
+  // 0/negative would make latestOffset cap the cursor at `from` every
+  // trigger — zero progress forever with no error (code-review r17)
+  require(maxPerTrigger.forall(_ > 0),
+    s"maxOrdinalsPerTrigger must be positive, got ${maxPerTrigger.getOrElse(0L)}")
   require(Seq(startOrdinal.isDefined, startTimestamp.isDefined).count(identity) <= 1,
     "at most one of startingOrdinal / startingTimestamp (reference S6: WS close 1002)")
 
@@ -401,7 +420,12 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap,
         GraftLog.readAll(dir).filter(_._2 >= ts).map(_._1)
           .minOption.getOrElse(GraftLog.maxOrdinal(dir) + 1)
       case _ if startMode == "latest" => GraftLog.maxOrdinal(dir) + 1 // NEXT
-      case _ => 0L // earliest
+      // earliest = the log's actual minimum, not a literal 0: the data
+      // model supports negative ordinals (BoundsRe, the offset JSON, the
+      // pushdown guards all handle them) and a hardcoded 0 silently
+      // skipped any such records (code-review r17); for an ordinary ≥1
+      // log, min−1 delivers exactly what the old 0−1 cursor did
+      case _ => GraftLog.minOrdinal(dir) // earliest
     }
     GraftLogOffset(firstDeliverable - 1)
   }
@@ -416,7 +440,14 @@ class GraftLogMicroBatch(options: CaseInsensitiveStringMap,
     val from = start.asInstanceOf[GraftLogOffset].ord
     val avail = GraftLog.maxOrdinal(dir)
     val capped = limit match {
-      case r: ReadMaxRows => math.min(from + r.maxRows(), avail)
+      case r: ReadMaxRows =>
+        // saturating add: a huge cap (or epoch-millis-scale ordinals)
+        // must not wrap `from + maxRows` negative — the min() would then
+        // pin the cursor at `from` forever, a silent stall
+        // (code-review r17)
+        val cap = try Math.addExact(from, r.maxRows())
+                  catch { case _: ArithmeticException => Long.MaxValue }
+        math.min(cap, avail)
       case _ => avail
     }
     GraftLogOffset(math.max(from, capped))
@@ -584,12 +615,20 @@ private[graft] class GraftLogStreamingWrite(dir: String, queryTag: String) exten
       case GraftLogSegMessage(tmp, fin) if tmp.nonEmpty =>
         Paths.get(fin).getFileName.toString
     }.toSet
+    // PUBLISH first, then drop the stale names: deleting before the
+    // renames opened a window where a concurrent reader of the shared
+    // dir saw the epoch's rows missing entirely and could advance its
+    // checkpoint past them (permanent loss); publish-then-delete shrinks
+    // the hazard to transient duplicates in the overlap, which
+    // at-least-once delivery already tolerates (code-review r17).
+    // Same-name replacements are handled by commitAll's REPLACE_EXISTING
+    // move and are excluded from the stale set below.
+    GraftLogPublish.commitAll(messages)
     val prefix = s"seg-$queryTag-e$epochId-"
     GraftLog.segmentFiles(dir)
       .filter(f => f.getFileName.toString.startsWith(prefix) &&
         !finals.contains(f.getFileName.toString))
       .foreach(Files.deleteIfExists(_))
-    GraftLogPublish.commitAll(messages)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftLogPublish.abortAll(messages)

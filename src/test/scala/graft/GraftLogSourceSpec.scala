@@ -406,4 +406,74 @@ class GraftLogSourceSpec extends SparkSpec {
       .select("ordinal").as[Long].collect().sorted
     assert(got.toSeq === (5L to 9L))
   }
+
+  // ---- code-review r17 hardening ----------------------------------------
+
+  test("S6: startingOffsets value is case-insensitive and a bogus value errors loudly") {
+    val dir = newLog("graftlog-mode")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 3L).map(i => (i, 1000 + i, s"old$i")))
+    // LATEST (uppercase value) must mean latest, not silently earliest —
+    // the key map is case-insensitive but the VALUE never was
+    val sink = new ConcurrentLinkedQueue[Long]()
+    val q = stream(dir, "startingOffsets" -> "LATEST").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("ordinal").as[Long].collect().foreach(sink.add(_)); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(sink.isEmpty, s"LATEST must not replay the archive: $sink")
+      GraftLog.writeSegment(dir, "seg-1", Seq((3L, 1003L, "new")))
+      q.processAllAvailable()
+      assert(sink.toArray(new Array[java.lang.Long](0)).toSeq
+        .map(_.longValue) === Seq(3L))
+    } finally q.stop()
+    // a typo is a loud error (reference S6), never a silent full replay
+    val err = intercept[Exception] {
+      runToMemory(stream(dir, "startingOffsets" -> "end"), "gl_badmode")
+    }
+    assert(err.getMessage.contains("startingOffsets") ||
+      Option(err.getCause).exists(_.getMessage.contains("startingOffsets")),
+      s"unexpected error: ${err.getMessage}")
+  }
+
+  test("T6: maxOrdinalsPerTrigger=0 errors at start; Long.MaxValue paces without wrapping") {
+    val dir = newLog("graftlog-cap")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 5L).map(i => (i, 1000 + i, s"m$i")))
+    val err = intercept[Exception] {
+      runToMemory(stream(dir, "maxOrdinalsPerTrigger" -> "0"), "gl_cap0")
+    }
+    assert(err.getMessage.contains("maxOrdinalsPerTrigger") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxOrdinalsPerTrigger")),
+      s"unexpected error: ${err.getMessage}")
+    // a huge cap used to wrap from+maxRows negative and pin the cursor —
+    // zero rows forever; the saturating add must deliver everything
+    runToMemory(stream(dir,
+      "maxOrdinalsPerTrigger" -> Long.MaxValue.toString), "gl_capmax")
+    assert(spark.table("gl_capmax").select("ordinal").as[Long]
+      .collect().sorted.toSeq === (0L until 5L))
+  }
+
+  test("S2: earliest seeks the log's true minimum — negative ordinals are not skipped") {
+    val dir = newLog("graftlog-neg")
+    GraftLog.writeSegment(dir, "seg-0", Seq((-3L, 900L, "n3"), (-1L, 901L, "n1")))
+    GraftLog.writeSegment(dir, "seg-1", (0L until 3L).map(i => (i, 1000 + i, s"m$i")))
+    runToMemory(stream(dir), "gl_neg")
+    val got = spark.table("gl_neg").select("ordinal").as[Long].collect().sorted
+    assert(got.toSeq === Seq(-3L, -1L, 0L, 1L, 2L),
+      s"earliest must deliver the negative-ordinal records: ${got.toSeq}")
+  }
+
+  test("S10: one unmarked segment no longer forces maxOrdinal to read every marked segment") {
+    val dir = newLog("graftlog-head")
+    (0 until 5).foreach { i =>
+      GraftLog.writeSegment(dir, f"seg-$i.o${i * 10}-${i * 10 + 9}",
+        (i * 10L until i * 10L + 10L).map(j => (j, 1000 + j, s"m$j")))
+    }
+    GraftLog.writeSegment(dir, "fixture-unmarked", Seq((100L, 2000L, "u")))
+    val before = GraftLog.filesOpened.get()
+    assert(GraftLog.maxOrdinal(dir) === 100L)
+    val opened = GraftLog.filesOpened.get() - before
+    assert(opened === 1,
+      s"only the unmarked segment should be opened, got $opened file opens")
+  }
 }
