@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,18 +85,52 @@ object Replay {
     * spark.sql.session.timeZone=UTC so `to_timestamp` matches.
     */
   def seek(df: DataFrame, spec: OffsetSpec, ordinal: Column, tsMillis: Column): DataFrame =
+    df.filter(seekPredicate(spec, ordinal, tsMillis))
+
+  /** The seek as a bare predicate — for callers that need to OR in an
+    * exception (the streaming pipeline keeps a null-ordinal POISON pill
+    * visible through the seek; a null offset fails any range predicate).
+    */
+  def seekPredicate(spec: OffsetSpec, ordinal: Column, tsMillis: Column): Column =
     spec match {
-      case Next             => df.filter(lit(false)) // batch twin of "only new messages"
-      case FromOrdinal(n)   => df.filter(ordinal >= n)
-      case FromTimestamp(m) => df.filter(tsMillis >= m)
+      case Next             => lit(false) // batch twin of "only new messages"
+      case FromOrdinal(n)   => ordinal >= n
+      case FromTimestamp(m) => tsMillis >= m
       case FromDatetime(s)  =>
         // offsetSpec validated the string already when the spec came through
         // the protocol boundary; a direct seek with a bad string fails loudly
         // with the same 1002 message rather than silently filtering all rows
         // (which is what feeding a null timestamp into the predicate did).
         val ms = parseDatetime(s).fold(e => throw new IllegalArgumentException(e), identity)
-        df.filter(tsMillis >= ms)
+        tsMillis >= ms
     }
+
+  /** S2-S5 as SOURCE options for the graft-log streaming source — the
+    * canonical wiring for a NEXT consumer over a log with a backlog
+    * (code-review r17): `EventStreamPipeline.seek` passes Next through as
+    * a no-op filter, which is only correct over a HEAD-positioned
+    * stream, while the source DEFAULTS to `startingOffsets=earliest` —
+    * a Next consumer over a default-built source would replay the entire
+    * retention archive instead of the reference's new-messages-only NEXT
+    * (app.py:226-266). Ordinal/timestamp seeks also map to source
+    * options here (the source's name-bounds segment skipping then prunes
+    * at the file level, ahead of any in-plan filter — which remains
+    * correct for them on any source position).
+    */
+  def logStream(spark: SparkSession, dir: String, spec: OffsetSpec): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[graft.sources.GraftLogProvider].getName)
+      .option("path", dir)
+    (spec match {
+      case Next             => r.option("startingOffsets", "latest")
+      case FromOrdinal(n)   => r.option("startingOrdinal", n.toString)
+      case FromTimestamp(m) => r.option("startingTimestamp", m.toString)
+      case FromDatetime(s)  =>
+        val ms = parseDatetime(s)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        r.option("startingTimestamp", ms.toString)
+    }).load()
+  }
 
   /** R6 — latest event per key (as-of "now"): the reference's "first event
     * after the given reference point" semantics (README.md:196-198) flipped

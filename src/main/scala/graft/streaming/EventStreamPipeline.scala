@@ -72,13 +72,28 @@ object EventStreamPipeline {
             Envelope.enrichProtoText(col("body"), col("ordinal"), col("ts_ms")))))
 
   /** Replay predicate (S2-S5) applied to the stream — the batch-expressible
-    * twin of `startingOffsets`; for a true external log source this becomes
-    * the source's offset spec instead of a filter.
+    * twin of `startingOffsets`. Next passes through and therefore REQUIRES
+    * a head-positioned source: the graft-log source DEFAULTS to
+    * `startingOffsets=earliest`, so a Next consumer over a default-built
+    * source would replay the whole retention archive —
+    * [[graft.operators.Replay.logStream]] is the canonical wiring that
+    * maps the spec to source options (code-review r17; spec-pinned in
+    * GraftLogSourceSpec). Ordinal/timestamp specs are in-plan filters,
+    * correct on any source position.
     */
   def seek(df: DataFrame, spec: Replay.OffsetSpec): DataFrame =
     spec match {
-      case Replay.Next => df // streaming: only new rows arrive anyway
-      case other       => Replay.seek(df, other, col("ordinal"), col("ts_ms"))
+      case Replay.Next => df // pass-through: see the head-position contract above
+      case other =>
+        // a POISON whose offset metadata is missing must reach the sink
+        // even through a seek filter — a null ordinal/ts fails any range
+        // predicate, and the pill carries the stop signal regardless of
+        // broker metadata (app.py:463-467; code-review r17). A pill WITH
+        // a position below the seek point is correctly excluded: the
+        // reference's broker never delivers below the requested offset.
+        df.filter(
+          Replay.seekPredicate(other, col("ordinal"), col("ts_ms")) ||
+          (col("ordinal").isNull && col("body") === lit(Envelope.Poison)))
     }
 
   /** Wire a streaming envelope DataFrame to a push sink with POISON stop
@@ -166,20 +181,31 @@ object EventStreamPipeline {
               // total order via ONE exchange to a single partition + an
               // in-partition sort — the executor-side twin of the driver
               // sort (per-stream delivery is serial either way; the win
-              // is the record stream never crosses the driver). Null
-              // ordinals are malformed → dropped, as in the driver path.
+              // is the record stream never crosses the driver). The body
+              // itself never ships: only the POISON verdict does (the
+              // exchange then carries a boolean + the wire string, not
+              // 2× the payload — code-review r17). Null ordinals are
+              // malformed → dropped, EXCEPT a POISON body: losing the
+              // in-band stop signal to a missing broker offset would
+              // keep the consumer alive past the pill; with no defined
+              // position it sorts FIRST and stops delivery immediately.
               batch
-                .select(col("body"), col("forward"), col("wire"), col("ordinal"))
-                .filter(col("ordinal").isNotNull)
+                .select(
+                  coalesce(col("body") === lit(Envelope.Poison), lit(false))
+                    .as("is_poison"),
+                  coalesce(col("forward"), lit(false)).as("forward"),
+                  col("wire"), col("ordinal"))
+                .filter(col("ordinal").isNotNull || col("is_poison"))
                 .repartition(1)
-                .sortWithinPartitions(col("ordinal"))
+                .sortWithinPartitions(
+                  coalesce(col("ordinal"), lit(Long.MinValue)))
                 .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
                   val (sendFn, closeFn) = factory.open()
                   try {
                     var poisoned = false
                     while (!poisoned && it.hasNext) {
                       val r = it.next()
-                      if (r.getString(0) == Envelope.Poison) {
+                      if (r.getBoolean(0)) {
                         poisoned = true; acc.add(1L)
                       } else if (r.getBoolean(1)) sendFn(r.getString(2))
                     }
@@ -197,16 +223,28 @@ object EventStreamPipeline {
             // streams, not within one. Sort driver-side: a DataFrame
             // orderBy would add a range-partition sampling pass that
             // executes the batch plan twice (double-firing the observe()
-            // counters). Rows with a null ordinal are malformed — dropped
-            // like the body guards drop undecodable bodies, never a query-
-            // killing NPE in the sort.
+            // counters). Only the POISON verdict crosses the driver
+            // boundary, never the body itself (body + wire ≈ 2× the
+            // payload per row — code-review r17). Rows with a null
+            // ordinal are malformed — dropped like the body guards drop
+            // undecodable bodies — EXCEPT a POISON body: the in-band
+            // stop signal must survive a missing broker offset
+            // (app.py:463-467 checks the body on every message,
+            // regardless of offset metadata); with no defined position
+            // it sorts FIRST and stops delivery immediately.
             val rows = batch
-              .select(col("body"), col("forward"), col("wire"), col("ordinal"))
-              .collect().filter(!_.isNullAt(3)).sortBy(_.getLong(3))
+              .select(
+                coalesce(col("body") === lit(Envelope.Poison), lit(false))
+                  .as("is_poison"),
+                coalesce(col("forward"), lit(false)).as("forward"),
+                col("wire"), col("ordinal"))
+              .collect()
+              .filter(r => !r.isNullAt(3) || r.getBoolean(0))
+              .sortBy(r => if (r.isNullAt(3)) Long.MinValue else r.getLong(3))
             val it = rows.iterator
             while (!poisonLatch.get() && it.hasNext) {
               val r = it.next()
-              if (r.getString(0) == Envelope.Poison) poisonLatch.set(true) // stop; do not forward (app.py:463-467)
+              if (r.getBoolean(0)) poisonLatch.set(true) // stop; do not forward (app.py:463-467)
               else if (r.getBoolean(1)) send(r.getString(2))
             }
             if (poisonLatch.get()) coordinator.requestStop(routingKey, queryName, spark)
@@ -241,11 +279,6 @@ class StreamCoordinator {
   def poisonTaken: Boolean = poisonObserved.get
 
   /** Register a new consumer, stopping any prior holder of the key. */
-  def register(routingKey: String, q: StreamingQuery): Unit = {
-    val prev = active.put(routingKey, q)
-    if (prev != null && prev.isActive) prev.stop()
-  }
-
   /** Fence-start-attach under the per-key lock (ConcurrentHashMap.compute
     * serializes per key): the previous holder is stopped, THEN the new
     * query starts, THEN it becomes the holder — all atomically per key, so
@@ -258,7 +291,17 @@ class StreamCoordinator {
   def registerWith(routingKey: String)(startQ: () => StreamingQuery): StreamingQuery = {
     var started: StreamingQuery = null
     active.compute(routingKey, (_, prev) => {
-      if (prev != null && prev.isActive) prev.stop()
+      // guarded like every other stop site (code-review r17): a throwing
+      // prev.stop() — e.g. TimeoutException under
+      // spark.sql.streaming.stopTimeout — must not abort the NEW
+      // consumer's registration; the displaced query is on its way out
+      // either way, and an unguarded throw here would leave IT the key
+      // holder, inverting last-connect-wins fencing. NOTE stop() blocks
+      // while holding this key's map bin: deployments where a sink write
+      // can wedge should bound displacement with stopTimeout.
+      if (prev != null && prev.isActive) {
+        try prev.stop() catch { case _: Exception => () }
+      }
       started = startQ()
       started
     })
@@ -348,7 +391,16 @@ class StreamCoordinator {
       val holder = active.get(routingKey)
       if (holder != null && holder.name == queryName) active.remove(routingKey, holder)
       spark.streams.active.filter(_.name == queryName)
-        .foreach(q => if (q.isActive) q.stop())
+        .foreach { q =>
+          // guarded like poisonAll (code-review r17): a throwing stop
+          // must not kill the reaper thread mid-drain — the post-POISON
+          // lifecycle ends in the pod's grace-period kill, which
+          // backstops a query that refuses to stop, and the latch
+          // already guarantees nothing more is delivered
+          if (q.isActive) {
+            try q.stop() catch { case _: Exception => () }
+          }
+        }
     }, s"es-stop-$routingKey")
     t.setDaemon(true)
     t.start()

@@ -463,6 +463,32 @@ class GraftLogSourceSpec extends SparkSpec {
       s"earliest must deliver the negative-ordinal records: ${got.toSeq}")
   }
 
+  test("S2: Replay.logStream maps the offset spec to source options — NEXT never replays the backlog") {
+    // code-review r17: EventStreamPipeline.seek passes Next through as a
+    // no-op, which is only correct over a HEAD-positioned source — while
+    // this source defaults to earliest. logStream is the canonical
+    // wiring that makes NEXT actually mean new-messages-only.
+    val dir = newLog("graftlog-next-wire")
+    GraftLog.writeSegment(dir, "seg-0", (0L until 5L).map(i => (i, 1000 + i, s"old$i")))
+    val sink = new ConcurrentLinkedQueue[Long]()
+    val q = Replay.logStream(spark, dir, Replay.Next)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("ordinal").as[Long].collect().foreach(sink.add(_)); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(sink.isEmpty, s"NEXT must not replay the archive: $sink")
+      GraftLog.writeSegment(dir, "seg-1", Seq((5L, 1005L, "new")))
+      q.processAllAvailable()
+      assert(sink.toArray(new Array[java.lang.Long](0)).toSeq
+        .map(_.longValue) === Seq(5L))
+    } finally q.stop()
+    // the ordinal spec rides the source option too (name-bounds pruning)
+    runToMemory(Replay.logStream(spark, dir, Replay.FromOrdinal(3L)), "gl_wire_ord")
+    assert(spark.table("gl_wire_ord").select("ordinal").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 4L, 5L))
+  }
+
   test("S10: one unmarked segment no longer forces maxOrdinal to read every marked segment") {
     val dir = newLog("graftlog-head")
     (0 until 5).foreach { i =>

@@ -133,6 +133,29 @@ class StreamingSpec extends SparkSpec {
     assert(coord.activeQuery("rk-poison").isEmpty)
   }
 
+  test("T5: a POISON with a NULL ordinal still stops the consumer") {
+    // code-review r17: the null-ordinal drop (sink) and the seek range
+    // predicate (plan) both ran before the POISON check, so a pill whose
+    // broker offset was missing was silently discarded and the consumer
+    // lived on past it — the reference checks the body on EVERY message
+    // regardless of offset metadata (app.py:463-467). With no defined
+    // position the pill sorts first: nothing from its batch delivers.
+    val coord = new StreamCoordinator
+    val sent = new ConcurrentLinkedQueue[String]()
+    val stream = MemoryStream[(String, Option[Long], Long)](spark)
+    val q = EventStreamPipeline.start(
+      spark, stream.toDF().toDF("body", "ordinal", "ts_ms"),
+      "rk-nullpill", Replay.FromOrdinal(0), coord, sent.add(_))
+    stream.addData(("ok|1", Some(1L), 10L), ("POISON", None, 20L))
+    drain(q)
+    val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+    while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!q.isActive, "a null-ordinal POISON must still stop the query")
+    assert(coord.poisonTaken)
+    assert(sent.isEmpty, s"the positionless pill stops delivery immediately: $sent")
+    assert(coord.activeQuery("rk-nullpill").isEmpty)
+  }
+
   test("T5: a batch AFTER the POISON batch delivers nothing (latch outlives the batch)") {
     val coord = new StreamCoordinator
     val sent = new ConcurrentLinkedQueue[String]()
