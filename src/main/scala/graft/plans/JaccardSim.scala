@@ -38,6 +38,11 @@ case class JaccardSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_jaccard"
 
+  // may yield null on null ELEMENTS even when both array columns are
+  // themselves non-null — nullable must say so or codegen mis-assumes
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   private def sortedLongForm: Boolean = left.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
@@ -58,12 +63,23 @@ case class JaccardSim(left: Expression, right: Expression)
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
+  // plan-time nullability: when the input schema promises no null
+  // elements (Shingles output, containsNull=false) the per-element null
+  // scan is elided entirely — the hot verify paths pay nothing for it
+  private lazy val mayHaveNullElements: Boolean =
+    ArrayNulls.mayHaveNullElements(left.dataType, right.dataType)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements()
     val nb = b.numElements()
     if (na == 0 || nb == 0) return 0.0 // empty side: intersection 0; 0/u or the 0-union guard
+    // a null ELEMENT nulls the result (the DotProduct fail-safe rule):
+    // the sorted merge would read it as 0 — a phantom shared element
+    // between any two null-carrying arrays — and the string form would
+    // match null against null as a value (code-review r17)
+    if (mayHaveNullElements && ArrayNulls.anyNullElement(a, b)) return null
     if (sortedLongForm) {
       // merge intersect over sorted arrays with inline dedup
       var ia = 0; var ib = 0
@@ -92,17 +108,23 @@ case class JaccardSim(left: Expression, right: Expression)
       }
       java.lang.Double.valueOf(inter.toDouble / (da + db - inter))
     } else {
-      val (small, big, ns, nbig) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
-      val set = new java.util.HashSet[UTF8String](ns * 2)
+      // set semantics on BOTH sides (code-review r17): the one-set form
+      // deduped only the hashed side while the denominator used raw
+      // sizes, so non-distinct input (a caller skipping array_distinct)
+      // got a silently deflated similarity — and disagreed with the
+      // sorted-long form's inline dedup on the same data. Distinct
+      // inputs (every production path: Shingles dedups) are unchanged.
+      val sa = new java.util.HashSet[UTF8String](na * 2)
       var i = 0
-      while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
-      var inter = 0
+      while (i < na) { sa.add(a.getUTF8String(i)); i += 1 }
+      val sb = new java.util.HashSet[UTF8String](nb * 2)
       i = 0
-      while (i < nbig) {
-        if (set.contains(big.getUTF8String(i))) inter += 1
-        i += 1
-      }
-      java.lang.Double.valueOf(inter.toDouble / (na + nb - inter))
+      while (i < nb) { sb.add(b.getUTF8String(i)); i += 1 }
+      val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+      var inter = 0
+      val it = small.iterator()
+      while (it.hasNext) { if (big.contains(it.next())) inter += 1 }
+      java.lang.Double.valueOf(inter.toDouble / (sa.size + sb.size - inter))
     }
   }
 
@@ -110,6 +132,23 @@ case class JaccardSim(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val hasNull = ctx.freshName("hasNull")
+      val ni = ctx.freshName("ni")
+      // emitted only when the schema admits null elements — see
+      // mayHaveNullElements (hot paths carry containsNull=false)
+      def nullScan(cont: String): String =
+        if (!mayHaveNullElements) cont
+        else
+          s"""
+             |boolean $hasNull = false;
+             |for (int $ni = 0; $ni < $na && !$hasNull; $ni++) { $hasNull = $a.isNullAt($ni); }
+             |for (int $ni = 0; $ni < $nb && !$hasNull; $ni++) { $hasNull = $b.isNullAt($ni); }
+             |if ($hasNull) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |$cont
+             |}
+           """.stripMargin
       if (sortedLongForm) {
         val ia = ctx.freshName("ia")
         val ib = ctx.freshName("ib")
@@ -124,6 +163,7 @@ case class JaccardSim(left: Expression, right: Expression)
            |if ($na == 0 || $nb == 0) {
            |  ${ev.value} = 0.0;
            |} else {
+           |${nullScan(s"""
            |  int $ia = 0, $ib = 0, $da = 0, $db = 0, $inter = 0;
            |  while ($ia < $na && $ib < $nb) {
            |    final long $va = $a.getLong($ia);
@@ -148,35 +188,35 @@ case class JaccardSim(left: Expression, right: Expression)
            |    final long $vb = $b.getLong($ib); $db++;
            |    while ($ib < $nb && $b.getLong($ib) == $vb) { $ib++; }
            |  }
-           |  ${ev.value} = (double) $inter / ($da + $db - $inter);
+           |  ${ev.value} = (double) $inter / ($da + $db - $inter);""")}
            |}
          """.stripMargin
       } else {
-        val small = ctx.freshName("small")
-        val big = ctx.freshName("big")
-        val ns = ctx.freshName("ns")
-        val nbig = ctx.freshName("nbig")
-        val set = ctx.freshName("set")
+        val sa = ctx.freshName("sa")
+        val sb = ctx.freshName("sb")
+        val smallS = ctx.freshName("smallS")
+        val bigS = ctx.freshName("bigS")
         val inter = ctx.freshName("inter")
         val i = ctx.freshName("i")
-        val arrayData = classOf[ArrayData].getName
+        val it = ctx.freshName("it")
         s"""
            |final int $na = $a.numElements();
            |final int $nb = $b.numElements();
            |if ($na == 0 || $nb == 0) {
            |  ${ev.value} = 0.0;
            |} else {
-           |  final $arrayData $small = ($na <= $nb) ? $a : $b;
-           |  final $arrayData $big = ($na <= $nb) ? $b : $a;
-           |  final int $ns = $small.numElements();
-           |  final int $nbig = $big.numElements();
-           |  final java.util.HashSet $set = new java.util.HashSet($ns * 2);
-           |  for (int $i = 0; $i < $ns; $i++) { $set.add($small.getUTF8String($i)); }
+           |${nullScan(s"""
+           |  final java.util.HashSet $sa = new java.util.HashSet($na * 2);
+           |  for (int $i = 0; $i < $na; $i++) { $sa.add($a.getUTF8String($i)); }
+           |  final java.util.HashSet $sb = new java.util.HashSet($nb * 2);
+           |  for (int $i = 0; $i < $nb; $i++) { $sb.add($b.getUTF8String($i)); }
+           |  final java.util.HashSet $smallS = ($sa.size() <= $sb.size()) ? $sa : $sb;
+           |  final java.util.HashSet $bigS = ($sa.size() <= $sb.size()) ? $sb : $sa;
            |  int $inter = 0;
-           |  for (int $i = 0; $i < $nbig; $i++) {
-           |    if ($set.contains($big.getUTF8String($i))) { $inter++; }
+           |  for (java.util.Iterator $it = $smallS.iterator(); $it.hasNext(); ) {
+           |    if ($bigS.contains($it.next())) { $inter++; }
            |  }
-           |  ${ev.value} = (double) $inter / ($na + $nb - $inter);
+           |  ${ev.value} = (double) $inter / ($sa.size() + $sb.size() - $inter);""")}
            |}
          """.stripMargin
       }
@@ -184,6 +224,28 @@ case class JaccardSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(left = l, right = r)
+}
+
+/** Shared null-element plumbing for the pairwise array expressions
+  * (code-review r17): a null element must null the RESULT — the merge
+  * loops would read it as 0 (a phantom shared element) — but the scan is
+  * elided at plan time when the schema promises containsNull=false.
+  */
+private[plans] object ArrayNulls {
+  def mayHaveNullElements(l: DataType, r: DataType): Boolean = (l, r) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
+  def anyNullElement(a: ArrayData, b: ArrayData): Boolean = {
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { if (a.isNullAt(i)) return true; i += 1 }
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) { if (b.isNullAt(i)) return true; i += 1 }
+    false
+  }
 }
 
 /** Native distinct-intersection count of two SORTED long arrays (the
@@ -199,6 +261,10 @@ case class IntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_intersect_count"
 
+  // may yield null on null ELEMENTS (see JaccardSim.nullable)
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -208,9 +274,15 @@ case class IntersectCount(left: Expression, right: Expression)
           s"got (${l.catalogString}, ${r.catalogString})")
     }
 
+  private lazy val mayHaveNullElements: Boolean =
+    ArrayNulls.mayHaveNullElements(left.dataType, right.dataType)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    // null element ⇒ null count (see ArrayNulls) — elided on
+    // containsNull=false schemas
+    if (mayHaveNullElements && ArrayNulls.anyNullElement(a, b)) return null
     val na = a.numElements()
     val nb = b.numElements()
     var ia = 0; var ib = 0; var inter = 0L
@@ -235,21 +307,39 @@ case class IntersectCount(left: Expression, right: Expression)
       val inter = ctx.freshName("inter")
       val va = ctx.freshName("va")
       val vb = ctx.freshName("vb")
+      val hasNull = ctx.freshName("hasNull")
+      val ni = ctx.freshName("ni")
+      val body =
+        s"""
+           |  int $ia = 0, $ib = 0;
+           |  long $inter = 0L;
+           |  while ($ia < $na && $ib < $nb) {
+           |    final long $va = $a.getLong($ia);
+           |    final long $vb = $b.getLong($ib);
+           |    if ($va == $vb) {
+           |      $inter++;
+           |      while ($ia < $na && $a.getLong($ia) == $va) { $ia++; }
+           |      while ($ib < $nb && $b.getLong($ib) == $vb) { $ib++; }
+           |    } else if ($va < $vb) { $ia++; } else { $ib++; }
+           |  }
+           |  ${ev.value} = $inter;""".stripMargin
+      val guarded =
+        if (!mayHaveNullElements) body
+        else
+          s"""
+             |boolean $hasNull = false;
+             |for (int $ni = 0; $ni < $na && !$hasNull; $ni++) { $hasNull = $a.isNullAt($ni); }
+             |for (int $ni = 0; $ni < $nb && !$hasNull; $ni++) { $hasNull = $b.isNullAt($ni); }
+             |if ($hasNull) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |$body
+             |}
+           """.stripMargin
       s"""
          |final int $na = $a.numElements();
          |final int $nb = $b.numElements();
-         |int $ia = 0, $ib = 0;
-         |long $inter = 0L;
-         |while ($ia < $na && $ib < $nb) {
-         |  final long $va = $a.getLong($ia);
-         |  final long $vb = $b.getLong($ib);
-         |  if ($va == $vb) {
-         |    $inter++;
-         |    while ($ia < $na && $a.getLong($ia) == $va) { $ia++; }
-         |    while ($ib < $nb && $b.getLong($ib) == $vb) { $ib++; }
-         |  } else if ($va < $vb) { $ia++; } else { $ib++; }
-         |}
-         |${ev.value} = $inter;
+         |$guarded
        """.stripMargin
     })
 

@@ -24,8 +24,24 @@ import org.apache.spark.sql.types._
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression {
 
+  // loud at construction: k=0 would emit zero-length signatures (not
+  // null), banding every doc identically downstream (code-review r17)
+  require(k >= 1, s"graft_minhash: signature width k must be >= 1, got $k")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
+
+  // analysis-time type check (the DotProduct discipline): an
+  // array<bigint> argument (the hashed-shingle layout) would otherwise
+  // reach getUTF8String and reinterpret long slots as offset+length
+  // pairs — silently wrong signatures, not an error (code-review r17)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects array<string> shingles, got ${t.catalogString}")
+    }
 
   /** Public twin of nullSafeEval for generated code — called through a
     * reference object so the enclosing WholeStageCodegen stage stays
@@ -65,6 +81,10 @@ case class MinHashSig(child: Expression, k: Int)
     var i = 0
     val n = n0
     while (i < n) {
+      // a null element nulls the signature (the DotProduct fail-safe
+      // rule: never a plausible-looking partial result) — Shingles
+      // output can't carry one, but SQL-built arrays can
+      if (arr.isNullAt(i)) return null
       val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < k) {
@@ -116,6 +136,7 @@ object GraftFunctions {
         // multiply-add loop. Deterministic perms are prefix-stable: the
         // first 32 of a k=128 signature equal the k=32 signature.
         val k = if (exprs.length == 2) literalInt("graft_minhash", exprs(1)) else 32
+        require(k >= 1, s"graft_minhash: k must be >= 1, got $k")
         MinHashSig(exprs.head, k)
       }),
     ("graft_shingles", "graft_shingles(text, n) - distinct n-word shingles",
@@ -130,6 +151,7 @@ object GraftFunctions {
         // k must match the signatures being unioned (the agg fails loudly
         // on a width mismatch) — widened callers pass it explicitly
         val k = if (exprs.length == 2) literalInt("graft_minhash_union", exprs(1)) else 32
+        require(k >= 1, s"graft_minhash_union: k must be >= 1, got $k")
         MinHashUnionAgg(exprs.head, k)
       }),
     ("graft_dot", "graft_dot(a, b) - dot product of double arrays",

@@ -28,11 +28,30 @@ case class MinHashUnionAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_union"
 
-  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_union expects array<bigint> signatures, got ${t.catalogString}")
+    }
+
+  // buffer layout: k minima + a trailing seen-flag slot. Without the flag,
+  // a group whose every signature is NULL (all too-short docs, or a
+  // filtered-empty frame) evaluated to the all-MaxValue sentinel — the
+  // exact every-empty-doc-looks-identical bug MinHashSig's null-on-empty
+  // exists to prevent, resurfacing one aggregation later: two such groups
+  // compare as estimated-Jaccard-1.0 overlap (code-review r17). A
+  // never-updated buffer now evaluates to NULL.
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = new Array[Long](k + 1)
+    java.util.Arrays.fill(buf, 0, k, Long.MaxValue)
+    buf // buf(k) = 0: no signature folded in yet
+  }
 
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -50,6 +69,7 @@ case class MinHashUnionAgg(
         if (x < buf(i)) buf(i) = x
         i += 1
       }
+      buf(k) = 1L
     }
     buf
   }
@@ -57,20 +77,23 @@ case class MinHashUnionAgg(
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    if (b(k) != 0L) a(k) = 1L
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(k) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf, k))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(k * 8)
+    val bb = ByteBuffer.allocate((k + 1) * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(k)(bb.getLong())
+    Array.fill(k + 1)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashUnionAgg =

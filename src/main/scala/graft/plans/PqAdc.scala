@@ -54,6 +54,11 @@ case class PqAdc(left: Expression, right: Expression)
       p /= 17
       j += 1
     }
+    // residue after 8 digits means the input was never a valid 8-digit
+    // pack (p >= 17^8, e.g. a raw hash passed by mistake) — its low
+    // digits would produce a syntactically valid but wrong sum, exactly
+    // the plausible-looking result the contract forbids (code-review r17)
+    if (p != 0L) return null
     acc
   }
 
@@ -76,6 +81,7 @@ case class PqAdc(left: Expression, right: Expression)
          |    if ($dg > 15 || $lut.isNullAt($idx)) { ${ev.isNull} = true; }
          |    else { $acc += $lut.getLong($idx); $p /= 17L; }
          |  }
+         |  if (!${ev.isNull} && $p != 0L) { ${ev.isNull} = true; }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin

@@ -23,6 +23,16 @@ case class Shingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
+  // analysis-time type check (code-review r17): a non-string argument
+  // would otherwise reach executors as a ClassCastException at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects a string, got ${t.catalogString}")
+    }
+
   /** Public twin of nullSafeEval for generated code: the body is
     * set/StringBuilder work with nothing to gain from inlining, so the
     * generated code calls back into THIS expression (shipped as a

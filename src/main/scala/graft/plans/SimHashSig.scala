@@ -20,16 +20,38 @@ case class SimHashSig(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
+  // analysis-time type check (code-review r17): an array<bigint>
+  // argument would reach getUTF8String and reinterpret long slots as
+  // offset+length pairs — silently wrong signatures, not an error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects array<string> tokens, got ${t.catalogString}")
+    }
+
+  // may yield null on a null ELEMENT (the fail-safe rule) even when the
+  // array column itself is non-null
+  override def nullable: Boolean = true
+
   /** Public twin of nullSafeEval for generated code — called through a
     * reference object so the enclosing WholeStageCodegen stage stays
     * fused (a CodegenFallback splits it for every co-resident expression).
+    * Boxed: null (a null token element) maps back to SQL NULL.
     */
-  def compute(v: ArrayData): Long =
-    nullSafeEval(v).asInstanceOf[java.lang.Long].longValue()
+  def compute(v: ArrayData): java.lang.Long =
+    nullSafeEval(v).asInstanceOf[java.lang.Long]
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashSig].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    val tmp = ctx.freshName("simhashBoxed")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long $tmp = $ref.compute($c);
+         |${ev.isNull} = ($tmp == null);
+         |if (!${ev.isNull}) { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin)
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -38,6 +60,8 @@ case class SimHashSig(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
+      // a null token nulls the signature (the DotProduct fail-safe rule)
+      if (arr.isNullAt(i)) return null
       val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < 64) {

@@ -64,7 +64,13 @@ private[plans] object TopKHeaps {
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[UnsafeRow](k + 1, ord.reverse.asInstanceOf[Ordering[UnsafeRow]])
+        // INITIAL capacity only — the queue grows as needed. Allocating
+        // k+1 eagerly overflowed to a negative capacity at k=Int.MaxValue
+        // and pre-allocated huge arrays for large k before a single row
+        // arrived (code-review r17); the rewrite rule separately caps the
+        // k it will capture (TopKRewriteRule.MaxRewriteK).
+        heap = new java.util.PriorityQueue[UnsafeRow](
+          math.min(k, 64) + 1, ord.reverse.asInstanceOf[Ordering[UnsafeRow]])
         heaps.put(key.copy(), heap)
       }
       // compare on the RAW row (ord is bound to childOutput ordinals, and
@@ -163,14 +169,20 @@ object TopK {
   /** Sort key for [[perKey]]: column name + direction. */
   final case class Ord(name: String, desc: Boolean = false)
 
+  /** Idempotent strategy registration — ONE definition shared with
+    * [[TopKRewrite.enable]] (code-review r17: the snippet lived twice).
+    */
+  private[plans] def registerStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Ord], k: Int,
              rankCol: String = "rk"): DataFrame = {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     require(order.nonEmpty, "top-k needs at least one sort key")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    registerStrategy(spark)
     val child = df.queryExecution.analyzed
     // resolve names against the analyzed child so the node is born resolved
     // (Connect-style Column wrappers don't resolve inside custom operators)

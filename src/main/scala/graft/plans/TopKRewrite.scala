@@ -25,14 +25,24 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
-  /** k such that `cond` ⟺ rank ≤ k, if cond is such a bound. */
-  private def boundOf(cond: Expression, rank: ExprId): Option[Int] = cond match {
-    case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank => Some(v)
-    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank => Some(v - 1)
-    case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank && v == 1 => Some(1)
-    case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank && v == 1 => Some(1)
-    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank => Some(v)
-    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank => Some(v - 1)
+  /** Above this bound the rewrite declines (code-review r17): the heap
+    * operator buffers k rows PER KEY per partition with no spill, so a
+    * huge k is better served by the window form's external sort — and
+    * the `v - 1` forms must not underflow at Int.MinValue (which turned
+    * an always-false rank filter into top-Int.MaxValue = all rows).
+    */
+  private val MaxRewriteK = 1 << 20
+
+  /** k such that `cond` ⟺ rank ≤ k, if cond is such a bound. Long
+    * arithmetic throughout: the strict forms compute v − 1.
+    */
+  private def boundOf(cond: Expression, rank: ExprId): Option[Long] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank => Some(v.toLong)
+    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank => Some(v.toLong - 1)
+    case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rank && v == 1 => Some(1L)
+    case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank && v == 1 => Some(1L)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank => Some(v.toLong)
+    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rank => Some(v.toLong - 1)
     case _ => None
   }
 
@@ -42,14 +52,14 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         part, order, windowChild, _))
         if spec.partitionSpec == part && spec.orderSpec == order && order.nonEmpty =>
       boundOf(cond, alias.exprId) match {
-        case Some(k) if k >= 1 =>
+        case Some(k) if k >= 1 && k <= MaxRewriteK =>
           // Spark's InferWindowGroupLimit may already have slid a
           // WindowGroupLimit under the Window; the heap operator subsumes it.
           val child = windowChild match {
             case WindowGroupLimit(_, _, _, _, inner) => inner
             case other => other
           }
-          TopKPerKey(part, order, k,
+          TopKPerKey(part, order, k.toInt,
             alias.toAttribute.asInstanceOf[AttributeReference], child)
         case _ => f
       }
@@ -62,9 +72,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   */
 object TopKRewrite {
   def enable(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    TopK.registerStrategy(spark)
     if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewriteRule

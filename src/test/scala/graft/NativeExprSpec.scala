@@ -326,4 +326,74 @@ class NativeExprSpec extends SparkSpec {
     assert(est === Map("alpha" -> 100L, "beta" -> 7L, "gamma" -> 1L,
       "absent" -> 0L), est.toString)
   }
+
+  // ---- code-review r17 hardening ----------------------------------------
+
+  test("graft_jaccard: non-distinct string arrays use set semantics on both sides") {
+    // the one-set form deduped only the hashed side while the denominator
+    // used raw sizes — graft_jaccard(['x','x','y'], ['x','y']) returned
+    // 0.667 for a true set Jaccard of 1.0
+    val df = Seq((Seq("x", "x", "y"), Seq("x", "y"))).toDF("a", "b")
+    val j = df.select(expr("graft_jaccard(a, b)")).as[Double].head()
+    assert(j === 1.0, s"set Jaccard of equal sets must be 1.0, got $j")
+  }
+
+  test("graft_jaccard / graft_intersect_count: a null ELEMENT nulls the result") {
+    // the sorted-long merge read a null slot as 0 — a phantom shared
+    // element between any two null-carrying arrays
+    val longs = Seq((Seq[Option[Long]](Some(5L), None), Seq[Option[Long]](Some(7L), None)))
+      .toDF("a", "b")
+    assert(longs.select(expr("graft_jaccard(a, b)")).collect().head.isNullAt(0))
+    assert(longs.select(expr("graft_intersect_count(a, b)")).collect().head.isNullAt(0))
+    val strs = Seq((Seq[Option[String]](Some("x"), None), Seq[Option[String]](Some("x"))))
+      .toDF("a", "b")
+    assert(strs.select(expr("graft_jaccard(a, b)")).collect().head.isNullAt(0))
+    // and graft_minhash / graft_simhash apply the same fail-safe rule
+    val one = Seq(Seq[Option[String]](Some("tok"), None)).toDF("sh")
+    assert(one.select(expr("graft_minhash(sh)")).collect().head.isNullAt(0))
+    assert(one.select(expr("graft_simhash(sh)")).collect().head.isNullAt(0))
+  }
+
+  test("graft_minhash_union: an all-NULL group yields NULL, not the MaxValue sentinel") {
+    // two groups of only too-short docs used to both evaluate to
+    // [MaxValue × k] and compare as estimated-Jaccard-1.0 overlap
+    val df = Seq(("g1", ""), ("g1", ""), ("g2", "real tokens here now"))
+      .toDF("grp", "text")
+      .selectExpr("grp", "graft_minhash(graft_shingles(text, 2)) AS sig")
+    val out = df.groupBy("grp")
+      .agg(expr("graft_minhash_union(sig)").as("usig"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(out("g1"), "a group with only null signatures must union to NULL")
+    assert(!out("g2"), "a real group still gets its union signature")
+  }
+
+  test("graft_pq_adc: a packed code with residual high digits (p >= 17^8) is NULL") {
+    val pow8 = math.pow(17, 8).toLong // eight 0 digits + residue 1
+    val df = Seq((0L, pow8)).toDF("ok", "bad")
+      .withColumn("lut", expr("transform(sequence(1, 128), x -> CAST(x AS BIGINT))"))
+    val row = df.selectExpr("graft_pq_adc(ok, lut) AS a", "graft_pq_adc(bad, lut) AS b")
+      .collect().head
+    assert(!row.isNullAt(0), "a valid 8-digit pack still sums")
+    assert(row.isNullAt(1), "residual digits must null, not sum the low digits")
+  }
+
+  test("graft_minhash: k <= 0 is a loud error, not an empty signature") {
+    val err = intercept[Exception] {
+      Seq("a b c").toDF("text")
+        .selectExpr("graft_minhash(graft_shingles(text, 1), 0)").collect()
+    }
+    assert(err.getMessage.contains("k must be >= 1") ||
+      Option(err.getCause).exists(_.getMessage.contains("k must be >= 1")),
+      s"unexpected: ${err.getMessage}")
+  }
+
+  test("graft_minhash / graft_simhash: wrong-typed input is an analysis error, not runtime garbage") {
+    val df = Seq(Seq(1L, 2L)).toDF("hashed")
+    val e1 = intercept[Exception] { df.selectExpr("graft_minhash(hashed)").collect() }
+    assert(e1.getMessage.contains("array<string>") ||
+      e1.getMessage.toLowerCase.contains("data type mismatch"), e1.getMessage)
+    val e2 = intercept[Exception] { df.selectExpr("graft_simhash(hashed)").collect() }
+    assert(e2.getMessage.contains("array<string>") ||
+      e2.getMessage.toLowerCase.contains("data type mismatch"), e2.getMessage)
+  }
 }

@@ -56,4 +56,28 @@ class TopKRewriteSpec extends SparkSpec {
     val out = TopKRewriteRule(df.queryExecution.optimizedPlan)
     assert(out.collect { case t: TopKPerKey => t }.isEmpty)
   }
+
+  test("extreme bounds decline safely: rk < Int.MinValue stays empty; huge k keeps the window form") {
+    // code-review r17: `v - 1` underflowed at Int.MinValue, turning an
+    // always-false rank filter into top-Int.MaxValue (all rows); and a
+    // huge-but-valid k is better served by the window sort than a heap
+    // buffering k rows per key, so the rule declines it
+    val minBound = windowTopK(3) // reuse shape, replace the filter below
+      .drop("rk")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val ranked = Tables.customer(spark, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rk", row_number().over(w))
+    val under = ranked.filter(col("rk") < Int.MinValue)
+    assert(TopKRewriteRule(under.queryExecution.optimizedPlan)
+      .collect { case t: TopKPerKey => t }.isEmpty, "underflow shape must not rewrite")
+    assert(rewritten(under).count() === 0,
+      "an always-false rank bound must stay empty through the rule")
+    val huge = ranked.filter(col("rk") <= Int.MaxValue)
+    assert(TopKRewriteRule(huge.queryExecution.optimizedPlan)
+      .collect { case t: TopKPerKey => t }.isEmpty,
+      "k above MaxRewriteK must keep the spilling window form")
+    assert(minBound.count() >= 0) // shape reuse keeps the helper exercised
+  }
 }
