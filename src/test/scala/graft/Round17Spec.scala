@@ -60,4 +60,78 @@ class Round17Spec extends SparkSpec {
       (1L, 0L, 0L, "other", 1L),
       (1L, 1L, 1L, "en", 1L)), out.toString)
   }
+
+  // ---- t_dsir_weights ------------------------------------------------
+
+  private def dsir(docs: Seq[(Long, String, String)]): Map[Long, (Long, Long, Boolean)] =
+    Round17Queries.dsirWeights(docs.toDF("doc_id", "source", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("t_dsir_weights: target-like raw docs weigh positive, target-unlike negative") {
+    val out = dsir(Seq(
+      (0L, "src0", "zork blem zork blem"),  // the target domain
+      (10L, "src1", "zork blem zork blem"), // shares every bigram → target-like
+      (11L, "src1", "aaa bbb ccc")))        // shares none → raw-like
+    assert(out.keySet === Set(10L, 11L), out.toString) // src0 never scored
+    val (g10, u10, sel10) = out(10L)
+    val (g11, u11, sel11) = out(11L)
+    assert(g10 === 3L && g11 === 2L, out.toString)
+    assert(u10 > 0L && sel10, s"target-like doc must select: $out")
+    assert(u11 < 0L && !sel11, s"target-unlike doc must not select: $out")
+  }
+
+  test("t_dsir_weights: docs with <2 tokens carry zero evidence and never select") {
+    val out = dsir(Seq(
+      (0L, "src0", "zork blem"),
+      (10L, "src1", "solo"),
+      (11L, "src1", "")))
+    assert(out(10L) === ((0L, 0L, false)), out.toString)
+    assert(out(11L) === ((0L, 0L, false)), out.toString)
+  }
+
+  test("t_dsir_weights: weight is additive in evidence — more shared bigrams, higher units") {
+    val out = dsir(Seq(
+      (0L, "src0", "zork blem fronk glip vemp"),
+      (10L, "src1", "zork blem fronk glip vemp"), // 4 shared bigrams
+      (11L, "src1", "zork blem quon drel smip"))) // 1 shared bigram
+    assert(out(10L)._2 > out(11L)._2, out.toString)
+  }
+
+  // ---- t_bm25_topk ---------------------------------------------------
+
+  private def bm25(docs: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+    Round17Queries.bm25TopK(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("t_bm25_topk: only matching docs rank; term coverage beats tf saturation") {
+    val out = bm25(Seq(
+      (1L, "vector join stream pad pad"),     // 3 query terms
+      (2L, "vector pad pad pad pad"),         // 1 term, tf 1
+      (3L, "pad pad pad pad pad"),            // no terms → absent
+      (4L, "vector vector vector vector vector"))) // 1 term, tf 5 (saturated)
+    assert(out.map(_._1).toSet === Set(1L, 2L, 4L), out.toString)
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 === 3L && byDoc(2L)._2 === 1L && byDoc(4L)._2 === 1L)
+    assert(out.head._1 === 1L, s"3-term doc must rank first: $out")
+    // saturation: tf 5 beats tf 1 but by less than 5×
+    assert(byDoc(4L)._3 > byDoc(2L)._3, out.toString)
+    assert(byDoc(4L)._3 < 5L * byDoc(2L)._3, out.toString)
+  }
+
+  test("t_bm25_topk: same tf, longer doc scores lower (length normalization)") {
+    val out = bm25(Seq(
+      (1L, "vector pad pad pad pad"),
+      (2L, "vector pad pad pad pad pad pad pad pad pad")))
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    assert(byDoc(1L) > byDoc(2L), out.toString)
+  }
+
+  test("t_bm25_topk: result is capped at 10 with deterministic doc_id tie-break") {
+    val docs = (1L to 12L).map(i => (i, "vector pad pad")) :+ (99L, "pad")
+    val out = bm25(docs)
+    assert(out.size === 10, out.toString)
+    // identical scores → doc_id ascending decides
+    assert(out.map(_._1) === (1L to 10L), out.toString)
+  }
 }
