@@ -92,6 +92,11 @@ case class MinHashUnionAgg(
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    // wire format is k signature slots + 1 non-empty flag (ADVICE r17: a
+    // buffer serialized by a k-mismatched caller or a pre-flag build must
+    // fail with the expected width named, not BufferUnderflow/garbage)
+    require(bytes.length == (k + 1) * 8,
+      s"graft_minhash_union: buffer ${bytes.length} bytes, expected ${(k + 1) * 8} (k=$k + non-empty flag)")
     val bb = ByteBuffer.wrap(bytes)
     Array.fill(k + 1)(bb.getLong())
   }

@@ -188,7 +188,10 @@ object EventStreamPipeline {
               // malformed → dropped, EXCEPT a POISON body: losing the
               // in-band stop signal to a missing broker offset would
               // keep the consumer alive past the pill; with no defined
-              // position it sorts FIRST and stops delivery immediately.
+              // position it sorts LAST (the batch's ordered records are
+              // delivered, THEN delivery stops — the reference's
+              // deliver-until-pill loop, app/app.py message loop, never
+              // drops records that arrived before the pill; ADVICE r17).
               batch
                 .select(
                   coalesce(col("body") === lit(Envelope.Poison), lit(false))
@@ -198,7 +201,7 @@ object EventStreamPipeline {
                 .filter(col("ordinal").isNotNull || col("is_poison"))
                 .repartition(1)
                 .sortWithinPartitions(
-                  coalesce(col("ordinal"), lit(Long.MinValue)))
+                  coalesce(col("ordinal"), lit(Long.MaxValue)))
                 .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
                   val (sendFn, closeFn) = factory.open()
                   try {
@@ -231,7 +234,8 @@ object EventStreamPipeline {
             // stop signal must survive a missing broker offset
             // (app.py:463-467 checks the body on every message,
             // regardless of offset metadata); with no defined position
-            // it sorts FIRST and stops delivery immediately.
+            // it sorts LAST, so the batch's ordered records deliver
+            // before the stop (deliver-until-pill — ADVICE r17).
             val rows = batch
               .select(
                 coalesce(col("body") === lit(Envelope.Poison), lit(false))
@@ -240,7 +244,7 @@ object EventStreamPipeline {
                 col("wire"), col("ordinal"))
               .collect()
               .filter(r => !r.isNullAt(3) || r.getBoolean(0))
-              .sortBy(r => if (r.isNullAt(3)) Long.MinValue else r.getLong(3))
+              .sortBy(r => if (r.isNullAt(3)) Long.MaxValue else r.getLong(3))
             val it = rows.iterator
             while (!poisonLatch.get() && it.hasNext) {
               val r = it.next()
@@ -300,7 +304,13 @@ class StreamCoordinator {
       // while holding this key's map bin: deployments where a sink write
       // can wedge should bound displacement with stopTimeout.
       if (prev != null && prev.isActive) {
-        try prev.stop() catch { case _: Exception => () }
+        // InterruptedException restores the flag (ADVICE r17) — the
+        // registration itself still proceeds, matching poisonAll's
+        // latch-and-re-raise discipline for the same hazard.
+        try prev.stop() catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Exception            => ()
+        }
       }
       started = startQ()
       started
@@ -398,7 +408,10 @@ class StreamCoordinator {
           // backstops a query that refuses to stop, and the latch
           // already guarantees nothing more is delivered
           if (q.isActive) {
-            try q.stop() catch { case _: Exception => () }
+            try q.stop() catch {
+              case _: InterruptedException => Thread.currentThread().interrupt()
+              case _: Exception            => ()
+            }
           }
         }
     }, s"es-stop-$routingKey")

@@ -384,7 +384,10 @@ final class ServiceShell(
                 conns.remove(rec.uuid, sock)
                 connsByKey.remove(rec.routingKey, sock)
                 try coordinator.release(rec.routingKey, query)
-                catch { case _: Exception => () }
+                catch {
+                  case _: InterruptedException => Thread.currentThread().interrupt()
+                  case _: Exception            => ()
+                }
                 closeWs(sock, 1001, "Service stopping")
                 return
               }
@@ -403,7 +406,10 @@ final class ServiceShell(
               // guarded like the stopping path above: a throwing q.stop()
               // must not skip sock.close() (fd leak per EOF otherwise)
               try coordinator.release(rec.routingKey, query)
-              catch { case _: Exception => () }
+              catch {
+                case _: InterruptedException => Thread.currentThread().interrupt()
+                case _: Exception            => ()
+              }
               try sock.close() catch { case _: Exception => }
           }
         }

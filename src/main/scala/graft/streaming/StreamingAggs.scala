@@ -822,12 +822,14 @@ object StreamingAggs {
     * State grows one row per DISTINCT new line per batch.
     */
   private def lineScrubStage(batch: DataFrame, lineDir: String,
-                             batchId: Long, maxDocs: Long)
+                             batchId: Long, maxDocs: Long,
+                             newlineSplit: Boolean)
       : (DataFrame, DataFrame) = {
     import graft.operators.Round15Queries.{docFreq, docLines, lineCut}
     import org.apache.spark.sql.types._
     val s = batch.sparkSession
-    val lines = docLines(batch.select(col("doc_id"), col("text")))
+    val lines = docLines(batch.select(col("doc_id"), col("text")),
+      newlineSplit = newlineSplit)
     // persisted: the per-batch counts feed BOTH the scrub join (via the
     // gated persist downstream) and the state commit — without the cache
     // the commit re-pays the line-formation scan and both shuffles
@@ -841,7 +843,7 @@ object StreamingAggs {
     val freq = cur.join(prior, Seq("lh"), "left_outer")
       .select(col("lh"),
         (col("ndocs") + coalesce(col("__nd_prior"), lit(0L))).as("ndocs"))
-    val cut = lineCut(lines, freq, maxDocs, newlineSplit = false)
+    val cut = lineCut(lines, freq, maxDocs, newlineSplit = newlineSplit)
     // left join: a doc that produced NO lines (null text) must stay
     // VISIBLE — with n_kept_lines = 0 the gate rejects it with an audit
     // row, instead of an inner join silently dropping it from the batch
@@ -947,6 +949,11 @@ object StreamingAggs {
     * own-slice exclusion) are dropped from `text`, with `n_lines` /
     * `n_kept_lines` audit columns alongside — so dedup shas, near-dup
     * shingles, and quality scores are all computed over chrome-free text.
+    * `lineNewlineSplit` selects the segmentation mode, matching the batch
+    * twin's two modes (`d_line_dedup` token-window / `d_line_dedup_nl`
+    * newline — ADVICE r17): true splits on real newlines for genuinely
+    * newline-delimited corpora; false (default) keeps the fixed
+    * token-window segmentation.
     */
   def startCorpusPipeline(docs: DataFrame, evalDocs: DataFrame,
                           stateRoot: String, checkpointDir: String,
@@ -958,7 +965,8 @@ object StreamingAggs {
                           piiScrub: Boolean = false,
                           lineScrub: Boolean = false,
                           maxDocsPerLine: Long =
-                            graft.operators.Round15Queries.MaxDocsPerLine)
+                            graft.operators.Round15Queries.MaxDocsPerLine,
+                          lineNewlineSplit: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.shingles
     val evalGrams = evalDocs.select(explode(shingles("text", n)).as("g")).distinct()
@@ -981,7 +989,8 @@ object StreamingAggs {
         val (preGated, lineFreq) =
           if (lineScrub) {
             val (o, cur) = lineScrubStage(scrubStage(batch),
-              s"$stateRoot/lines", batchId, maxDocsPerLine)
+              s"$stateRoot/lines", batchId, maxDocsPerLine,
+              newlineSplit = lineNewlineSplit)
             (o, Some(cur))
           } else (scrubStage(batch), None)
         val gated = markGates(preGated, evalGrams, s"$stateRoot/sha",

@@ -318,6 +318,41 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(back.toSeq === (-10L +: (0L until 100L)))
   }
 
+  test("S8 streaming: epoch commit publishes BEFORE deleting stale segments (no loss window)") {
+    // VERDICT r17 #2: the r17 review found a delete-before-publish window
+    // where a concurrent reader of the shared dir saw the epoch's rows
+    // missing entirely and could advance its checkpoint past them
+    // (permanent loss). The fix publishes first; this pins the ordering
+    // deterministically by FAULT-INJECTING the publish sub-step: a commit
+    // whose first rename throws exposes the intermediate state between
+    // sub-steps. Publish-first ⇒ the stale (but complete) prior-attempt
+    // segments are still visible — no ordinal is ever absent. A
+    // regression to delete-first would have already removed them, and
+    // the ordinal-coverage assertion below fails.
+    val dir = newLog("graftlog-replay-order")
+    GraftLog.writeSegment(dir, "seg-qord-e3-0.o0-49", (0L until 50L).map(i => (i, 1000 + i, s"m$i")))
+    GraftLog.writeSegment(dir, "seg-qord-e3-1.o50-99", (50L until 100L).map(i => (i, 1000 + i, s"m$i")))
+    // the replayed epoch's single-segment commit — but its staged tmp is
+    // MISSING, so the publish rename throws before anything is renamed
+    val missingTmp = java.nio.file.Paths.get(dir, "seg-qord-e3-0.o0-99.log.9.tmp")
+    val write = new graft.sources.GraftLogStreamingWrite(dir, "qord")
+    intercept[java.nio.file.NoSuchFileException] {
+      write.commit(3L, Array(graft.sources.GraftLogSegMessage(
+        missingTmp.toString,
+        java.nio.file.Paths.get(dir, "seg-qord-e3-0.o0-99.log").toString)))
+    }
+    // between the commit's sub-steps NO ordinal may be absent from the
+    // visible segment set: the prior attempt's segments must still be
+    // published — the delete sub-step must not have run yet
+    val names = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".log")).sorted
+    assert(names.toSeq === Seq("seg-qord-e3-0.o0-49.log", "seg-qord-e3-1.o50-99.log"),
+      s"stale segments deleted before the replacement published (loss window): ${names.toSeq}")
+    val visible = spark.read.format(fmt).option("path", dir).load()
+      .select("ordinal").as[Long].collect().sorted
+    assert(visible.toSeq === (0L until 100L),
+      s"ordinals vanished mid-commit: ${visible.toSeq.take(10)}...")
+  }
+
   test("S1 end-to-end: the service pipeline runs on the custom source") {
     val dir = newLog("graftlog-svc")
     // JSON bodies + one POISON + one empty, like real traffic

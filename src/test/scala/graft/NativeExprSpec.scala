@@ -367,6 +367,23 @@ class NativeExprSpec extends SparkSpec {
     assert(!out("g2"), "a real group still gets its union signature")
   }
 
+  test("graft_minhash_union: deserialize rejects a width-mismatched buffer loudly (ADVICE r17)") {
+    // the wire format is k signature slots + 1 non-empty flag; a buffer
+    // from a k-mismatched caller (or a pre-flag build) must fail with the
+    // expected width named, not BufferUnderflow or silent garbage
+    import graft.plans.MinHashUnionAgg
+    val agg = MinHashUnionAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), k = 4)
+    val good = agg.serialize(agg.createAggregationBuffer())
+    assert(good.length === 5 * 8)
+    assert(agg.deserialize(good).length === 5)
+    val narrow = java.util.Arrays.copyOf(good, 4 * 8) // k slots, flag missing
+    val e = intercept[IllegalArgumentException](agg.deserialize(narrow))
+    assert(e.getMessage.contains("expected 40"), e.getMessage)
+  }
+
   test("graft_pq_adc: a packed code with residual high digits (p >= 17^8) is NULL") {
     val pow8 = math.pow(17, 8).toLong // eight 0 digits + residue 1
     val df = Seq((0L, pow8)).toDF("ok", "bad")

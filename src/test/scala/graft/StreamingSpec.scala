@@ -138,8 +138,11 @@ class StreamingSpec extends SparkSpec {
     // predicate (plan) both ran before the POISON check, so a pill whose
     // broker offset was missing was silently discarded and the consumer
     // lived on past it — the reference checks the body on EVERY message
-    // regardless of offset metadata (app.py:463-467). With no defined
-    // position the pill sorts first: nothing from its batch delivers.
+    // regardless of offset metadata (app.py:463-467). ADVICE r17: with
+    // no defined position the pill sorts LAST — records that arrived
+    // before it in the same micro-batch still deliver (the reference's
+    // loop forwards until it reaches the pill; it never drops pre-pill
+    // records), THEN delivery stops.
     val coord = new StreamCoordinator
     val sent = new ConcurrentLinkedQueue[String]()
     val stream = MemoryStream[(String, Option[Long], Long)](spark)
@@ -152,7 +155,9 @@ class StreamingSpec extends SparkSpec {
     while (q.isActive && System.nanoTime() < deadline) Thread.sleep(50)
     assert(!q.isActive, "a null-ordinal POISON must still stop the query")
     assert(coord.poisonTaken)
-    assert(sent.isEmpty, s"the positionless pill stops delivery immediately: $sent")
+    assert(sent.toArray(new Array[String](0)).toSeq ===
+      Seq("ok|1|ordinal: 1|timestamp: 10"),
+      "pre-pill records in the pill's batch deliver before the stop")
     assert(coord.activeQuery("rk-nullpill").isEmpty)
   }
 
@@ -871,6 +876,52 @@ class StreamingSpec extends SparkSpec {
       assert(oneByDoc(id) === expected(id),
         s"single-batch stream must equal batch d_line_dedup for doc $id: " +
           s"stream=${oneByDoc(id)} batch=${expected(id)}")
+    }
+  }
+
+  test("R17/T4 streaming: newline line-scrub mode ≡ batch d_line_dedup_nl (ADVICE r17)") {
+    // the streaming scrub hardcoded newlineSplit=false, so on genuine
+    // newline-delimited corpora it cut arbitrary 3-token fragments while
+    // the batch twin (d_line_dedup_nl) cut real lines — the plumbed
+    // lineNewlineSplit flag must reproduce the batch operator exactly.
+    // Newline-segmented bodies: the shared nav LINE (>2 docs ⇒ scrubbed)
+    // is 3 tokens, each body line 6 distinct tokens (memory: tiny
+    // post-scrub docs trip the small-denominator repetition dials).
+    import graft.streaming.StreamingAggs
+    import graft.operators.Round15Queries
+    val nav = "home about contact"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> s"$nav\nalpha beta gamma delta epsilon zeta",
+      2L -> s"eta theta iota kappa lambda mu\n$nav",
+      3L -> s"$nav\nomega psi chi phi upsilon tau")
+    type W = (String, Long, Long) // text, n_lines, n_kept_lines
+    val expected = Round15Queries.lineDedup(docs.toDF("doc_id", "text"),
+        newlineSplit = true)
+      .select("doc_id", "kept_text", "n_lines", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // batch-mode sanity: nav is a LINE in all 3 docs ⇒ scrubbed everywhere
+    assert(expected(1L) === (("alpha beta gamma delta epsilon zeta", 2L, 1L)))
+    val got = new ConcurrentLinkedQueue[(Long, W)]()
+    val stream = MemoryStream[(Long, String)](spark)
+    val dir = java.nio.file.Files.createTempDirectory("corpus-lines-nl").toString
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    val q = StreamingAggs.startCorpusPipeline(
+      stream.toDF().toDF("doc_id", "text"), evalDocs,
+      s"$dir/state", s"$dir/ckpt",
+      batch => batch.select("doc_id", "text", "n_lines", "n_kept_lines")
+        .collect().foreach(r => got.add((r.getLong(0),
+          (r.getString(1), r.getLong(2), r.getLong(3))))),
+      lineScrub = true, lineNewlineSplit = true)
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byDoc = got.toArray(new Array[(Long, W)](0)).toMap
+    docs.foreach { case (id, _) =>
+      assert(byDoc(id) === expected(id),
+        s"newline-mode stream must equal batch d_line_dedup_nl for doc $id: " +
+          s"stream=${byDoc(id)} batch=${expected(id)}")
     }
   }
 
