@@ -82,19 +82,18 @@ object Round17Queries {
 
   /** Core of `t_lang_spans`, reusable over any (doc_id, text) frame
     * (spec-tested on planted code-switch fixtures): classify each
-    * [[SpanWindowTokens]]-token window by marker evidence (≥1 of the
-    * `t_lang_id` markers ⇒ "en", else "other" — the window is too small
-    * for the doc-level ≥3 dial), then merge adjacent same-language
-    * windows by the gaps-and-islands ordinal trick: within (doc, lang),
+    * [[SpanWindowTokens]]-token window by the shared five-language
+    * marker-argmax vote ([[TextQueries.langVote]] over the
+    * `t_lang_id` lexicon, VERDICT r17 #6 — no-evidence windows label
+    * "other"), then merge adjacent same-language windows by the
+    * gaps-and-islands ordinal trick: within (doc, lang),
     * `window_no − (rank−1)` is constant exactly on consecutive runs.
     */
   private[graft] def langSpans(docs: DataFrame,
                                w: Int = SpanWindowTokens): DataFrame = {
     val wins = Round15Queries.docLines(docs, w)
       .select(col("doc_id"), col("line_no").cast(LongType).as("win_no"),
-        when(size(filter(split(col("line"), " "),
-          t => t.isin("the", "a"))) >= 1, "en")
-          .otherwise("other").as("lang"))
+        TextQueries.langVote(split(col("line"), " "), "other").as("lang"))
     val byDocLang = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("lang")).orderBy(col("win_no"))
     wins
@@ -305,20 +304,23 @@ object Round17Queries {
          ORDER BY bm25_units DESC, doc_id LIMIT $Bm25TopK""",
 
     // replays the window formation (1-based subscripts grouped by
-    // (i-1)//w, the d_line_dedup discipline), the per-window marker vote,
-    // and the same islands arithmetic
+    // (i-1)//w, the d_line_dedup discipline), the per-window marker-argmax
+    // vote (rebuilt window string ⇒ the SAME shared langVoteSql as the
+    // doc-level classifier), and the same islands arithmetic
     "t_lang_spans" ->
       s"""WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
                   generate_subscripts(string_split(text, ' '), 1) AS i
            FROM documents),
-         wins AS (
+         winstr AS (
            SELECT doc_id,
                   CAST((i - 1) // $SpanWindowTokens AS BIGINT) AS win_no,
-                  CASE WHEN sum(CASE WHEN tok IN ('the', 'a')
-                                     THEN 1 ELSE 0 END) >= 1
-                       THEN 'en' ELSE 'other' END AS lang
+                  string_agg(tok, ' ' ORDER BY i) AS win_text
            FROM toks GROUP BY doc_id, (i - 1) // $SpanWindowTokens),
+         wins AS (
+           SELECT doc_id, win_no,
+                  ${TextQueries.langVoteSql("win_text", "other")} AS lang
+           FROM winstr),
          isl AS (
            SELECT doc_id, win_no, lang,
                   win_no - (CAST(row_number() OVER (

@@ -17,19 +17,75 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** Marker stopwords for the language-id heuristic — deterministic token
-    * evidence, mirrored verbatim in the oracle SQL.
+  /** Marker stopword sets for the language-id heuristic (VERDICT r17 #6:
+    * upgraded from the 2-token English set to small public stopword
+    * marker sets for five languages) — deterministic token evidence,
+    * mirrored verbatim in the oracle SQL. Ten high-frequency function
+    * words per language, chosen pairwise-disjoint across the five sets
+    * so a marker hit is unambiguous evidence (the ambiguous cross-lingual
+    * forms — es/fr "la"/"un"/"que", fr "on", es "de" — are deliberately
+    * omitted; a production lexicon would weight them instead). Listed in
+    * tie-break precedence order: the argmax CASE chain tests languages in
+    * this order, so both engines resolve equal scores identically.
     */
-  private val EnMarkers = Seq("the", "a")
+  /** The `t_quality_score` stopword dial — kept at the original two-token
+    * list (mirrored in its oracle and the streaming quality twin) when
+    * the language-id lexicon grew to five languages: the quality blend's
+    * stopword RATIO is an English-function-word density measure, and
+    * silently rescaling it would shift every downstream gate threshold.
+    */
+  private val QualityStopwords = Seq("the", "a")
+
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "nicht", "auf", "sich"),
+    "es" -> Seq("el", "los", "las", "por", "una", "con", "para", "como", "pero", "esta"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "dans", "pour", "pas", "vous", "sur"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "人", "这", "中"))
 
   /** The n-gram-marker language prediction shared by `t_lang_id` (the
     * confusion matrix) and `t_eval_prf` (the metrics report) — one
-    * definition so the two stay the same classifier.
+    * definition so the two stay the same classifier. Per-language marker
+    * counts over the token array, argmax with zero ⇒ "unk" and ties
+    * broken by [[LangMarkers]] order. Pure per-row codegen'd expressions:
+    * zero shuffle, same plan shape as the old single-set form.
     */
-  private[operators] def langPred: Column = {
-    val toks = split(col("text"), " ")
-    val enScore = size(filter(toks, t => t.isin(EnMarkers: _*)))
-    when(enScore >= 3, "en").when(enScore >= 1, "latin-ish").otherwise("unk")
+  private[graft] def langPred: Column =
+    langVote(split(col("text"), " "), "unk")
+
+  /** The marker-argmax vote over an arbitrary token-array column — shared
+    * by the doc-level [[langPred]] and the window-level `t_lang_spans`
+    * classifier (Round17Queries) so the two stay the same lexicon.
+    * `zeroLabel` is the no-evidence fallback ("unk" at doc level,
+    * "other" at span level, preserving each operator's output domain).
+    */
+  private[graft] def langVote(toks: Column, zeroLabel: String): Column = {
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val argmax = scores.init.foldRight(lit(scores.last._1): Column) {
+      case ((lang, score), rest) => when(score === best, lang).otherwise(rest)
+    }
+    when(best === 0, zeroLabel).otherwise(argmax)
+  }
+
+  /** The DuckDB spelling of [[langVote]] over a text-valued SQL
+    * expression — built from the same [[LangMarkers]] constant as the
+    * Column form, so a threshold or marker tweak cannot desynchronize
+    * the oracles from the engine.
+    */
+  private[graft] def langVoteSql(textExpr: String, zeroLabel: String): String = {
+    def cnt(ms: Seq[String]): String =
+      s"""len(list_filter(string_split($textExpr, ' '),
+              x -> x IN (${ms.map(m => s"'$m'").mkString(", ")})))"""
+    val best = s"greatest(${LangMarkers.map(m => cnt(m._2)).mkString(", ")})"
+    val chain = LangMarkers.init
+      .map { case (lang, ms) => s"WHEN ${cnt(ms)} = $best THEN '$lang'" }
+      .mkString(" ")
+    s"""CASE WHEN $best = 0 THEN '$zeroLabel'
+         $chain
+         ELSE '${LangMarkers.last._1}' END"""
   }
 
   /** The DuckDB spelling of [[langPred]] — ONE definition consumed by the
@@ -37,12 +93,7 @@ object TextQueries {
     * a threshold or marker tweak cannot desynchronize the confusion
     * matrix from the metrics report that recomputes it.
     */
-  private[operators] val langPredSql: String =
-    """CASE WHEN len(list_filter(string_split(text, ' '),
-              x -> x IN ('the', 'a'))) >= 3 THEN 'en'
-         WHEN len(list_filter(string_split(text, ' '),
-              x -> x IN ('the', 'a'))) >= 1 THEN 'latin-ish'
-         ELSE 'unk' END"""
+  private[graft] val langPredSql: String = langVoteSql("text", "unk")
 
   /** Core of `t_decontaminate`, reusable over any (doc_id, source, text)
     * frame (spec-tested on planted fixtures): flag non-eval docs sharing
@@ -203,11 +254,13 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // R20 — quality scoring: length/stopword/diversity blend. Pure
-    // arithmetic over deterministic counts, mirrored in the oracle.
+    // arithmetic over deterministic counts, mirrored in the oracle
+    // (which hardcodes the same two stopwords — the quality dial keeps
+    // its original list independently of the language-id lexicon).
     "t_quality_score" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin(EnMarkers: _*))).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(QualityStopwords: _*))).cast("double")
       val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
       val diversity = size(array_distinct(toks)).cast("double") / nTok
       docs(s, d)

@@ -50,6 +50,39 @@ class Round17Spec extends SparkSpec {
       (0L, 1L, 1L, "other", 1L)), out.toString)
   }
 
+  test("t_lang_spans: the five-language lexicon labels genuine de/es/fr/zh spans (VERDICT r17 #6)") {
+    // 5-token phrases built from each language's marker set plus filler —
+    // the upgraded lexicon must label each window with ITS language, not
+    // collapse everything to en/other as the 2-token set did
+    val de = "der hund ist nicht hier"
+    val es = "el gato esta con ellos"
+    val fr = "le chat est dans paris"
+    val zh = "的 是 了 在 和"
+    val out = spans(Seq((0L, s"$en1 $de $es $fr $zh $xx1")))
+    assert(out === Seq(
+      (0L, 0L, 0L, "en", 1L),
+      (0L, 1L, 1L, "de", 1L),
+      (0L, 2L, 2L, "es", 1L),
+      (0L, 3L, 3L, "fr", 1L),
+      (0L, 4L, 4L, "zh", 1L),
+      (0L, 5L, 5L, "other", 1L)), out.toString)
+  }
+
+  test("langPred: doc-level argmax picks the majority language; ties break by lexicon order; no markers is unk") {
+    import org.apache.spark.sql.functions.col
+    val preds = Seq(
+      (0L, "der hund ist nicht auf der couch und sich"), // de-dominant
+      (1L, "le chat est dans une maison pour vous"),     // fr-dominant
+      (2L, "的 是 了 没有 别的"),                          // zh
+      (3L, "the der hund is ist"),                       // en 2 vs de 2 tie → en (precedence)
+      (4L, "zork blem fronk"))                           // unk
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.TextQueries.langPred.as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds === Map(0L -> "de", 1L -> "fr", 2L -> "zh", 3L -> "en", 4L -> "unk"),
+      preds.toString)
+  }
+
   test("t_lang_spans: spans are per-document — island arithmetic never crosses doc_id") {
     val out = spans(Seq(
       (0L, s"$en1 $xx1"),
