@@ -82,6 +82,12 @@ final class ServiceShell(
   // query, the DISPLACED consumer's socket must be closed too — otherwise
   // it hangs silently with a dead query until its own EOF (ADVICE r10)
   private val connsByKey = TrieMap.empty[String, Socket]
+  // serializes consumer ADMISSION (socket-map put + pipeline start): the
+  // map put order must match the coordinator's register order — see the
+  // scale note in serveWs. Connection admission is consumer-count-rate,
+  // never data-rate, so one lock is the right shape (the reference's
+  // single async loop serializes admission for free, app/app.py:324-344).
+  private val admission = new Object
 
   def httpPort: Int = http.getAddress.getPort
   def wsPort: Int = wsServer.getLocalPort
@@ -104,7 +110,16 @@ final class ServiceShell(
     http = com.sun.net.httpserver.HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
     http.createContext("/event-stream", (ex: com.sun.net.httpserver.HttpExchange) => {
-      try handleHttp(ex) finally ex.close()
+      // catch-all 500 (code-review r18): an exception escaping the handler
+      // made HttpServer drop the connection with no response — clients saw
+      // an IOException instead of a status. FastAPI answers 500; so do we.
+      // Best-effort: if headers were already sent, the inner respond throws
+      // and the close below still runs.
+      try handleHttp(ex)
+      catch { case _: Exception =>
+        try respond(ex, 500, """{"error":"internal error"}""")
+        catch { case _: Exception => () }
+      } finally ex.close()
     })
     // kubelet probe twins (reference/probes/liveness.sh, readiness.sh): both
     // scripts are byte-identical — healthy iff the RUNNING marker exists and
@@ -225,7 +240,12 @@ final class ServiceShell(
         respond(ex, 200,
           s"""{"protocol":"${v.protocol}","name":"${v.name}","version":"${v.version}"}""")
       case ("POST", "/event-stream") =>
-        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        // bounded read (code-review r18): readAllBytes on an unbounded
+        // request body let one client buffer arbitrary bytes on the
+        // driver heap; anything past the cap is 413, not an allocation
+        val raw = ex.getRequestBody.readNBytes(MaxHttpBody + 1)
+        if (raw.length > MaxHttpBody) { respond(ex, 413, """{"error":"body too large"}"""); return }
+        val body = new String(raw, UTF_8)
         RoutingKeyRe.findFirstMatchIn(body).map(m => jsonUnescape(m.group(1))) match {
           case Some(rk) =>
             val rec = registry.create(rk)
@@ -241,8 +261,8 @@ final class ServiceShell(
         // fence-then-row ordering lives in registry.delete; the socket (if
         // any) closes AFTER, mirroring the reference's close_ws at the end
         // of the DELETE handler (app/app.py:684-715)
-        val rec = registry.list().find(_.id == id.toLong)
-        if (registry.delete(id.toLong, coordinator)) {
+        val rec = registry.list().find(_.id == id)
+        if (registry.delete(id, coordinator)) {
           rec.foreach(r => conns.remove(r.uuid).foreach { s =>
             connsByKey.remove(r.routingKey, s); closeWs(s)
           })
@@ -284,14 +304,29 @@ final class ServiceShell(
   // -------- WebSocket data plane --------
 
   private def acceptLoop(): Unit =
-    try while (!wsServer.isClosed) {
-      val sock = wsServer.accept()
-      val t = new Thread(() => try serveWs(sock) catch { case _: Exception =>
-        try sock.close() catch { case _: Exception => } },
-        "graft-ws-conn")
-      t.setDaemon(true)
-      t.start()
-    } catch { case _: Exception => () } // server closed
+    while (!wsServer.isClosed) {
+      // a TRANSIENT accept failure (e.g. EMFILE under fd pressure) must
+      // not kill the accept loop while the port stays open — the old
+      // loop-wide catch exited permanently on the first such error,
+      // silently refusing all future consumers (code-review r18). Only a
+      // closed server socket ends the loop; other failures back off
+      // briefly (so a persistent fault cannot hot-spin) and keep
+      // accepting, like the reference's uvicorn.
+      try {
+        val sock = wsServer.accept()
+        val t = new Thread(() => try serveWs(sock) catch { case _: Exception =>
+          try sock.close() catch { case _: Exception => } },
+          "graft-ws-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Exception =>
+          if (!wsServer.isClosed) {
+            try Thread.sleep(10)
+            catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+          }
+      }
+    }
 
   private def serveWs(sock: Socket): Unit = {
     val in = sock.getInputStream
@@ -335,13 +370,6 @@ final class ServiceShell(
             case None =>
               closeWs(sock, 1000, s"Connect for unknown EventStream $u")
             case Some(rec) =>
-              // displaced consumers (same uuid reconnect, or another stream
-              // with the same routing key) lose the fencing race below —
-              // close their sockets NOW so they observe the displacement
-              // instead of hanging on a dead query until their own EOF
-              // (ADVICE r10)
-              conns.put(rec.uuid, sock).filter(_ ne sock).foreach(s => closeWs(s))
-              connsByKey.put(rec.routingKey, sock).filter(_ ne sock).foreach(s => closeWs(s))
               // ALL writes to one socket — text frames, pongs, close
               // frames — serialize on the Socket instance itself, so a
               // close racing an in-flight send (e.g. the stopping
@@ -358,59 +386,85 @@ final class ServiceShell(
               // a handshake-supplied replay spec overrides the shell
               // default (specFor) — the reference's offset_specification
               // starts as NEXT and is replaced by the parsed param
-              // (app.py:226-266)
+              // (app.py:226-266). Resolved BEFORE the maps are touched so
+              // a throwing specFor cannot leak entries (code-review r18).
               val spec = specOpt.getOrElse(specFor(rec.routingKey))
-              val query = EventStreamPipeline.start(spark, sourceFor(rec.routingKey),
-                rec.routingKey, spec, coordinator, send)
-              // re-check stopping AFTER registration + query start (ADVICE
-              // r14): preStop latches `stopping` FIRST and only then reads
-              // conns/coordinator, so either (a) preStop ran before our
-              // put/start — this re-check sees the latch and we tear down
-              // exactly as the drain would have (release, deregister,
-              // close 1001) — or (b) preStop runs after, finds our query
-              // and socket registered, and drains them itself. The earlier
-              // pre-registration check alone left window (a) open: a
-              // consumer started on a terminating pod, its socket
-              // uncloseable because conns was already cleared.
-              if (stopping.get) {
-                // map removals FIRST, release guarded (VERDICT r16): the
-                // release's q.stop() can throw (e.g. TimeoutException under
-                // spark.sql.streaming.stopTimeout — the class poisonAll
-                // guards, EventStreamPipeline.scala:285-299); an unguarded
-                // throw here skipped the removals and the 1001 frame,
-                // leaking socket-map entries on a terminating pod. The pod
-                // is going away either way — the grace-period kill backstops
-                // a query that refuses to stop.
+              var query: org.apache.spark.sql.streaming.StreamingQuery = null
+              try {
+                // Admission is serialized: the socket-map put order must
+                // match the coordinator's register order. Unserialized,
+                // two racing connects to the same key could invert (A
+                // puts first; B puts, closes A's socket, registers; A
+                // registers LAST): the coordinator's last-connect-wins
+                // fencing would crown A's query while the maps crowned
+                // B's socket — A's query then pushes to its own
+                // already-closed socket (every record silently dropped by
+                // the isClosed guard) while B hangs on a dead query until
+                // its own EOF (code-review r18).
+                admission.synchronized {
+                  // displaced consumers (same uuid reconnect, or another
+                  // stream with the same routing key) lose the fencing
+                  // race — close their sockets NOW so they observe the
+                  // displacement instead of hanging on a dead query until
+                  // their own EOF (ADVICE r10)
+                  conns.put(rec.uuid, sock).filter(_ ne sock).foreach(s => closeWs(s))
+                  connsByKey.put(rec.routingKey, sock).filter(_ ne sock).foreach(s => closeWs(s))
+                  try query = EventStreamPipeline.start(spark,
+                    sourceFor(rec.routingKey), rec.routingKey, spec, coordinator, send)
+                  catch {
+                    // consumer could not start (sourceFor or the pipeline
+                    // threw): errors after the 101 are WS close frames,
+                    // never bare TCP drops — 1011 (internal error), then
+                    // rethrow into the finally-teardown below
+                    case e: Exception =>
+                      closeWs(sock, 1011, "consumer failed to start"); throw e
+                  }
+                }
+                // re-check stopping AFTER registration + query start (ADVICE
+                // r14): preStop latches `stopping` FIRST and only then reads
+                // conns/coordinator, so either (a) preStop ran before our
+                // put/start — this re-check sees the latch and we tear down
+                // exactly as the drain would have (close 1001, then the
+                // finally's removals + guarded release) — or (b) preStop
+                // runs after, finds our query and socket registered, and
+                // drains them itself. The earlier pre-registration check
+                // alone left window (a) open: a consumer started on a
+                // terminating pod, its socket uncloseable because conns was
+                // already cleared.
+                if (stopping.get) { closeWs(sock, 1001, "Service stopping"); return }
+                // reader loop: handle client close/ping; EOF or close frame
+                // means the consumer is gone — disconnect stops the consumer
+                // (app/app.py:502-508), safe here because this is NOT the
+                // query's own foreachBatch thread
+                readFrames(in, out, lock)
+              } finally {
+                // identity-scoped teardown, in a FINALLY (code-review
+                // r18): an abortive disconnect (peer RST, or stop()
+                // closing the socket under a blocked read) raises
+                // IOException out of the reader loop instead of returning
+                // EOF — unwinding past the old straight-line teardown
+                // skipped the release, leaving a zombie query holding the
+                // routing key forever plus both map entries. Clean EOF,
+                // close frame, RST, the stopping re-check's return, and a
+                // throwing pipeline start all funnel through this block.
+                // Identity-scoped: remove/stop only THIS consumer's
+                // entries and query — if last-connect-wins fencing has
+                // displaced us, the replacement's live query and socket
+                // must survive our teardown.
                 conns.remove(rec.uuid, sock)
                 connsByKey.remove(rec.routingKey, sock)
-                try coordinator.release(rec.routingKey, query)
-                catch {
-                  case _: InterruptedException => Thread.currentThread().interrupt()
-                  case _: Exception            => ()
+                if (query != null) {
+                  // guarded (VERDICT r16): a throwing q.stop() — e.g.
+                  // TimeoutException under spark.sql.streaming.stopTimeout
+                  // — must not skip sock.close() (fd leak per EOF)
+                  try coordinator.release(rec.routingKey, query)
+                  catch {
+                    case _: InterruptedException => Thread.currentThread().interrupt()
+                    case _: Exception            => ()
+                  }
                 }
-                closeWs(sock, 1001, "Service stopping")
-                return
+                try sock.close() catch { case _: Exception => }
               }
-              // reader loop: handle client close/ping; EOF or close frame
-              // means the consumer is gone — disconnect stops the consumer
-              // (app/app.py:502-508), safe here because this is NOT the
-              // query's own foreachBatch thread
-              readFrames(in, out, lock)
-              // identity-scoped teardown: stop only THIS consumer's query
-              // and deregister it only if it still holds the key — if a
-              // newer consumer has displaced this one via last-connect-wins
-              // fencing, the replacement's live query and socket must
-              // survive our EOF
-              conns.remove(rec.uuid, sock)
-              connsByKey.remove(rec.routingKey, sock)
-              // guarded like the stopping path above: a throwing q.stop()
-              // must not skip sock.close() (fd leak per EOF otherwise)
-              try coordinator.release(rec.routingKey, query)
-              catch {
-                case _: InterruptedException => Thread.currentThread().interrupt()
-                case _: Exception            => ()
-              }
-              try sock.close() catch { case _: Exception => }
           }
         }
       case _ =>
@@ -424,7 +478,12 @@ final class ServiceShell(
   }
 
   /** HTTP header block as lines, consuming EXACTLY through the CRLFCRLF
-    * (or bare LFLF) terminator and not one byte past it.
+    * (or bare LFLF) terminator and not one byte past it. Capped at
+    * [[ServiceShell.MaxHeaderBytes]]: a peer streaming an endless
+    * never-terminated "header" previously grew the buffer without bound
+    * (driver-heap OOM from one socket — code-review r18; uvicorn caps the
+    * same way in the reference deployment). Overflow returns no lines ⇒
+    * the caller's not-an-upgrade 404 path, never an allocation.
     */
   private def readHeader(in: InputStream): Seq[String] = {
     val buf = new java.io.ByteArrayOutputStream
@@ -435,6 +494,7 @@ final class ServiceShell(
       if (b < 0) done = true
       else {
         buf.write(b)
+        if (buf.size > MaxHeaderBytes) return Seq.empty
         tail = (tail << 8) | b
         if (tail == 0x0D0A0D0A || (tail & 0xFFFF) == 0x0A0A) done = true
       }
@@ -505,7 +565,15 @@ final class ServiceShell(
           }
         }
         if (eof) open = false
-        else if (len < 0 || len > MaxClientFrame) {
+        else if (!masked) {
+          // RFC 6455 §5.1: every client→server frame MUST be masked, and
+          // the server MUST fail the connection on an unmasked one (1002
+          // protocol error). Previously tolerated (code-review r18): an
+          // unmasked frame was parsed as if masked-with-nothing, silently
+          // accepting non-conforming traffic a strict proxy would reject.
+          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
+          open = false
+        } else if (len < 0 || len > MaxClientFrame) {
           // 1009 message-too-big close, then drop the connection — never
           // `new Array[Byte](len.toInt)` on an attacker-supplied length
           writeClose(lock, out, Array(0x03.toByte, 0xF1.toByte))
@@ -611,6 +679,16 @@ object ServiceShell {
     */
   private val MaxClientFrame: Long = 1L << 20
 
+  /** Upgrade-request header cap (code-review r18) — 16 KiB is double
+    * uvicorn/h11's default limit; a real handshake is < 1 KiB.
+    */
+  private val MaxHeaderBytes: Int = 16 * 1024
+
+  /** Control-plane request-body cap (code-review r18): the only POST body
+    * is a routing-key JSON — 1 MiB is generous headroom before a 413.
+    */
+  private val MaxHttpBody: Int = 1 << 20
+
   /** JSON string escape for values interpolated into hand-built response
     * bodies — a routing key containing `"` or `\` (or a control char) must
     * not produce invalid JSON (ADVICE r10).
@@ -645,7 +723,13 @@ object ServiceShell {
           case 't'  => sb.append('\t'); i += 2
           case 'b'  => sb.append('\b'); i += 2
           case 'f'  => sb.append('\f'); i += 2
-          case 'u' if i + 5 < s.length =>
+          // all four digits hex-validated (code-review r18): a malformed
+          // escape like `\uZZZZ` passes RoutingKeyRe (any \-escape does)
+          // and previously threw NumberFormatException out of the POST
+          // handler — dropped connection instead of a response. Non-hex
+          // falls through to the literal-char arm like any unknown escape.
+          case 'u' if i + 5 < s.length &&
+            (2 to 5).forall(o => Character.digit(s.charAt(i + o), 16) >= 0) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => sb.append(other); i += 2
@@ -716,8 +800,13 @@ object ServiceShell {
   private val RoutingKeyRe = """"routing_key"\s*:\s*"((?:[^"\\]|\\.)+)"""".r
   private val WsPathRe = """^/event-stream/([0-9A-Za-z]+)$""".r
   private object IdPath {
-    def unapply(path: String): Option[String] =
-      """^/event-stream/(\d+)$""".r.findFirstMatchIn(path).map(_.group(1))
+    // toLongOption, not toLong (code-review r18): a 20-digit id matched
+    // \d+ and then threw NumberFormatException out of the handler — the
+    // HttpServer dispatcher dropped the connection instead of answering.
+    // An unparseable id now simply fails the extractor ⇒ the 404 arm.
+    def unapply(path: String): Option[Long] =
+      """^/event-stream/(\d+)$""".r.findFirstMatchIn(path)
+        .flatMap(_.group(1).toLongOption)
   }
 
   /** RFC 6455 §4.2.2 — the accept token is public protocol, not secret. */

@@ -826,15 +826,303 @@ class ServiceShellSpec extends SparkSpec {
       try {
         // the 1001 close frame must arrive DESPITE the throwing release
         assert(closed.get(30, TimeUnit.SECONDS) === 1001)
-        assert(coord.releaseThrows === 1, "the stopping re-check must have released")
+        // since the r18 finally-teardown, the release runs AFTER the 1001
+        // frame (removals + guarded release are the unwind path) — poll
+        // for it instead of asserting instantaneous ordering
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (shell.liveConnEntries > 0 && System.nanoTime() < deadline)
+        while ((shell.liveConnEntries > 0 || coord.releaseThrows == 0) &&
+               System.nanoTime() < deadline)
           Thread.sleep(50)
+        assert(coord.releaseThrows === 1, "the stopping re-check must have released")
         assert(shell.liveConnEntries === 0,
-          "the stopping re-check must remove both map entries before releasing")
+          "the stopping teardown must remove both map entries")
         assert(coord.activeQuery("rk-stopthrow").isEmpty,
           "the re-check's release must still have stopped + deregistered the query")
       } finally { try ws.abort() catch { case _: Exception => } }
     } finally shell.stop()
+  }
+
+  /** Raw-socket WS handshake shared by the r18 review-pin tests: sends the
+    * upgrade for `uuid` and consumes the response exactly through the
+    * CRLFCRLF (same discipline as the older inline copies above).
+    */
+  private def rawHandshake(sock: java.net.Socket, uuid: String): Unit = {
+    sock.setSoTimeout(30000)
+    val out = sock.getOutputStream
+    out.write((s"GET /event-stream/$uuid HTTP/1.1\r\n" +
+      "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n" +
+      "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n" +
+      "Sec-WebSocket-Version: 13\r\n\r\n").getBytes("UTF-8"))
+    out.flush()
+    val in = sock.getInputStream
+    var tail = 0
+    var done = false
+    while (!done) {
+      val c = in.read()
+      assert(c >= 0, "EOF during handshake")
+      tail = ((tail << 8) | c) & 0xFFFFFFFF
+      if (tail == 0x0D0A0D0A) done = true
+    }
+  }
+
+  test("service shell: abortive disconnect (RST) still releases the query and the map entries") {
+    // code-review r18: a peer RST raises SocketException out of the reader
+    // loop instead of returning EOF — before the finally-teardown, the
+    // unwind skipped coordinator.release, leaving a ZOMBIE query holding
+    // the routing key forever plus both socket-map entries.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    try {
+      val rec = registry.create("rk-rst")
+      val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+      try {
+        rawHandshake(sock, rec.uuid)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (coord.activeQuery("rk-rst").isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(coord.activeQuery("rk-rst").isDefined, "consumer did not attach")
+        // SO_LINGER 0 + close = TCP RST, the abortive-disconnect shape
+        sock.setSoLinger(true, 0)
+      } finally sock.close()
+      val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((coord.activeQuery("rk-rst").isDefined || shell.liveConnEntries > 0) &&
+             System.nanoTime() < d2)
+        Thread.sleep(50)
+      assert(coord.activeQuery("rk-rst").isEmpty,
+        "RST must release the query — a zombie here holds the routing key forever")
+      assert(shell.liveConnEntries === 0,
+        "RST must not leak conns/connsByKey entries")
+    } finally {
+      shell.stop()
+      coord.release("rk-rst")
+    }
+  }
+
+  test("service shell: a throwing sourceFor closes 1011 and leaks neither map entries nor a query") {
+    // code-review r18: a throw between the socket-map puts and a started
+    // query previously unwound past the teardown — both map entries
+    // leaked and the client saw a bare TCP drop instead of a close frame.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val shell = new ServiceShell(spark, registry, coord,
+      _ => throw new RuntimeException("injected source failure"))
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-srcboom"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      val closed = new CompletableFuture[Integer]()
+      val ws = http.newWebSocketBuilder()
+        .buildAsync(URI.create(loc), new WebSocket.Listener {
+          override def onClose(w: WebSocket, code: Int,
+                               reason: String): java.util.concurrent.CompletionStage[_] = {
+            closed.complete(code); null
+          }
+          override def onError(w: WebSocket, error: Throwable): Unit = {
+            closed.complete(-1); ()
+          }
+        }).join()
+      try {
+        assert(closed.get(30, TimeUnit.SECONDS) === 1011,
+          "start failure must be a 1011 close frame, not a bare TCP drop")
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (shell.liveConnEntries > 0 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(shell.liveConnEntries === 0,
+          "a throwing pipeline start must not leak conns/connsByKey entries")
+        assert(coord.activeQuery("rk-srcboom").isEmpty)
+      } finally { try ws.abort() catch { case _: Exception => } }
+    } finally shell.stop()
+  }
+
+  test("service shell: concurrent connects to one stream end with the fencing winner owning the open socket") {
+    // code-review r18 (admission serialization): unserialized, the
+    // socket-map put order could invert the coordinator register order —
+    // the fencing winner's socket was already closed by a later putter,
+    // so its query silently dropped every record while the map's socket
+    // hung on a dead query. With admission serialized the two orders
+    // coincide: after a connect storm, exactly ONE client socket stays
+    // open, and the active query delivers to exactly that client.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    try {
+      val created = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"routing_key": "rk-storm"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val loc = """"location":"([^"]+)"""".r
+        .findFirstMatchIn(created.body).get.group(1)
+      val n = 4
+      val queues = Array.fill(n)(new LinkedBlockingQueue[String]())
+      val closes = Array.fill(n)(new CompletableFuture[Integer]())
+      val sockets = (0 until n).map { i =>
+        http.newWebSocketBuilder().buildAsync(URI.create(loc), new WebSocket.Listener {
+          private val sb = new StringBuilder
+          override def onText(w: WebSocket, data: CharSequence,
+                              last: Boolean): java.util.concurrent.CompletionStage[_] = {
+            sb.append(data)
+            if (last) { queues(i).add(sb.toString); sb.setLength(0) }
+            w.request(1)
+            null
+          }
+          override def onClose(w: WebSocket, code: Int,
+                               reason: String): java.util.concurrent.CompletionStage[_] = {
+            closes(i).complete(code); null
+          }
+          override def onError(w: WebSocket, error: Throwable): Unit = {
+            closes(i).complete(-1); ()
+          }
+        })
+      }.map(_.join())
+      try {
+        // storm settles: n-1 displaced sockets closed, one query active
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while ((closes.count(_.isDone) < n - 1 ||
+                coord.activeQuery("rk-storm").isEmpty) &&
+               System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(closes.count(_.isDone) === n - 1,
+          s"exactly one socket must survive the storm, ${n - closes.count(_.isDone)} still open")
+        val q = coord.activeQuery("rk-storm").getOrElse(fail("no active query after storm"))
+        // the winner's socket is open and DELIVERS — put-order/register-
+        // order inversion would drop this record on a closed socket
+        stream.addData(ServiceShellSpec.Msg("""{"message_type": "storm-winner"}""", 1, 100L))
+        q.processAllAvailable()
+        val survivor = closes.indexWhere(!_.isDone)
+        val got = queues(survivor).poll(30, TimeUnit.SECONDS)
+        assert(got != null && got.contains("storm-winner"),
+          s"fencing winner's socket did not deliver: $got")
+        assert(queues.zipWithIndex.filter(_._2 != survivor).forall(_._1.isEmpty),
+          "a displaced socket received post-storm data")
+        assert(shell.liveConnEntries === 2,
+          s"exactly one uuid entry + one key entry must remain, got ${shell.liveConnEntries}")
+      } finally sockets.foreach(w => try w.abort() catch { case _: Exception => })
+    } finally {
+      shell.stop()
+      coord.release("rk-storm")
+    }
+  }
+
+  test("service shell: a never-terminated oversized header is refused, not buffered") {
+    // code-review r18: readHeader grew its buffer without bound — one
+    // socket streaming an endless "header" could OOM the driver. Past the
+    // 16 KiB cap the connection must be refused (404/DROP), never 101.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+      try {
+        sock.setSoTimeout(30000)
+        val junk = new Array[Byte](17 * 1024)
+        java.util.Arrays.fill(junk, 'a'.toByte)
+        try { sock.getOutputStream.write(junk); sock.getOutputStream.flush() }
+        catch { case _: java.io.IOException => () } // server may already have dropped us
+        val resp = try {
+          val buf = new Array[Byte](256)
+          val m = sock.getInputStream.read(buf)
+          if (m > 0) new String(buf, 0, m, "UTF-8") else ""
+        } catch { case _: java.io.IOException => "" } // RST also = refused
+        assert(!resp.contains("101"),
+          s"an oversized header must never be accepted as an upgrade: $resp")
+      } finally sock.close()
+    } finally shell.stop()
+  }
+
+  test("service shell: control-plane request body past the cap answers 413") {
+    // code-review r18: readAllBytes buffered an unbounded POST body
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    try {
+      val big = "x" * (2 * 1024 * 1024)
+      val resp = http.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${shell.httpPort}/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"routing_key": "$big"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 413, s"expected 413, got ${resp.statusCode()}")
+    } finally shell.stop()
+  }
+
+  test("service shell: malformed ids and escapes get HTTP answers, not dropped connections") {
+    // code-review r18, two handler crashes: (a) DELETE with a Long-
+    // overflowing id threw NumberFormatException out of the handler —
+    // HttpServer dropped the connection with no status; (b) a routing key
+    // whose \-escape has non-hex \u digits did the same in jsonUnescape.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def base = s"http://127.0.0.1:${shell.httpPort}"
+    try {
+      val del = http.send(
+        HttpRequest.newBuilder(
+            URI.create(base + "/event-stream/99999999999999999999"))
+          .DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() === 404, s"overflowing id must 404, got ${del.statusCode()}")
+      // "a\uZZZZb" with a literal backslash (built by concat so Scala's
+      // own unicode-escape processing never sees it)
+      val body = "{\"routing_key\": \"a\\" + "uZZZZb\"}"
+      val post = http.send(
+        HttpRequest.newBuilder(URI.create(base + "/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() === 201,
+        s"non-hex \\u escape must still get a response, got ${post.statusCode()}")
+    } finally shell.stop()
+  }
+
+  test("service shell: an unmasked client frame fails the connection with 1002") {
+    // RFC 6455 §5.1 (code-review r18): client frames MUST be masked; the
+    // server MUST fail the connection on an unmasked one.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    try {
+      val rec = registry.create("rk-unmasked")
+      val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+      try {
+        rawHandshake(sock, rec.uuid)
+        val out = sock.getOutputStream
+        out.write(Array[Byte](0x89.toByte, 0x00)) // unmasked zero-payload ping
+        out.flush()
+        val in = sock.getInputStream
+        val h1 = in.read(); val h2 = in.read()
+        val s1 = in.read(); val s2 = in.read()
+        assert(h1 === 0x88 && h2 === 0x02 && ((s1 << 8) | s2) === 1002,
+          f"expected 1002 close, got 0x$h1%02x len=$h2 status=${(s1 << 8) | s2}")
+        assert(in.read() === -1, "server must drop the connection after 1002")
+      } finally sock.close()
+    } finally {
+      shell.stop()
+      coord.release("rk-unmasked")
+    }
   }
 }
