@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Off-gate instrument for the BM25 core (round 18): the derived sf1
+  * corpus (`dev/make_sf1.py`) suffixes every token per copy, so the
+  * registered `t_bm25_topk` — a fixed public term set, by design — is
+  * vacuously 0-row at sf1. This runs the SAME parameterized core
+  * ([[graft.operators.Round17Queries.bm25TopK]]) with caller-supplied
+  * terms that DO exist in the derived corpus and dumps parquet in the
+  * VerifyOne layout, so `tools/oracle_check.py` can compare it against
+  * the t_bm25_topk oracle SQL with the term list substituted.
+  * Usage: runMain graft.Bm25Probe <sfDir> <outDir> <term> [term ...]
+  */
+object Bm25Probe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Bm25Probe <sfDir> <outDir> <term> [term ...]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, args(0)).select(col("doc_id"), col("text"))
+    graft.operators.Round17Queries.bm25TopK(docs, args.drop(2).toSeq)
+      .write.mode("overwrite").parquet(args(1) + "/t_bm25_topk")
+    spark.stop()
+  }
+}

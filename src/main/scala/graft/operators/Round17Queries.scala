@@ -200,12 +200,18 @@ object Round17Queries {
     * final top-10 is orderBy+limit = TakeOrdered, shipping 10 rows per
     * partition to the driver, never a global sort.
     */
-  private[graft] def bm25TopK(docs: DataFrame): DataFrame = {
+  /** `query` defaults to [[Bm25Query]] (the registered query + oracle);
+    * parameterized so off-gate sweeps can pass terms that exist in a
+    * derived corpus — the sf1 fixture suffixes every token per copy, and
+    * a fixed term set would make its sf1 oracle row vacuously 0-row.
+    */
+  private[graft] def bm25TopK(docs: DataFrame,
+                              query: Seq[String] = Bm25Query): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
     val dl = toks.select(col("doc_id"), size(col("t")).cast(LongType).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = toks.select(col("doc_id"), explode(col("t")).as("tok"))
-      .where(col("tok").isin(Bm25Query: _*))
+      .where(col("tok").isin(query: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfc), Seq("tok"))
