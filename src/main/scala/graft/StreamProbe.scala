@@ -42,6 +42,11 @@ object StreamProbe {
       spark.stop()
       return
     }
+    if (which == "corpuseq") {
+      corpusEq(spark, d, nBatches = if (args.length > 2) args(2).toInt else 5)
+      spark.stop()
+      return
+    }
     try Tables.events(spark, d).count() catch { case _: Throwable => () }
     for (i <- 1 to runs) {
       val (rows, secs) =
@@ -83,6 +88,157 @@ object StreamProbe {
       println(f"corpus[lineScrub=$scrub] run $i: ${docs.length} docs " +
         f"in $s%.2f s = ${docs.length / s}%.0f docs/s")
     }
+  }
+
+  /** `corpuseq` mode (VERDICT r17 #2): drive [[graft.streaming
+    * .StreamingAggs.startCorpusPipeline]] over the FULL documents table of
+    * `d` (the derived sf1 corpus: 50k docs — 10× every spec fixture) and
+    * pin the streaming verdicts against the BATCH core,
+    * verdict-for-verdict:
+    *
+    *   1. order-independent dials (has_text, quality, repetitive,
+    *      contaminated, content_sha) must be IDENTICAL between the
+    *      multi-batch run and a fresh single-batch run — any difference
+    *      is cross-batch state pollution;
+    *   2. `is_new` / `is_neardup` / `accepted` must equal a driver-side
+    *      greedy REPLAY of the documented stream semantics — first-
+    *      occurrence-per-sha against accepted-only sha state; near-dup =
+    *      lower-id partner eligible in the same batch (the batch
+    *      operator's drop-doc_b policy) or accepted in a prior batch —
+    *      where the partner pair set comes from the ORACLED batch
+    *      operator `d_minhash_lsh` (same shingles(3) → graft_minhash →
+    *      8×4 bands → verify J ≥ 0.5 primitives). Valid as long as no
+    *      LSH bucket overflows [[graft.operators.DedupQueries
+    *      .MegaBucketCap]] over the full corpus (restriction ≡ filtering
+    *      below the cap), which the probe audits and prints.
+    *
+    * Batches are doc_id-ordered slices, so every pair's lower id lands in
+    * an earlier-or-equal batch and the greedy replay is deterministic.
+    * Also prints docs/s for the multi-batch run (production batch size =
+    * corpus/nBatches) and for an all-stages-on run (pii + lineScrub +
+    * sourceMix + packSequences) that exercises the mix/pack/lines state
+    * families at the same scale.
+    * Usage: runMain graft.StreamProbe <sfDir> corpuseq [nBatches]
+    */
+  private def corpusEq(spark: SparkSession, d: String, nBatches: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, explode, size => fsize}
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val evalDocs = Seq("benchmark holdout grams live only here").toDF("text")
+    // per-doc stream verdicts: (has_text, quality, repetitive,
+    // contaminated, content_sha, is_new, is_neardup, accepted)
+    type V = (Boolean, Double, Boolean, Boolean, String, Boolean, Boolean, Boolean)
+    def run(slices: Seq[Seq[(Long, String)]]): (Map[Long, V], Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-corpuseq").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, V)]()
+      val ms = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingAggs.startCorpusPipeline(
+        ms.toDF().toDF("doc_id", "text"), evalDocs, s"$dir/state", s"$dir/ckpt",
+        batch => batch.select("doc_id", "has_text", "quality", "repetitive",
+            "contaminated", "content_sha", "is_new", "is_neardup", "accepted")
+          .collect().foreach(r => got.add((r.getLong(0), (r.getBoolean(1),
+            r.getDouble(2), r.getBoolean(3), r.getBoolean(4), r.getString(5),
+            r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))))))
+      val t0 = System.nanoTime()
+      try slices.foreach { g => ms.addData(g: _*); q.processAllAvailable() }
+      finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (got.toArray(new Array[(Long, V)](0)).toMap, secs)
+    }
+    val pairs2 = docs.map { case (id, t, _) => (id, t) }.toSeq
+    val slice = math.max((docs.length + nBatches - 1) / nBatches, 1)
+    val slices = pairs2.grouped(slice).toSeq
+    val (multi, tMulti) = run(slices)
+    val (single, tSingle) = run(Seq(pairs2))
+    println(f"corpuseq multi:  ${docs.length} docs / ${slices.length} batches " +
+      f"in $tMulti%.1f s = ${docs.length / tMulti}%.0f docs/s")
+    println(f"corpuseq single: in $tSingle%.1f s = ${docs.length / tSingle}%.0f docs/s")
+    // 1. order-independent dials: multi ≡ single
+    val dialDiffs = docs.map(_._1).filter { id =>
+      val m = multi(id); val s = single(id)
+      (m._1, m._2, m._3, m._4, m._5) != ((s._1, s._2, s._3, s._4, s._5))
+    }
+    println(s"corpuseq dials multi≡single: ${dialDiffs.length} diffs" +
+      (if (dialDiffs.nonEmpty) s" e.g. ${dialDiffs.take(5).toSeq}" else ""))
+    // 2. batch pair set (the oracled operator) + bucket-cap audit
+    graft.plans.GraftFunctions.register(spark)
+    val banded = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles("text", 3).as("sh"))
+      .filter(fsize(col("sh")) > 0)
+      .withColumn("sig", org.apache.spark.sql.functions.expr("graft_minhash(sh)"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.minhashBands("sig", 8, 4)).as("b"))
+    val maxBucket = banded.groupBy(col("b.band"), col("b.h"))
+      .count().agg(org.apache.spark.sql.functions.max(col("count")))
+      .as[Long].head()
+    println(s"corpuseq max LSH bucket: $maxBucket " +
+      s"(cap ${graft.operators.DedupQueries.MegaBucketCap}; replay valid iff <= cap)")
+    val pairSet = graft.operators.DedupQueries.defs("d_minhash_lsh")(spark, d)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    println(s"corpuseq batch pair set: ${pairSet.length} verified pairs")
+    val partnersLower: Map[Long, Array[Long]] =
+      pairSet.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1) }
+    // 3. greedy replay of the documented semantics, from batch artifacts
+    def replay(assign: Seq[Seq[Long]], dials: Map[Long, V])
+        : Map[Long, (Boolean, Boolean, Boolean)] = {
+      val res = scala.collection.mutable.Map.empty[Long, (Boolean, Boolean, Boolean)]
+      val seenShas = scala.collection.mutable.Set.empty[String]
+      val acceptedIds = scala.collection.mutable.Set.empty[Long]
+      assign.foreach { ids =>
+        val firstOfSha = ids.groupBy(id => dials(id)._5).map { case (sh, g) => sh -> g.min }
+        val isNewB = ids.map { id =>
+          val sh = dials(id)._5
+          id -> (!seenShas.contains(sh) && firstOfSha(sh) == id)
+        }.toMap
+        val eligible = ids.filter { id =>
+          val v = dials(id)
+          v._1 && v._2 >= 0.52 && !v._3 && !v._4 && isNewB(id)
+        }
+        val eligibleSet = eligible.toSet
+        val ndSet = eligible.filter(id => partnersLower.getOrElse(id, Array.empty)
+          .exists(a => eligibleSet.contains(a) || acceptedIds.contains(a))).toSet
+        val acceptedB = eligible.filterNot(ndSet)
+        acceptedIds ++= acceptedB
+        seenShas ++= acceptedB.map(id => dials(id)._5)
+        ids.foreach { id =>
+          res(id) = (isNewB(id), ndSet.contains(id),
+            eligibleSet.contains(id) && !ndSet.contains(id))
+        }
+      }
+      res.toMap
+    }
+    def cmp(name: String, got: Map[Long, V],
+            exp: Map[Long, (Boolean, Boolean, Boolean)]): Unit = {
+      val diffs = docs.map(_._1).filter { id =>
+        val g = got(id); (g._6, g._7, g._8) != exp(id)
+      }
+      println(s"corpuseq $name stream≡replay: ${diffs.length} diffs" +
+        (if (diffs.nonEmpty) " e.g. " + diffs.take(5).map(id =>
+          s"$id got=${(got(id)._6, got(id)._7, got(id)._8)} exp=${exp(id)}").mkString("; ")
+         else ""))
+    }
+    cmp("multi ", multi, replay(slices.map(_.map(_._1)), multi))
+    cmp("single", single, replay(Seq(pairs2.map(_._1)), single))
+    // 4. all-stages-on drive: pii + lineScrub + sourceMix + packSequences
+    // (mix/pack/lines state at full scale; timing only — mix folds an
+    // order-dependent sampling draw into `accepted` by design)
+    val dirF = java.nio.file.Files.createTempDirectory("graft-corpuseq-full").toString
+    val msF = MemoryStream[(Long, String, String)]
+    val qF = graft.streaming.StreamingAggs.startCorpusPipeline(
+      msF.toDF().toDF("doc_id", "text", "source"), evalDocs,
+      s"$dirF/state", s"$dirF/ckpt", _ => (),
+      sourceMix = true, packSequences = true, piiScrub = true, lineScrub = true)
+    val tF0 = System.nanoTime()
+    try docs.grouped(slice).foreach { g => msF.addData(g.toSeq: _*); qF.processAllAvailable() }
+    finally qF.stop()
+    val tF = (System.nanoTime() - tF0) / 1e9
+    println(f"corpuseq all-stages: ${docs.length} docs / ${slices.length} batches " +
+      f"in $tF%.1f s = ${docs.length / tF}%.0f docs/s")
   }
 
   /** Grow keyed-aggregation state by `keysPerBatch` FRESH keys per batch

@@ -1104,4 +1104,115 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(stateDir).count() === preCount,
       "replay must not grow the state table")
   }
+
+  test("T4 streaming: a crash BETWEEN state-family commits replays into identical state across ALL families (VERDICT r17 #8)") {
+    // The corpus pipeline commits five state families per batch in order:
+    // neardup shingles → neardup bands → sha → mix → pack → lines. The
+    // single-family replay pins above re-deliver a batch against its OWN
+    // committed slice; this one injects a crash MID-COMMIT — after sha
+    // and mix landed for batch 1 but before pack and lines — so the
+    // replayed batch faces a MIXED state: some families already hold its
+    // batch=1 slice (own-slice exclusion must hide them on read, then
+    // rewrite them identically), others don't (the replay must create
+    // them). A real restart drives it: a file source + the SAME
+    // checkpoint re-delivers the failed batch as batchId 1, exactly the
+    // production crash shape. The end state must be byte-equal
+    // (family-by-family set-equal) to a never-crashed run of the same
+    // two batches.
+    import graft.streaming.StreamingAggs
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("corpus-multifault").toString
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val evalDocs = Seq("benchmark holdout grams live only here today").toDF("text")
+    val baseText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val crossDup = baseText.replace("alpha ", "yankee ") // proven J >= 0.5 pair
+    def doc(i: Int): String = (0 until 20).map(j => s"fi${i}q$j").mkString(" ")
+    val b0 = Seq((1L, doc(1), "src0"), (2L, baseText, "src0"), (3L, doc(3), "src1"))
+    val b1 = Seq((5L, doc(5), "src0"), (6L, doc(1), "src1"), // 6 = exact dup of 1
+      (7L, crossDup, "src0"),                                // near-dup of accepted 2
+      (8L, doc(8), "src1"))
+    def writeJson(name: String, rows: Seq[(Long, String, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$srcDir/$name"),
+        rows.map(r => s"""{"doc_id":${r._1},"text":"${r._2}","source":"${r._3}"}""")
+          .mkString("\n"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    type V = (Boolean, Boolean, Boolean) // is_new, is_neardup, accepted
+    @volatile var failPack = false
+    def startP(state: String, ckpt: String, got: ConcurrentLinkedQueue[(Long, V)],
+               inject: Boolean) =
+      StreamingAggs.startCorpusPipeline(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(srcDir),
+        evalDocs, state, ckpt,
+        batch => batch.select("doc_id", "is_new", "is_neardup", "accepted")
+          .collect().foreach(r => got.add((r.getLong(0),
+            (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))),
+        sourceMix = true, packSequences = true, lineScrub = true,
+        onPacked = p => {
+          p.count() // consume like a real downstream
+          if (inject && failPack)
+            throw new RuntimeException("injected crash between mix and pack commits")
+        })
+    // ---- faulted run: batch 0 clean, batch 1 dies mid-commit ----
+    val got0 = new ConcurrentLinkedQueue[(Long, V)]()
+    writeJson("b0.json", b0)
+    val q0 = startP(s"$root/state", s"$root/ckpt", got0, inject = true)
+    val failure = try {
+      q0.processAllAvailable() // batch 0 commits all five families
+      failPack = true
+      writeJson("b1.json", b1)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q0.processAllAvailable()
+      }
+    } finally { try q0.stop() catch { case _: Exception => () } }
+    assert(failure.getMessage.contains("injected crash"), failure.getMessage)
+    failPack = false
+    // the partial-commit shape: neardup + sha + mix landed for batch 1,
+    // pack + lines did not — the exact mid-commit kill
+    def slice(family: String): java.nio.file.Path =
+      java.nio.file.Paths.get(s"$root/state/$family/batch=1")
+    Seq("neardup/shingles", "neardup/bands", "sha", "mix").foreach(f =>
+      assert(java.nio.file.Files.isDirectory(slice(f)),
+        s"$f batch=1 must have committed before the injected crash"))
+    Seq("pack", "lines").foreach(f =>
+      assert(!java.nio.file.Files.exists(slice(f)),
+        s"$f batch=1 must NOT have committed after the injected crash"))
+    val attempt1 = got0.toArray(new Array[(Long, V)](0)).toMap
+    // non-vacuous fixture: the exact-dup and near-dup verdicts fired
+    assert(attempt1(6L) === ((false, false, false)), attempt1(6L).toString)
+    assert(attempt1(7L) === ((true, true, false)), attempt1(7L).toString)
+    // ---- restart from the SAME checkpoint: batch 1 replays as id 1 ----
+    val got1 = new ConcurrentLinkedQueue[(Long, V)]()
+    val q1 = startP(s"$root/state", s"$root/ckpt", got1, inject = false)
+    try q1.processAllAvailable() finally q1.stop()
+    val replayed = got1.toArray(new Array[(Long, V)](0)).toMap
+    assert(replayed.keySet === b1.map(_._1).toSet,
+      s"the restart must replay exactly the failed batch: ${replayed.keySet}")
+    b1.map(_._1).foreach { id =>
+      assert(replayed(id) === attempt1(id),
+        s"replay verdict for doc $id diverged: ${replayed(id)} vs ${attempt1(id)}")
+    }
+    // ---- never-crashed reference run, same two-file cadence ----
+    val gotC = new ConcurrentLinkedQueue[(Long, V)]()
+    val qC = startP(s"$root/stateClean", s"$root/ckptClean", gotC, inject = false)
+    try qC.processAllAvailable() finally qC.stop()
+    // every family's final content is identical, slice-for-slice
+    def family(state: String, family: String, cols: Seq[String]): Set[Seq[Any]] =
+      spark.read.parquet(s"$root/$state/$family")
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet
+    Seq(
+      ("sha", Seq("content_sha", "batch")),
+      ("neardup/shingles", Seq("doc_id", "batch")),
+      ("neardup/bands", Seq("doc_id", "band", "h", "batch")),
+      ("mix", Seq("source", "src_tokens", "batch")),
+      ("pack", Seq("shard", "shard_tokens", "batch")),
+      ("lines", Seq("lh", "ndocs", "batch"))).foreach { case (f, cols) =>
+      assert(family("state", f, cols) === family("stateClean", f, cols),
+        s"state family $f diverged between the crashed+replayed run and the clean run")
+    }
+  }
 }
