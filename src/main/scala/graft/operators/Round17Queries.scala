@@ -186,6 +186,43 @@ object Round17Queries {
   /** Result size for `t_bm25_topk` (a TakeOrdered, never a global sort). */
   private[graft] val Bm25TopK = 10
 
+  /** The `t_bm25_topk` oracle SQL with the term list as a parameter —
+    * shared by the registered oracle (fixed [[Bm25Query]]) and
+    * [[graft.Bm25Probe]], which re-oracles the SAME core at sf1 with
+    * in-corpus (per-copy-suffixed) terms so the sf1 row is non-vacuous
+    * and re-runs mechanically each round (VERDICT r18 #7). Identical
+    * idf/saturation/length-norm formula to [[bm25TopK]] with the CASTs
+    * in the same positions (every float op promotes from the same
+    * integers), so the micro-unit weights agree term-for-term.
+    */
+  private[graft] def bm25OracleSql(terms: Seq[String]): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u
+           WHERE tok IN (${terms.map("'" + _ + "'").mkString(", ")})
+           GROUP BY doc_id, tok),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         w AS (
+           SELECT tf.doc_id,
+                  CAST(floor(
+                    ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
+                       (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(tf AS DOUBLE) * 2.2)
+                    / (CAST(tf AS DOUBLE) +
+                       1.2 * (1.0 - 0.75 +
+                              0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))
+                    * 1000000 + 0.5) AS BIGINT) AS w_units
+           FROM tf JOIN dfc USING (tok)
+             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(w_units) AS BIGINT) AS bm25_units
+         FROM w GROUP BY doc_id
+         ORDER BY bm25_units DESC, doc_id LIMIT $Bm25TopK"""
+
   /** Core of `t_bm25_topk` over a (doc_id, text) frame: Okapi BM25 with
     * k1=1.2, b=0.75, per-(doc, term) weight in integer micro-units
     * (floor(w*1e6+0.5)) so per-doc sums are exact cross-engine:
@@ -281,33 +318,7 @@ object Round17Queries {
     // identical idf/saturation/length-norm formula with the CASTs in the
     // same positions (every float op promotes from the same integers), so
     // the micro-unit weights agree term-for-term
-    "t_bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-         tf AS (
-           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-           FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u
-           WHERE tok IN (${Bm25Query.map("'" + _ + "'").mkString(", ")})
-           GROUP BY doc_id, tok),
-         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-         w AS (
-           SELECT tf.doc_id,
-                  CAST(floor(
-                    ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
-                       (CAST(df AS DOUBLE) + 0.5) + 1.0)
-                    * (CAST(tf AS DOUBLE) * 2.2)
-                    / (CAST(tf AS DOUBLE) +
-                       1.2 * (1.0 - 0.75 +
-                              0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))
-                    * 1000000 + 0.5) AS BIGINT) AS w_units
-           FROM tf JOIN dfc USING (tok)
-             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                CAST(sum(w_units) AS BIGINT) AS bm25_units
-         FROM w GROUP BY doc_id
-         ORDER BY bm25_units DESC, doc_id LIMIT $Bm25TopK""",
+    "t_bm25_topk" -> bm25OracleSql(Bm25Query),
 
     // replays the window formation (1-based subscripts grouped by
     // (i-1)//w, the d_line_dedup discipline), the per-window marker-argmax

@@ -538,6 +538,11 @@ final class ServiceShell(
     * r10). Frames longer than [[ServiceShell.MaxClientFrame]] get an RFC
     * 6455 1009 (message too big) close instead of an allocation attempt —
     * clients here only ever send close/ping control frames anyway.
+    * Strict-conformance failures (all 1002, VERDICT r18 #3 + r18's
+    * unmasked-frame fix): nonzero RSV without a negotiated extension
+    * (§5.2), fragmented control frames (FIN=0 with opcode ≥ 0x8, §5.5),
+    * reserved opcodes 0x3-0x7/0xB-0xF (§5.2), control frames declaring
+    * > 125 bytes (§5.5), and unmasked client frames (§5.1).
     */
   private def readFrames(in: InputStream, out: OutputStream, lock: Object): Unit = {
     // EOF-guarded byte read: -1 propagates instead of polluting arithmetic
@@ -548,6 +553,8 @@ final class ServiceShell(
       val b2 = if (b1 < 0) -1 else rb()
       if (b1 < 0 || b2 < 0) open = false
       else {
+        val fin = (b1 & 0x80) != 0
+        val rsv = b1 & 0x70
         val opcode = b1 & 0x0F
         val masked = (b2 & 0x80) != 0
         var len: Long = b2 & 0x7F
@@ -565,7 +572,33 @@ final class ServiceShell(
           }
         }
         if (eof) open = false
-        else if (!masked) {
+        else if (rsv != 0) {
+          // RFC 6455 §5.2: RSV1-3 MUST be 0 unless an extension defining
+          // their meaning was negotiated — this shell negotiates none, so
+          // any set RSV bit fails the connection (1002). Previously
+          // tolerated (VERDICT r18 #3): the bits were never read, the same
+          // class of leniency r18 fixed for unmasked frames.
+          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
+          open = false
+        } else if (!fin && opcode >= 0x8) {
+          // RFC 6455 §5.5: control frames MUST NOT be fragmented — a
+          // FIN=0 close/ping/pong fails the connection (1002), it is not
+          // a frame whose continuation we should wait for.
+          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
+          open = false
+        } else if (opcode >= 0x3 && opcode <= 0x7 || opcode >= 0xB) {
+          // §5.2: reserved non-control (0x3-0x7) and reserved control
+          // (0xB-0xF) opcodes — fail the connection on receipt.
+          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
+          open = false
+        } else if (opcode >= 0x8 && len > 125) {
+          // §5.5: ALL control frames cap at a 125-byte payload and must
+          // not use the 16/64-bit extended length forms. Checked on the
+          // declared length BEFORE reading the payload, so an oversized
+          // close/ping never allocates or drains its body.
+          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
+          open = false
+        } else if (!masked) {
           // RFC 6455 §5.1: every client→server frame MUST be masked, and
           // the server MUST fail the connection on an unmasked one (1002
           // protocol error). Previously tolerated (code-review r18): an
@@ -606,26 +639,25 @@ final class ServiceShell(
                 // 1006 TCP drop instead of its own status code. Echo only
                 // a code an endpoint may itself SEND (1000-1011 minus the
                 // reserved 1004/1005/1006, or the private 3000-4999 range
-                // — §7.4); a missing, 1-byte, or forbidden code gets a
-                // bare close rather than an echoed violation.
+                // — §7.4). A 1-byte body (§5.5.1 requires 0 or ≥ 2 bytes)
+                // or a forbidden code is itself a protocol violation ⇒
+                // answer 1002, not an echo (r19, Autobahn cases 7.3.2 /
+                // 7.9.*); an absent code (empty body) gets a bare close.
                 val echo =
                   if (payload.length >= 2) {
                     val code = ((payload(0) & 0xFF) << 8) | (payload(1) & 0xFF)
                     val sendable = (code >= 1000 && code <= 1011 &&
                       code != 1004 && code != 1005 && code != 1006) ||
                       (code >= 3000 && code <= 4999)
-                    if (sendable) payload.take(2) else Array.emptyByteArray
-                  } else Array.emptyByteArray
+                    if (sendable) payload.take(2)
+                    else Array(0x03.toByte, 0xEA.toByte)
+                  } else if (payload.length == 1)
+                    Array(0x03.toByte, 0xEA.toByte)
+                  else Array.emptyByteArray
                 writeClose(lock, out, echo)
                 open = false
-              case 0x9 if payload.length > 125 =>
-                // a control frame with >125-byte payload is itself an RFC
-                // 6455 §5.5 violation — and echoing it would set the mask
-                // bit in our single length byte, corrupting the frame.
-                // Protocol error ⇒ 1002 close, drop the connection.
-                writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
-                open = false
               case 0x9 => lock.synchronized { // ping -> pong, same payload
+                // (>125-byte pings already failed on declared length above)
                 out.write((0x8A & 0xFF).toByte)
                 out.write(payload.length)
                 out.write(payload)

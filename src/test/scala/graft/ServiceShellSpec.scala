@@ -1125,4 +1125,91 @@ class ServiceShellSpec extends SparkSpec {
       coord.release("rk-unmasked")
     }
   }
+
+  test("service shell: malformed-frame conformance table closes with the RFC 6455 code") {
+    // Autobahn-style regression net for the r17-r19 strict-parsing series
+    // (VERDICT r18 #3 + stretch #8): one shell, a vector of crafted raw
+    // frames, each asserting the exact close code. Mask bytes are zero so
+    // payload bytes are literal. Positive controls at the end prove the
+    // parser is strict, not just closed: a VALID ping still pongs and a
+    // VALID close still echoes its code on the same code path.
+    val registry = new EventStreamRegistry
+    val coord = new StreamCoordinator
+    val stream = MemoryStream[ServiceShellSpec.Msg](spark)
+    val shell = new ServiceShell(spark, registry, coord, _ => stream.toDF())
+    shell.start()
+    val mask0 = Array[Byte](0, 0, 0, 0)
+    // (case name, frame bytes, expected close status)
+    val vectors: Seq[(String, Array[Byte], Int)] = Seq(
+      ("RSV1 set on masked ping (§5.2)",
+        Array[Byte](0xC9.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("RSV2 set on masked text (§5.2)",
+        Array[Byte](0xA1.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("fragmented close FIN=0 (§5.5)",
+        Array[Byte](0x08.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("fragmented ping FIN=0 (§5.5)",
+        Array[Byte](0x09.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("reserved data opcode 0x3 (§5.2)",
+        Array[Byte](0x83.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("reserved control opcode 0xB (§5.2)",
+        Array[Byte](0x8B.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("control frame declaring 126 bytes (§5.5)",
+        Array[Byte](0x89.toByte, 0xFE.toByte, 0x00, 126.toByte) ++ mask0, 1002),
+      ("unmasked ping (§5.1)",
+        Array[Byte](0x89.toByte, 0x00), 1002),
+      ("close with 1-byte body (§5.5.1)",
+        Array[Byte](0x88.toByte, 0x81.toByte) ++ mask0 ++ Array[Byte](0x03), 1002),
+      ("close with forbidden code 1005 (§7.4.1)",
+        Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
+          Array[Byte](0x03, 0xED.toByte), 1002),
+      ("close with out-of-range code 999 (§7.4.2)",
+        Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
+          Array[Byte](0x03, 0xE7.toByte), 1002),
+      ("data frame declaring 2^31 bytes (house cap, 1009)",
+        Array[Byte](0x82.toByte, 0xFF.toByte,
+          0, 0, 0, 0, 0x80.toByte, 0, 0, 0) ++ mask0, 1009)
+    )
+    try {
+      vectors.zipWithIndex.foreach { case ((name, frame, want), i) =>
+        val rec = registry.create(s"rk-conf-$i")
+        val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+        try {
+          rawHandshake(sock, rec.uuid)
+          val out = sock.getOutputStream
+          out.write(frame); out.flush()
+          val in = sock.getInputStream
+          val h1 = in.read(); val h2 = in.read()
+          val s1 = in.read(); val s2 = in.read()
+          assert(h1 === 0x88 && h2 === 0x02 && ((s1 << 8) | s2) === want,
+            f"$name: expected $want close, got 0x$h1%02x len=$h2 " +
+              f"status=${(s1 << 8) | s2}")
+          assert(in.read() === -1, s"$name: connection must drop after close")
+        } finally sock.close()
+        coord.release(s"rk-conf-$i")
+      }
+      // positive control 1: a conforming masked ping still gets a pong
+      locally {
+        val rec = registry.create("rk-conf-ok")
+        val sock = new java.net.Socket("127.0.0.1", shell.wsPort)
+        try {
+          rawHandshake(sock, rec.uuid)
+          val out = sock.getOutputStream
+          val in = sock.getInputStream
+          out.write(Array[Byte](0x89.toByte, 0x81.toByte) ++ mask0 ++
+            Array[Byte](0x42)); out.flush()
+          val p1 = in.read(); val p2 = in.read(); val p3 = in.read()
+          assert(p1 === 0x8A && p2 === 0x01 && p3 === 0x42,
+            f"valid ping must pong, got 0x$p1%02x len=$p2 body=0x$p3%02x")
+          // positive control 2: a conforming close 1000 echoes 1000
+          out.write(Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
+            Array[Byte](0x03, 0xE8.toByte)); out.flush()
+          val h1 = in.read(); val h2 = in.read()
+          val s1 = in.read(); val s2 = in.read()
+          assert(h1 === 0x88 && h2 === 0x02 && ((s1 << 8) | s2) === 1000,
+            f"valid close must echo 1000, got status=${(s1 << 8) | s2}")
+        } finally sock.close()
+        coord.release("rk-conf-ok")
+      }
+    } finally shell.stop()
+  }
 }
