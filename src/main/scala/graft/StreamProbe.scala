@@ -47,6 +47,11 @@ object StreamProbe {
       spark.stop()
       return
     }
+    if (which == "vecindexeq") {
+      vecIndexEq(spark, d, nBatches = if (args.length > 2) args(2).toInt else 5)
+      spark.stop()
+      return
+    }
     try Tables.events(spark, d).count() catch { case _: Throwable => () }
     for (i <- 1 to runs) {
       val (rows, secs) =
@@ -272,5 +277,68 @@ object StreamProbe {
           f"$s%6.2f s  ${keysPerBatch / s}%,.0f keys/s")
       }
     } finally q.stop()
+  }
+
+  /** `vecindexeq` mode (VERDICT r18 #6): drive [[graft.streaming
+    * .StreamingAggs.startIncrementalVectorIndex]] over the FULL
+    * embeddings table of `d` (the derived sf1 corpus: 20k vectors — 10×
+    * the spec fixture's scale class) in N micro-batches, with the same
+    * full corpus as the fixed seed (so the coarse quantizer + codebook
+    * match the in-plan `v_ivfpq_search` build exactly), and pin:
+    *
+    *   1. the streaming-stored (vec_id, cell, pq_code) rows must be
+    *      IDENTICAL to a single-pass batch [[graft.operators
+    *      .SimilarityQueries.pqIndexAnnotate]] over the same corpus —
+    *      any diff is cross-batch index-state pollution;
+    *   2. `pqIndexServe` from the stored codes must return the SAME
+    *      top-10 as the fully-composed oracled `v_ivfpq_search` plan
+    *      (seed quantizer, nprobe=2, probe vec_id 0).
+    *
+    * Also prints arrivals/s for the multi-batch ingest.
+    * Usage: runMain graft.StreamProbe <sfDir> vecindexeq [nBatches]
+    */
+  private def vecIndexEq(spark: SparkSession, d: String, nBatches: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plans.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(fsize(col("v")) === 64)
+    val vecs = e.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecindexeq").toString
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingAggs.startIncrementalVectorIndex(
+      ms.toDF().toDF("vec_id", "v"), e, s"$dir/codes", s"$dir/ckpt", _ => ())
+    val slice = math.max((vecs.length + nBatches - 1) / nBatches, 1)
+    val slices = vecs.toSeq.grouped(slice).toSeq
+    val t0 = System.nanoTime()
+    try slices.foreach { g => ms.addData(g: _*); q.processAllAvailable() }
+    finally q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"vecindexeq ingest: ${vecs.length} vectors / ${slices.length} " +
+      f"batches in $secs%.1f s = ${vecs.length / secs}%.0f arrivals/s")
+    // 1. stored codes ≡ single-pass batch annotate over the same corpus
+    val (centArr, cb) = graft.operators.SimilarityQueries.pqIndexBuild(
+      e.withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v"))))
+    val stored = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    val batchCodes = graft.operators.SimilarityQueries
+      .pqIndexAnnotate(e, centArr, cb)
+    val codeDiffs = stored.exceptAll(batchCodes)
+      .unionAll(batchCodes.exceptAll(stored)).count()
+    println(s"vecindexeq stored codes ≡ batch annotate: $codeDiffs diffs " +
+      s"(stored ${stored.count()}, batch ${batchCodes.count()})")
+    // 2. serve-from-stored-codes ≡ the composed oracled plan
+    val served = graft.operators.SimilarityQueries.pqIndexServe(
+      stored, e.filter(col("vec_id") === 0), centArr, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val composed = graft.operators.SimilarityQueries.ivfpqSearch(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    println(s"vecindexeq serve ≡ v_ivfpq_search: " +
+      (if (served == composed) s"IDENTICAL top-10 (${served.map(_._1)})"
+       else s"DIVERGED\n  served=$served\n  composed=$composed"))
   }
 }
