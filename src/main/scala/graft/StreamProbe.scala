@@ -52,6 +52,11 @@ object StreamProbe {
       spark.stop()
       return
     }
+    if (which == "soak") {
+      soak(spark, d, nConsumers = if (args.length > 2) args(2).toInt else 32)
+      spark.stop()
+      return
+    }
     try Tables.events(spark, d).count() catch { case _: Throwable => () }
     for (i <- 1 to runs) {
       val (rows, secs) =
@@ -340,5 +345,162 @@ object StreamProbe {
     println(s"vecindexeq serve ≡ v_ivfpq_search: " +
       (if (served == composed) s"IDENTICAL top-10 (${served.map(_._1)})"
        else s"DIVERGED\n  served=$served\n  composed=$composed"))
+  }
+
+  /** `soak` mode (VERDICT r18 #5): N (default 32) concurrent WS consumers
+    * through the REAL `ServiceShell` — raw HTTP create, raw WS connects,
+    * event bodies drawn from the sf events table — under the full churn
+    * menu the reference's single-active-consumer contract must survive at
+    * plurality (app/app.py:320-344): a displacement storm (8 keys
+    * reconnected mid-traffic), DELETE-while-streaming (8 keys), and a
+    * preStop fired mid-wave. Asserts ZERO leaks at the end: no socket-map
+    * entries, no active query on any key, no active streaming query in
+    * the whole session. Prints a consumers × msgs/s steady-state figure.
+    * Usage: runMain graft.StreamProbe <sfDir> soak [nConsumers]
+    */
+  private def soak(spark: SparkSession, d: String, nConsumers: Int): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
+    import java.util.concurrent.atomic.LongAdder
+    import java.util.concurrent.{CompletableFuture, TimeUnit}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val registry = new graft.streaming.EventStreamRegistry
+    val coord = new graft.streaming.StreamCoordinator
+    val keys = (0 until nConsumers).map(i => s"rk-soak-$i")
+    val streams = keys.map(k => k -> MemoryStream[(String, Long, Long)]).toMap
+    val shell = new graft.streaming.ServiceShell(spark, registry, coord,
+      k => streams(k).toDF().toDF("body", "ordinal", "ts_ms"))
+    shell.start()
+    val http = HttpClient.newHttpClient()
+    def base = s"http://127.0.0.1:${shell.httpPort}"
+    // real event ids off the sf table as payload material
+    val eventIds = graft.Tables.events(spark, d)
+      .select(col("event_id")).limit(4096).as[Long].collect()
+    val ordinals = scala.collection.mutable.Map(keys.map(_ -> 0L): _*)
+    def pump(key: String, n: Int): Unit = {
+      val from = ordinals(key)
+      streams(key).addData((0 until n).map { j =>
+        val eid = eventIds(((from + j) % eventIds.length).toInt)
+        (s"""{"message_type":"soak","event_id":$eid}""", from + j, 1000L + from + j)
+      }: _*)
+      ordinals(key) = from + n
+    }
+    def drain(liveKeys: Seq[String]): Unit =
+      liveKeys.foreach(k => coord.activeQuery(k).foreach(_.processAllAvailable()))
+    final case class Consumer(ws: WebSocket, got: LongAdder,
+                              closed: CompletableFuture[Integer])
+    def connect(loc: String): Consumer = {
+      val got = new LongAdder
+      val closed = new CompletableFuture[Integer]()
+      val ws = http.newWebSocketBuilder().buildAsync(URI.create(loc),
+        new WebSocket.Listener {
+          override def onText(w: WebSocket, data: CharSequence, last: Boolean)
+              : java.util.concurrent.CompletionStage[_] = {
+            if (last) got.increment(); w.request(1); null
+          }
+          override def onClose(w: WebSocket, code: Int, reason: String)
+              : java.util.concurrent.CompletionStage[_] = {
+            closed.complete(code); null
+          }
+          override def onError(w: WebSocket, error: Throwable): Unit = {
+            closed.complete(-1); ()
+          }
+        }).join()
+      Consumer(ws, got, closed)
+    }
+    def await(cond: () => Boolean, what: String, secs: Int = 60): Unit = {
+      val deadline = System.nanoTime() + secs * 1e9.toLong
+      while (!cond() && System.nanoTime() < deadline) Thread.sleep(25)
+      require(cond(), s"soak: timed out waiting for $what")
+    }
+    try {
+      // create all streams over HTTP; remember (id, location) per key
+      val recs: Map[String, (Long, String)] = keys.map { k =>
+        val resp = http.send(HttpRequest.newBuilder(URI.create(s"$base/event-stream/"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"""{"routing_key": "$k"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 201, s"create $k: ${resp.statusCode()}")
+        val id = """"id":(\d+)""".r.findFirstMatchIn(resp.body).get.group(1).toLong
+        val loc = """"location":"([^"]+)"""".r.findFirstMatchIn(resp.body).get.group(1)
+        k -> (id, loc)
+      }.toMap
+      val first = keys.map(k => k -> connect(recs(k)._2)).toMap
+      await(() => keys.forall(k => coord.activeQuery(k).isDefined),
+        s"all $nConsumers consumers admitted")
+      // ---- phase A: steady state — 2 waves, exact delivery, timed ----
+      val wave = 100
+      val t0 = System.nanoTime()
+      for (_ <- 1 to 2) { keys.foreach(pump(_, wave)); drain(keys) }
+      await(() => keys.forall(k => first(k).got.sum() == 2L * wave),
+        "steady-state delivery of 2 waves to all consumers")
+      val steadySecs = (System.nanoTime() - t0) / 1e9
+      val steadyMsgs = 2L * wave * nConsumers
+      println(f"soak steady: $nConsumers consumers x ${2 * wave} msgs = " +
+        f"$steadyMsgs msgs in $steadySecs%.1f s = ${steadyMsgs / steadySecs}%.0f msgs/s aggregate")
+      // ---- phase B: displacement storm on keys 0-7 mid-traffic ----
+      val stormKeys = keys.take(8)
+      val winners = stormKeys.map(k => k -> connect(recs(k)._2)).toMap
+      await(() => stormKeys.forall(k => first(k).closed.isDone),
+        "displaced consumers observe their close")
+      stormKeys.foreach { k =>
+        val c = first(k).closed.get(); require(c == 1000,
+          s"displaced $k: expected close 1000, got $c")
+      }
+      keys.foreach(pump(_, wave)); drain(keys)
+      // NEXT over a MemoryStream is a no-op filter on a replayed source,
+      // so a winner sees the backlog too — assert it got AT LEAST the wave
+      await(() => stormKeys.forall(k => winners(k).got.sum() >= wave) &&
+          keys.drop(8).forall(k => first(k).got.sum() == 3L * wave),
+        "post-storm wave delivered to winners and undisturbed consumers")
+      // ---- phase C: DELETE-while-streaming on keys 8-15 ----
+      val delKeys = keys.slice(8, 16)
+      delKeys.foreach(pump(_, wave)) // in-flight rows when the DELETE lands
+      delKeys.foreach { k =>
+        val resp = http.send(HttpRequest.newBuilder(
+            URI.create(s"$base/event-stream/${recs(k)._1}"))
+          .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 204, s"DELETE $k: ${resp.statusCode()}")
+      }
+      await(() => delKeys.forall(k => first(k).closed.isDone),
+        "deleted streams' consumers observe their close")
+      delKeys.foreach { k =>
+        val c = first(k).closed.get(); require(c == 1000,
+          s"deleted $k: expected close 1000, got $c")
+        require(coord.activeQuery(k).isEmpty, s"deleted $k: query still active")
+      }
+      val liveKeys = stormKeys ++ keys.drop(16)
+      keys.foreach(pump(_, wave)) // includes deleted keys: rows go nowhere
+      drain(liveKeys)
+      await(() => keys.drop(16).forall(k => first(k).got.sum() == 4L * wave),
+        "post-DELETE wave delivered to surviving consumers")
+      // ---- phase D: preStop mid-wave drains everyone with 1001 ----
+      liveKeys.foreach(pump(_, wave)) // traffic in flight when preStop lands
+      val pre = http.send(HttpRequest.newBuilder(URI.create(s"$base/admin/prestop"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(pre.statusCode() == 204, s"prestop: ${pre.statusCode()}")
+      val remaining = stormKeys.map(winners) ++ keys.drop(16).map(first)
+      await(() => remaining.forall(_.closed.isDone),
+        "preStop drains every surviving consumer")
+      remaining.foreach { c =>
+        val code = c.closed.get()
+        require(code == 1001, s"preStop drain: expected 1001, got $code")
+      }
+      // ---- leak audit: maps, per-key queries, session-wide queries ----
+      await(() => spark.streams.active.isEmpty, "all streaming queries stopped")
+      require(shell.liveConnEntries == 0,
+        s"socket maps leaked ${shell.liveConnEntries} entries")
+      keys.foreach(k => require(coord.activeQuery(k).isEmpty,
+        s"leaked active query on $k"))
+      val total = first.values.map(_.got.sum()).sum + winners.values.map(_.got.sum()).sum
+      println(s"soak churn: 8 displaced (1000) + 8 deleted (1000) + " +
+        s"${remaining.size} preStop-drained (1001); $total msgs delivered total")
+      println(s"soak leaks: connEntries=${shell.liveConnEntries} " +
+        s"activeKeys=${keys.count(coord.activeQuery(_).isDefined)} " +
+        s"sessionQueries=${spark.streams.active.length} — ALL ZERO")
+    } finally shell.stop()
   }
 }
