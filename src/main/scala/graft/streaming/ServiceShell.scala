@@ -542,7 +542,8 @@ final class ServiceShell(
     * unmasked-frame fix): nonzero RSV without a negotiated extension
     * (§5.2), fragmented control frames (FIN=0 with opcode ≥ 0x8, §5.5),
     * reserved opcodes 0x3-0x7/0xB-0xF (§5.2), control frames declaring
-    * > 125 bytes (§5.5), and unmasked client frames (§5.1).
+    * > 125 bytes (§5.5), and unmasked client frames (§5.1); a close
+    * frame with an invalid-UTF-8 reason answers 1007 (§5.5.1/§7.4.1).
     */
   private def readFrames(in: InputStream, out: OutputStream, lock: Object): Unit = {
     // EOF-guarded byte read: -1 propagates instead of polluting arithmetic
@@ -649,7 +650,13 @@ final class ServiceShell(
                     val sendable = (code >= 1000 && code <= 1011 &&
                       code != 1004 && code != 1005 && code != 1006) ||
                       (code >= 3000 && code <= 4999)
-                    if (sendable) payload.take(2)
+                    // §5.5.1: the close reason MUST be valid UTF-8 — a
+                    // mangled reason is 1007 (invalid frame payload data,
+                    // §7.4.1), the same strict stance as the 1002 series
+                    // above (r19, Autobahn case 7.5.1)
+                    if (!validUtf8(payload, 2))
+                      Array(0x03.toByte, 0xEF.toByte)
+                    else if (sendable) payload.take(2)
                     else Array(0x03.toByte, 0xEA.toByte)
                   } else if (payload.length == 1)
                     Array(0x03.toByte, 0xEA.toByte)
@@ -670,6 +677,20 @@ final class ServiceShell(
       }
     }
   }
+
+  /** Strict UTF-8 validity of `bytes` from `off` to the end (RFC 6455
+    * §5.5.1 demands it of close reasons; Java's lenient String
+    * constructor substitutes U+FFFD instead of rejecting, so this uses a
+    * REPORT-mode decoder).
+    */
+  private def validUtf8(bytes: Array[Byte], off: Int): Boolean =
+    try {
+      UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes, off, bytes.length - off))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
 
   /** The ONE close-frame writer (code-review r17 — this framing was
     * hand-rolled in four places): opcode 8 + payload, written under

@@ -1165,6 +1165,9 @@ class ServiceShellSpec extends SparkSpec {
       ("close with out-of-range code 999 (§7.4.2)",
         Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
           Array[Byte](0x03, 0xE7.toByte), 1002),
+      ("close 1000 with invalid-UTF-8 reason (§5.5.1)",
+        Array[Byte](0x88.toByte, 0x83.toByte) ++ mask0 ++
+          Array[Byte](0x03, 0xE8.toByte, 0xFF.toByte), 1007),
       ("data frame declaring 2^31 bytes (house cap, 1009)",
         Array[Byte](0x82.toByte, 0xFF.toByte,
           0, 0, 0, 0, 0x80.toByte, 0, 0, 0) ++ mask0, 1009)
