@@ -295,10 +295,16 @@ object Round9Queries {
         .select(col("p_partkey"))
         .createOrReplaceTempView("graft_bloom_dim")
       Tables.lineitem(s, d).createOrReplaceTempView("graft_bloom_fact")
+      // revenue in per-row integer cents, summed exactly (r19): the old
+      // sum-then-round drifted a cent at sf1 when the float sum's order
+      // dependence landed on a .xx5 boundary (row 234: 8280522.46 vs
+      // .47) — per-row floor(x*100+0.5) is a single deterministic double
+      // op in both engines, and the BIGINT sum is order-free.
       s.sql(
         """SELECT l_partkey AS p_partkey,
                   CAST(count(*) AS BIGINT) AS n_ship,
-                  floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+                  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                      * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
                     AS revenue
            FROM graft_bloom_fact
            WHERE graft_bloom_contains(
@@ -452,8 +458,9 @@ object Round9Queries {
     "q_bloom_prefilter" ->
       """SELECT l_partkey AS p_partkey,
                 CAST(count(*) AS BIGINT) AS n_ship,
-                floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
-                  AS revenue
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS revenue
          FROM lineitem
          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')
          GROUP BY l_partkey
