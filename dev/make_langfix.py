@@ -58,11 +58,11 @@ def main() -> None:
     rows = con.sql(
         f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
-    enriched = [
-        (doc_id, enrich(text, lang), lang, source,
-         len(enrich(text, lang)) if text is not None else None)
-        for doc_id, text, lang, source in rows
-    ]
+    enriched = []
+    for doc_id, text, lang, source in rows:
+        et = enrich(text, lang)
+        enriched.append(
+            (doc_id, et, lang, source, len(et) if text is not None else None))
     con.execute(
         "CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
         "source VARCHAR, n_chars BIGINT)")

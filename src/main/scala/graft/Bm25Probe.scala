@@ -28,9 +28,16 @@ object Bm25Probe {
     graft.operators.Round17Queries.bm25TopK(docs, terms)
       .write.mode("overwrite").parquet(args(1) + "/t_bm25_topk")
     val sql = graft.operators.Round17Queries.bm25OracleSql(terms)
-    // minimal JSON string escape (quotes/backslashes/newlines) — the SQL
-    // is a known literal, no exotic control characters
-    val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    // full JSON string escape (VerifyOne's discipline): backslash, quote,
+    // and ALL control chars — a term carrying a tab/CR must not produce
+    // invalid oracle_sql.json
+    val esc = sql.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(args(1), "oracle_sql.json"),
       s"""{"t_bm25_topk": "$esc"}""".getBytes("UTF-8"))

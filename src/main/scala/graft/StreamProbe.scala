@@ -336,6 +336,9 @@ object StreamProbe {
       .unionAll(batchCodes.exceptAll(stored)).count()
     println(s"vecindexeq stored codes ≡ batch annotate: $codeDiffs diffs " +
       s"(stored ${stored.count()}, batch ${batchCodes.count()})")
+    require(codeDiffs == 0,
+      s"vecindexeq: $codeDiffs stored-vs-batch code diffs — cross-batch " +
+        "index-state pollution (nonzero exit so the recipe run fails loudly)")
     // 2. serve-from-stored-codes ≡ the composed oracled plan
     val served = graft.operators.SimilarityQueries.pqIndexServe(
       stored, e.filter(col("vec_id") === 0), centArr, cb)
@@ -345,6 +348,8 @@ object StreamProbe {
     println(s"vecindexeq serve ≡ v_ivfpq_search: " +
       (if (served == composed) s"IDENTICAL top-10 (${served.map(_._1)})"
        else s"DIVERGED\n  served=$served\n  composed=$composed"))
+    require(served == composed,
+      "vecindexeq: serve-from-stored-codes diverged from the composed plan")
   }
 
   /** `soak` mode (VERDICT r18 #5): N (default 32) concurrent WS consumers

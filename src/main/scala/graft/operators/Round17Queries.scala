@@ -203,7 +203,8 @@ object Round17Queries {
          tf AS (
            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
            FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u
-           WHERE tok IN (${terms.map("'" + _ + "'").mkString(", ")})
+           WHERE tok IN (${terms.map(t =>
+             "'" + t.replace("'", "''") + "'").mkString(", ")})
            GROUP BY doc_id, tok),
          dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
          w AS (

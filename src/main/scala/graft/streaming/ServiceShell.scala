@@ -549,6 +549,12 @@ final class ServiceShell(
     // EOF-guarded byte read: -1 propagates instead of polluting arithmetic
     def rb(): Int = in.read()
     var open = true
+    // §5.4 fragmentation state: a FIN=0 data frame opens a fragmented
+    // message; only continuation frames (0x0) may follow it (control
+    // frames may interleave), and a continuation with no message in
+    // progress is a protocol error.
+    var fragmented = false
+    def protocolError(): Unit = { writeClose(lock, out, Close1002); open = false }
     while (open) {
       val b1 = rb()
       val b2 = if (b1 < 0) -1 else rb()
@@ -559,6 +565,7 @@ final class ServiceShell(
         val opcode = b1 & 0x0F
         val masked = (b2 & 0x80) != 0
         var len: Long = b2 & 0x7F
+        val extendedLen = len >= 126 // 16/64-bit length form was used
         var eof = false
         if (len == 126) {
           val h = rb(); val l = rb()
@@ -573,46 +580,37 @@ final class ServiceShell(
           }
         }
         if (eof) open = false
-        else if (rsv != 0) {
-          // RFC 6455 §5.2: RSV1-3 MUST be 0 unless an extension defining
-          // their meaning was negotiated — this shell negotiates none, so
-          // any set RSV bit fails the connection (1002). Previously
-          // tolerated (VERDICT r18 #3): the bits were never read, the same
-          // class of leniency r18 fixed for unmasked frames.
-          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
-          open = false
-        } else if (!fin && opcode >= 0x8) {
-          // RFC 6455 §5.5: control frames MUST NOT be fragmented — a
-          // FIN=0 close/ping/pong fails the connection (1002), it is not
-          // a frame whose continuation we should wait for.
-          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
-          open = false
-        } else if (opcode >= 0x3 && opcode <= 0x7 || opcode >= 0xB) {
-          // §5.2: reserved non-control (0x3-0x7) and reserved control
-          // (0xB-0xF) opcodes — fail the connection on receipt.
-          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
-          open = false
-        } else if (opcode >= 0x8 && len > 125) {
-          // §5.5: ALL control frames cap at a 125-byte payload and must
-          // not use the 16/64-bit extended length forms. Checked on the
-          // declared length BEFORE reading the payload, so an oversized
-          // close/ping never allocates or drains its body.
-          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
-          open = false
-        } else if (!masked) {
-          // RFC 6455 §5.1: every client→server frame MUST be masked, and
-          // the server MUST fail the connection on an unmasked one (1002
-          // protocol error). Previously tolerated (code-review r18): an
-          // unmasked frame was parsed as if masked-with-nothing, silently
-          // accepting non-conforming traffic a strict proxy would reject.
-          writeClose(lock, out, Array(0x03.toByte, 0xEA.toByte))
-          open = false
-        } else if (len < 0 || len > MaxClientFrame) {
+        // The strict-parsing ladder — each branch is an RFC 6455 MUST,
+        // all answered with the shared 1002 protocol-error close:
+        // §5.2 RSV1-3 must be 0 with no negotiated extension (VERDICT
+        // r18 #3 — previously the bits were never read, the same class
+        // of leniency r18 fixed for unmasked frames);
+        // §5.5 control frames must not be fragmented (FIN=0) and must
+        // neither exceed 125 bytes nor use the 16/64-bit extended length
+        // forms — checked on the DECLARED length before any payload read;
+        // §5.2 reserved opcodes 0x3-0x7/0xB-0xF fail on receipt;
+        // §5.4 a continuation with no fragmented message in progress,
+        // or a new data frame interleaved into one, fails (control
+        // frames may legally interleave);
+        // §5.1 every client→server frame must be masked.
+        else if (rsv != 0) protocolError()
+        else if (opcode >= 0x8 && (!fin || len > 125 || extendedLen))
+          protocolError()
+        else if (opcode >= 0x3 && opcode <= 0x7 || opcode >= 0xB)
+          protocolError()
+        else if (opcode == 0x0 && !fragmented) protocolError()
+        else if ((opcode == 0x1 || opcode == 0x2) && fragmented)
+          protocolError()
+        else if (!masked) protocolError()
+        else if (len < 0 || len > MaxClientFrame) {
           // 1009 message-too-big close, then drop the connection — never
           // `new Array[Byte](len.toInt)` on an attacker-supplied length
-          writeClose(lock, out, Array(0x03.toByte, 0xF1.toByte))
+          writeClose(lock, out, Close1009)
           open = false
         } else {
+          // valid frame: update §5.4 fragmentation state (data frames
+          // only — control frames never affect it)
+          if (opcode <= 0x2) fragmented = !fin
           val mask = new Array[Byte](4)
           if (masked) {
             var i = 0
@@ -654,12 +652,10 @@ final class ServiceShell(
                     // mangled reason is 1007 (invalid frame payload data,
                     // §7.4.1), the same strict stance as the 1002 series
                     // above (r19, Autobahn case 7.5.1)
-                    if (!validUtf8(payload, 2))
-                      Array(0x03.toByte, 0xEF.toByte)
+                    if (!validUtf8(payload, 2)) Close1007
                     else if (sendable) payload.take(2)
-                    else Array(0x03.toByte, 0xEA.toByte)
-                  } else if (payload.length == 1)
-                    Array(0x03.toByte, 0xEA.toByte)
+                    else Close1002
+                  } else if (payload.length == 1) Close1002
                   else Array.emptyByteArray
                 writeClose(lock, out, echo)
                 open = false
@@ -731,6 +727,12 @@ object ServiceShell {
     * plane is server→client); 1 MiB is generous headroom before a 1009.
     */
   private val MaxClientFrame: Long = 1L << 20
+
+  // the three close payloads the strict parser sends (§7.4.1): 1002
+  // protocol error, 1007 invalid frame payload data, 1009 message too big
+  private val Close1002 = Array(0x03.toByte, 0xEA.toByte)
+  private val Close1007 = Array(0x03.toByte, 0xEF.toByte)
+  private val Close1009 = Array(0x03.toByte, 0xF1.toByte)
 
   /** Upgrade-request header cap (code-review r18) — 16 KiB is double
     * uvicorn/h11's default limit; a real handshake is < 1 KiB.

@@ -1155,6 +1155,16 @@ class ServiceShellSpec extends SparkSpec {
         Array[Byte](0x8B.toByte, 0x80.toByte) ++ mask0, 1002),
       ("control frame declaring 126 bytes (§5.5)",
         Array[Byte](0x89.toByte, 0xFE.toByte, 0x00, 126.toByte) ++ mask0, 1002),
+      ("ping via 16-bit extended length 5 — minimal-encoding violation (§5.2)",
+        Array[Byte](0x89.toByte, 0xFE.toByte, 0x00, 0x05) ++ mask0 ++
+          Array[Byte](1, 2, 3, 4, 5), 1002),
+      ("lone continuation FIN=1, no message in progress (§5.4)",
+        Array[Byte](0x80.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("lone continuation FIN=0, no message in progress (§5.4)",
+        Array[Byte](0x00.toByte, 0x80.toByte) ++ mask0, 1002),
+      ("new text frame interleaved into a fragmented message (§5.4)",
+        Array[Byte](0x01.toByte, 0x80.toByte) ++ mask0 ++
+          Array[Byte](0x01.toByte, 0x80.toByte) ++ mask0, 1002),
       ("unmasked ping (§5.1)",
         Array[Byte](0x89.toByte, 0x00), 1002),
       ("close with 1-byte body (§5.5.1)",
@@ -1203,7 +1213,21 @@ class ServiceShellSpec extends SparkSpec {
           val p1 = in.read(); val p2 = in.read(); val p3 = in.read()
           assert(p1 === 0x8A && p2 === 0x01 && p3 === 0x42,
             f"valid ping must pong, got 0x$p1%02x len=$p2 body=0x$p3%02x")
-          // positive control 2: a conforming close 1000 echoes 1000
+          // positive control 2: a legal fragmented data message — FIN=0
+          // text, a ping interleaved (control frames MAY interleave,
+          // §5.4), the finishing continuation, then another ping — all
+          // tolerated, both pings ponged
+          out.write(Array[Byte](0x01.toByte, 0x80.toByte) ++ mask0 ++
+            Array[Byte](0x89.toByte, 0x80.toByte) ++ mask0); out.flush()
+          val q1 = in.read(); val q2 = in.read()
+          assert(q1 === 0x8A && q2 === 0x00,
+            f"ping inside a fragmented message must pong, got 0x$q1%02x len=$q2")
+          out.write(Array[Byte](0x80.toByte, 0x80.toByte) ++ mask0 ++
+            Array[Byte](0x89.toByte, 0x80.toByte) ++ mask0); out.flush()
+          val q3 = in.read(); val q4 = in.read()
+          assert(q3 === 0x8A && q4 === 0x00,
+            f"ping after the finishing continuation must pong, got 0x$q3%02x len=$q4")
+          // positive control 3: a conforming close 1000 echoes 1000
           out.write(Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
             Array[Byte](0x03, 0xE8.toByte)); out.flush()
           val h1 = in.read(); val h2 = in.read()
