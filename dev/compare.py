@@ -16,6 +16,17 @@ import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# r19 sweep lesson: one long-lived DuckDB connection accumulates memory
+# across ~200 heavy list-op queries and eventually wedges (the sf1 sweep
+# had to be finished piecemeal). Recycle the connection every N queries.
+RECYCLE_EVERY = 20
+
+def fresh_con(sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    return con
+
 def load_spark(outdir, name):
     files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
     if not files:
@@ -49,12 +60,13 @@ def cmp_vals(a, b):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    con = fresh_con(sfdir)
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
-    for name, sql in sorted(oracles.items()):
+    for qi, (name, sql) in enumerate(sorted(oracles.items())):
+        if qi > 0 and qi % RECYCLE_EVERY == 0:
+            con.close()
+            con = fresh_con(sfdir)
         spark_tbl = load_spark(outdir, name)
         if spark_tbl is None:
             print(f"FAIL {name}: no spark output")
