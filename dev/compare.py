@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local oracle-parity checker, mimicking the driver's DuckDB compare.
 
-Usage: python3 dev/compare.py <sfDir> <verifyOutDir>
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [--skip n1,n2,...] [--only n1,n2,...]
+
+--skip/--only scope the oracle set (used by dev/sf1_sweep.py to route the
+17 list-op-heavy v_* oracles to the sf1 slice instead of full sf1).
 
 Registers each testdata parquet as a DuckDB view, runs every SQL in
 <verifyOutDir>/oracle_sql.json, loads the Spark result parquet from
@@ -60,8 +63,19 @@ def cmp_vals(a, b):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    skip, only = set(), None
+    rest = sys.argv[3:]
+    while rest:
+        flag, val, rest = rest[0], rest[1], rest[2:]
+        if flag == "--skip":
+            skip |= set(val.split(","))
+        elif flag == "--only":
+            only = set(val.split(","))
+        else:
+            sys.exit(f"unknown flag {flag}")
     con = fresh_con(sfdir)
-    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    oracles = {n: s for n, s in json.load(open(f"{outdir}/oracle_sql.json")).items()
+               if n not in skip and (only is None or n in only)}
     failures = 0
     for qi, (name, sql) in enumerate(sorted(oracles.items())):
         if qi > 0 and qi % RECYCLE_EVERY == 0:
@@ -108,7 +122,9 @@ def main():
                         drift += 1
             tag = f" (float drift in {drift} cells!)" if drift else ""
             print(f"OK   {name}: {len(srows)} rows{tag}")
-    missing = [n for n in glob.glob(f"{outdir}/*/") if n.split('/')[-2] not in oracles]
+    # rows-only listing is meaningless under a scope filter
+    missing = [] if (skip or only is not None) else \
+        [n for n in glob.glob(f"{outdir}/*/") if n.split('/')[-2] not in oracles]
     for m in sorted(missing):
         nm = m.split('/')[-2]
         t = load_spark(outdir, nm)

@@ -22,6 +22,15 @@ decade-up, not a pathological one):
     family is not in the slow set; do not read v_* timings off sf1).
   - dimension tables copied as-is.
 
+Besides OUT, this also builds OUT + "slice" (default target/sf1slice):
+identical except embeddings is the DETERMINISTIC SCOPED SLICE
+`vec_id % vec_off < 200` — the first 200 base vectors of sf0.1 together
+with ALL NINE of each one's sf1 twins (2,000 vectors total). The slice
+keeps the sf1-specific structure (exact cross-copy twins) at a size
+where the 17 Lloyd-replay/list-op v_* DuckDB oracles finish in seconds
+(VERDICT r19 #2), so the whole family is sf1-oracle-green instead of
+invariant-audited. Non-embeddings tables are symlinked to OUT's.
+
 Usage: python3 dev/make_sf1.py [outDir]   (default target/sf1)
 """
 import os
@@ -32,6 +41,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
 COPIES = 10
+SLICE_BASE = 200  # base vectors kept per copy in the scoped slice
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -90,3 +100,22 @@ for dim in ["customer", "supplier", "part", "nation", "region"]:
     write(dim, f"SELECT * FROM '{SRC}/{dim}.parquet'")
 
 print(f"done -> {OUT}")
+
+# --- the scoped v_* slice (see module doc) ---
+SLICE = OUT + "slice"
+os.makedirs(SLICE, exist_ok=True)
+con.execute(f"""COPY (
+  SELECT * FROM '{OUT}/embeddings.parquet'
+  WHERE vec_id % {vec_off} < {SLICE_BASE}
+  ) TO '{SLICE}/embeddings.parquet' (FORMAT PARQUET)""")
+n = con.execute(
+    f"SELECT count(*) FROM '{SLICE}/embeddings.parquet'").fetchone()[0]
+assert n == SLICE_BASE * COPIES, n
+print(f"embeddings slice: {n} rows ({SLICE_BASE} bases x {COPIES} twins)")
+for t in ["documents", "events", "orders", "lineitem",
+          "customer", "supplier", "part", "nation", "region"]:
+    link = f"{SLICE}/{t}.parquet"
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(os.path.abspath(f"{OUT}/{t}.parquet"), link)
+print(f"done -> {SLICE}")

