@@ -31,7 +31,11 @@ object ScaleProbe {
     names.foreach { name =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
-      val rows = df.count()
+      // drive df's OWN QueryExecution — count() would wrap it in a fresh
+      // aggregate plan whose execution never fills df's observe
+      // accumulators (first probe run printed [null,null] for every
+      // metric)
+      val rows = df.queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"scaleprobe $name: $rows%,d rows in $secs%.1f s = " +
         f"${nDocs / secs}%,.0f docs/s")

@@ -91,10 +91,11 @@ class Round14Spec extends SparkSpec {
     ).toDF("doc_id", "sh", "n", "m", "band", "h", "__sz")
   }
 
-  test("simhash overflow recovery: a capped-out pair survives via the next-band byte") {
-    // cap 2: every member of the size-5 bucket routes to recovery; the
-    // fillers' sub-bucket (h2 = 9) L2-caps and their mutual hamming fails
-    // τ anyway; A and B land alone in sub-bucket h2 = 7 and pair
+  test("simhash overflow recovery: a capped-out pair survives via a clean wide band") {
+    // cap 2: every member of the size-5 bucket routes to recovery; in the
+    // r20 widened scheme A and B meet ALONE in wide band (0,1) with key
+    // (5,7) — the fillers carry (5,9) — and pair; the fillers' own wide
+    // buckets cap and their mutual hamming fails τ anyway
     val pairs = graft.operators.DedupQueries
       .simhashOverflowCandidates(rankedRows(7L), cap = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -109,9 +110,13 @@ class Round14Spec extends SparkSpec {
   }
 
   test("simhash overflow recovery: a pair the flood follows into L2 stays the observed residual") {
-    // B's next-band byte matches the FILLERS (9): B ranks past the L2 cap
-    // behind them, A sits alone in h2 = 7 — the honest residual the
-    // simhash_bucket_overflow_l2 metric exists to report
+    // B's band-1 byte now matches the FILLERS (9): every wide band A and
+    // B agree on (all pairs avoiding band 1) is shared by at least one
+    // lower-id filler — the three fillers' FF-byte positions ({2,3},
+    // {4,5}, {6,7}) can't all be excluded by one band pair — so B ranks
+    // past the L2 cap in each, and the surviving filler×A candidates
+    // fail τ. The honest residual the simhash_bucket_overflow_l2 metric
+    // exists to report.
     val pairs = graft.operators.DedupQueries
       .simhashOverflowCandidates(rankedRows(9L), cap = 2)
       .collect()
