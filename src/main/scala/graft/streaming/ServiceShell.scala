@@ -618,7 +618,10 @@ final class ServiceShell(
         // §5.2 the minimal length encoding MUST be used for ALL frames —
         // previously enforced only on control frames (ADVICE r19): a
         // 16-bit form carrying a ≤125 value or a 64-bit form carrying a
-        // ≤65535 value fails on the declared length, before any read
+        // ≤65535 value fails on the declared length, before any read.
+        // A 64-bit length with its MSB set (forbidden by §5.2; decodes
+        // negative here) also lands in this branch — 1002, one step
+        // before the 1009 house cap catches merely-huge positives
         else if (lenForm == 126 && len <= 125) protocolError()
         else if (lenForm == 127 && len <= 65535) protocolError()
         else if (opcode >= 0x3 && opcode <= 0x7 || opcode >= 0xB)

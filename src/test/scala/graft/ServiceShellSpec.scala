@@ -1202,7 +1202,10 @@ class ServiceShellSpec extends SparkSpec {
           0, 0, 0, 0, 0, 0, 0x01, 0x2C) ++ mask0, 1002),
       ("close with IANA registry code 1013 echoes it (§7.4, ADVICE r19)",
         Array[Byte](0x88.toByte, 0x82.toByte) ++ mask0 ++
-          Array[Byte](0x03, 0xF5.toByte), 1013)
+          Array[Byte](0x03, 0xF5.toByte), 1013),
+      ("64-bit length with MSB set — §5.2 violation, not the house cap",
+        Array[Byte](0x82.toByte, 0xFF.toByte,
+          0xFF.toByte, 0, 0, 0, 0, 0, 0, 0) ++ mask0, 1002)
     )
     try {
       vectors.zipWithIndex.foreach { case ((name, frame, want), i) =>
