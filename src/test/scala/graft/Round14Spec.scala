@@ -102,6 +102,20 @@ class Round14Spec extends SparkSpec {
     assert(pairs === Set((10L, 11L)))
   }
 
+  test("simhash overflow recovery: a pair the OLD adjacent-byte L2 missed is recovered via a wide band (r20)") {
+    // B = A with one bit flipped IN BAND 1 (bByte1 = 6 vs A's 7, hamming
+    // 1): the r14 recovery keyed flooded band-0 members by the band-1
+    // byte, so A (…,7) and B (…,6) landed in DIFFERENT sub-buckets and
+    // the pair was lost. The r20 wide-band scheme pairs them in any
+    // (0, y≥2) composite — key (5, 0), shared with two zero-byte fillers
+    // per composite, hence cap 4 (the L1 bucket, size 5, still
+    // overflows) so neither A nor B ranks out.
+    val pairs = graft.operators.DedupQueries
+      .simhashOverflowCandidates(rankedRows(6L), cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L)))
+  }
+
   test("simhash overflow recovery: no overflow, no recovery rows") {
     val pairs = graft.operators.DedupQueries
       .simhashOverflowCandidates(rankedRows(7L), cap = 5)
