@@ -66,6 +66,8 @@ def main():
     skip, only = set(), None
     rest = sys.argv[3:]
     while rest:
+        if len(rest) < 2:
+            sys.exit(f"flag {rest[0]} needs a comma-separated name list")
         flag, val, rest = rest[0], rest[1], rest[2:]
         if flag == "--skip":
             skip |= set(val.split(","))
@@ -74,7 +76,14 @@ def main():
         else:
             sys.exit(f"unknown flag {flag}")
     con = fresh_con(sfdir)
-    oracles = {n: s for n, s in json.load(open(f"{outdir}/oracle_sql.json")).items()
+    all_oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    # a scope name absent from oracle_sql.json is a harness bug (renamed
+    # query, stale list): silently dropping it would shrink the checked
+    # set and overclaim the sweep — fail loudly instead
+    unknown = ((only or set()) | skip) - set(all_oracles)
+    if unknown:
+        sys.exit(f"--only/--skip name(s) not in oracle_sql.json: {sorted(unknown)}")
+    oracles = {n: s for n, s in all_oracles.items()
                if n not in skip and (only is None or n in only)}
     failures = 0
     for qi, (name, sql) in enumerate(sorted(oracles.items())):

@@ -16,6 +16,8 @@ Usage: python3 dev/sf1_sweep.py [--skip-spark]
   dumps (compare-only rerun).
 Exit 0 only on 202/202 oracle-green.
 """
+import json
+import os
 import subprocess
 import sys
 
@@ -38,23 +40,35 @@ def run(desc, cmd, **kw):
 
 def main():
     skip_spark = "--skip-spark" in sys.argv
-    run("build sf1 + slice", ["python3", "dev/make_sf1.py"])
+    if os.path.exists(f"{SF1}/lineitem.parquet") and \
+       os.path.exists(f"{SLICE}/embeddings.parquet"):
+        print("=== sf1 + slice already built (delete target/sf1* to rebuild)")
+    else:
+        run("build sf1 + slice", ["python3", "dev/make_sf1.py"])
     if not skip_spark:
-        env = {"SPARK_GRAFT_CPUS": "8"}
-        import os
-        env = {**os.environ, **env}
+        env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
         run("Spark leg: full 202 at sf1",
             ["sbt", "-batch", f"runMain graft.Verify {SF1} {OUT}"], env=env)
         run("Spark leg: 17 v_* at sf1slice",
             ["sbt", "-batch",
              "runMain graft.VerifyOne " + " ".join([SLICE, OUTS] + SLICED)],
             env=env)
-    run("oracle leg: 185 at sf1",
+    # the green claim below is arithmetic, not vibes: the full dump must
+    # carry every registered oracle, the slice dump exactly the 17, and
+    # the two compare scopes must partition the full set. A renamed query
+    # or a stale SLICED list fails HERE (and compare.py itself also
+    # rejects scope names missing from oracle_sql.json).
+    full = set(json.load(open(f"{OUT}/oracle_sql.json")))
+    sliced = set(json.load(open(f"{OUTS}/oracle_sql.json")))
+    if sliced != set(SLICED) or not sliced <= full:
+        sys.exit(f"FAILED: slice oracle set mismatch: {sorted(sliced ^ set(SLICED))}")
+    n_full, n_slice = len(full) - len(SLICED), len(SLICED)
+    run(f"oracle leg: {n_full} at sf1",
         ["python3", "dev/compare.py", SF1, OUT, "--skip", ",".join(SLICED)])
-    run("oracle leg: 17 v_* at sf1slice",
+    run(f"oracle leg: {n_slice} v_* at sf1slice",
         ["python3", "dev/compare.py", SLICE, OUTS, "--only", ",".join(SLICED)])
-    print("\nSWEEP GREEN: 202/202 sf1-oracle-green "
-          f"(185 @ {SF1} + {len(SLICED)} v_* @ {SLICE})")
+    print(f"\nSWEEP GREEN: {len(full)}/{len(full)} sf1-oracle-green "
+          f"({n_full} @ {SF1} + {n_slice} v_* @ {SLICE})")
 
 
 if __name__ == "__main__":
