@@ -58,7 +58,8 @@ object StreamProbe {
       return
     }
     if (which == "annserve") {
-      annServe(spark, d, nProbes = if (args.length > 2) args(2).toInt else 200)
+      annServe(spark, d, nProbes = if (args.length > 2) args(2).toInt else 200,
+        nprobe = if (args.length > 3) args(3).toInt else 2)
       spark.stop()
       return
     }
@@ -470,10 +471,13 @@ object StreamProbe {
     * for all probes, not per-probe). The latency here is Spark-JOB-bound
     * (scheduler + codegen'd scan of the codes table), the honest figure
     * for this engine: the index makes each probe scan ~nprobe/cells of
-    * the corpus, it does not make a probe sub-millisecond.
-    * Usage: runMain graft.StreamProbe <sfDir> annserve [nProbes]
+    * the corpus, it does not make a probe sub-millisecond. The optional
+    * nprobe argument sweeps the recall/latency dial (default 2, the
+    * oracled serve configuration; 1 = cheapest, 4 = widest).
+    * Usage: runMain graft.StreamProbe <sfDir> annserve [nProbes] [nprobe]
     */
-  private def annServe(spark: SparkSession, d: String, nProbes: Int): Unit = {
+  private def annServe(spark: SparkSession, d: String, nProbes: Int,
+                       nprobe: Int = 2): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, row_number, size => fsize}
     import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(spark)
@@ -512,7 +516,8 @@ object StreamProbe {
     def serveOne(pid: Long): (Double, Set[Long]) = {
       val t = System.nanoTime()
       val got = graft.operators.SimilarityQueries.pqIndexServe(
-          codes, e.filter(col("vec_id") === pid), centArr, cb, probeId = pid)
+          codes, e.filter(col("vec_id") === pid), centArr, cb,
+          nprobe = nprobe, probeId = pid)
         .collect().map(_.getLong(0)).toSet
       ((System.nanoTime() - t) / 1e6, got)
     }
@@ -527,7 +532,7 @@ object StreamProbe {
       f"p50 ${pct(0.50)}%.0f ms  p95 ${pct(0.95)}%.0f ms  p99 ${pct(0.99)}%.0f ms  " +
       f"(${1000.0 / (lats.sum / lats.length)}%.1f probes/s)")
     println(f"annserve recall@10 vs exact cosine: mean ${recalls.sum / recalls.length}%.3f  " +
-      f"min ${recalls.min}%.2f (nprobe=2, ADC top-10)")
+      f"min ${recalls.min}%.2f (nprobe=$nprobe, ADC top-10)")
     // concurrent leg: 8 issuers, round-robin over the probe set
     val nThreads = 8
     val t0 = System.nanoTime()
