@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   * that survives 100 TB. All-pairs is never materialized: the LSH variant
   * shuffles once on a bucket id (hamming-1 multiprobe keeps recall up) and
   * joins only within buckets, so cost is Σ bucket² ≪ n².
+  *
+  * INPUT CONTRACT (r20, recorded by the SimilarityQueries review): the
+  * v_* family and its DuckDB twins assume uniform-dimension (64),
+  * non-empty, non-degenerate (nonzero-norm) embeddings — true of every
+  * fixture and derived corpus. OUTSIDE that contract the two engines'
+  * degenerate-input conventions differ by construction (Spark's
+  * `graft_dot` nulls a dim mismatch where DuckDB's index-join computes a
+  * partial dot; `graft_pick_cell` homes an all-null-cosine vector in
+  * cell -1 where the oracles' `coalesce(c,-2)` ordering homes it in the
+  * lowest cell), so oracle parity there is UNSPECIFIED, not silently
+  * promised. Queries whose plan would otherwise crash or distort on such
+  * rows filter them explicitly (`size(v) === 64`, nonzero-norm guards —
+  * see v_quantize_int8 / v_kmeans_refine / v_ann_ivf); the rest rely on
+  * the contract rather than paying a per-query filter on clean corpora.
   */
 object SimilarityQueries {
 
@@ -46,7 +60,7 @@ object SimilarityQueries {
       .withColumn("nrm", l2Norm(col("v")))
     // broadcast scalar: mod = ceil(n / budget) in integer arithmetic
     val m = e.agg(expr(
-      s"(count(1) + ${AuditProbeBudget - 1}) div $AuditProbeBudget").as("mod"))
+      auditProbeModSql).as("mod"))
     val probes = e.join(broadcast(m))
       .filter(col("vec_id") % col("mod") === 0).drop("mod")
     broadcast(probes).as("x")
@@ -132,6 +146,23 @@ object SimilarityQueries {
     s"""CASE WHEN $n * $cn > 0D
           THEN floor(graft_dot($v, $cv) / ($n * $cn) * 10000.0 + 0.5) / 10000.0
         END"""
+
+  /** Exact squared-L2 distance to the broadcast probe vector `pv`,
+    * rounded into integer 1e-4 units — the exact-rerank arithmetic the
+    * DuckDB twins replay verbatim. One definition (r20, was copy-pasted
+    * at three sites) so a unit-scale change can't silently desynchronize
+    * the exact twins `v_pq_recall` / `v_ivf_train_gain` compare against.
+    */
+  private val exactD2uSql: String =
+    """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
+         CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)"""
+
+  /** `ceil(count / AuditProbeBudget)` in the integer arithmetic the
+    * oracles mirror — the probe-set modulus contract (one definition for
+    * the two Spark sites + the SQL comments that quote it).
+    */
+  private def auditProbeModSql: String =
+    s"(count(1) + ${AuditProbeBudget - 1}) div $AuditProbeBudget"
 
   // The E-step argmax (best cell by 4-dp-floored cosine, strict > over
   // the cell-sorted array so the LOWEST cell wins ties, -2 sentinel for
@@ -404,9 +435,11 @@ object SimilarityQueries {
     // then the convergence readout: per cell, member count, mean cosine
     // to the REFINED centroid, and how many members a second E-step would
     // move (`n_switch` — the integer that goes to zero as Lloyd
-    // converges). The assignment subtree feeds both steps through the
-    // same vec_id window exchange, so exchange reuse executes it once (the
-    // d_simhash_pairs discipline — no persist, no localCheckpoint). Scale:
+    // converges). The assignment is a per-row `graft_pick_cell` argmax
+    // against the broadcast centroid array — recomputed by each consumer
+    // deliberately (cheaper than any exchange; kmeansRefine's scaladoc
+    // pins ZERO corpus-wide exchanges — the pre-r10 window formulation
+    // this comment used to describe is gone). Scale:
     // centroids broadcast (k·dim doubles — the standard IVF coarse-quantizer
     // table; production picks k ~ √n, the stride here is the test-scale
     // stand-in) and everything else is linear with shuffles on vec_id /
@@ -481,10 +514,7 @@ object SimilarityQueries {
       val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
       e.join(broadcast(pqAdcTop(s, d, 50)), Seq("vec_id"))
         .crossJoin(broadcast(probe))
-        .select(col("vec_id"), col("adc_units"), expr(
-          """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
-               CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
-          .as("d2u"))
+        .select(col("vec_id"), col("adc_units"), expr(exactD2uSql).as("d2u"))
         .orderBy(col("d2u"), col("vec_id"))
         .limit(10)
     }),
@@ -512,10 +542,7 @@ object SimilarityQueries {
         .filter(size(col("v")) === 64)
       val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
       val exact10 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
-        .select(col("vec_id"), expr(
-          """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
-               CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
-          .as("d2u"))
+        .select(col("vec_id"), expr(exactD2uSql).as("d2u"))
         .orderBy(col("d2u"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"))
@@ -578,14 +605,13 @@ object SimilarityQueries {
     // and the per-probe top-3 exactly.
     "v_ivfpq_batch" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .filter(size(col("v")) === 64)
         .withColumn("nrm", l2Norm(col("v")))
       val (centArr, cb) = pqIndexBuild(e)
       val m = e.agg(expr(
-        s"(count(1) + ${AuditProbeBudget - 1}) div $AuditProbeBudget").as("mod"))
+        auditProbeModSql).as("mod"))
       val probeTab = e.join(broadcast(m))
         .filter(col("vec_id") % col("mod") === 0)
         .crossJoin(broadcast(centArr)).crossJoin(broadcast(cb))
@@ -653,10 +679,7 @@ object SimilarityQueries {
       val probe = e.filter(col("vec_id") === 0)
       val exact10 = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe.select(col("v").as("pv"))))
-        .select(col("vec_id"), expr(
-          """CAST(floor(aggregate(zip_with(v, pv, (x, y) -> (x - y) * (x - y)),
-               CAST(0.0 AS DOUBLE), (a, b) -> a + b) * 10000 + 0.5) AS BIGINT)""")
-          .as("d2u"))
+        .select(col("vec_id"), expr(exactD2uSql).as("d2u"))
         .orderBy(col("d2u"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), lit(1L).as("hit"))
@@ -949,7 +972,6 @@ object SimilarityQueries {
     */
   private[graft] def cellSkewCensus(counts: DataFrame,
                                     threshold: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ranked = counts
       .select(col("cell"), col("n_vecs").cast("long").as("n_vecs"))
       .withColumn("rn",
