@@ -66,18 +66,35 @@ object Round11Queries {
     * exact columns. At 100 TB the exact branch is the audit; the sketch
     * branch reads each side once and merges constant-size state.
     */
-  def hllIntersectAudit(s: SparkSession, d: String): DataFrame = {
+  /** The (purchase, click) user_id sides + the exact inclusion–exclusion
+    * branch, ONE definition consumed by both [[hllIntersectAudit]] and
+    * the oracled `q_hll_intersect` def (review r20: the two were built
+    * verbatim twice, so a gate tweak to one copy would silently desync
+    * the spec-audited population from the oracle-hashed one — the drift
+    * scoreUnitsExpr exists to prevent). countDistinct skips NULL
+    * user_ids; the oracle mirrors with count(user_id), not count(*) over
+    * DISTINCT (which would keep a NULL row the Spark side excludes).
+    */
+  private def intersectSides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d)
-    val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
-    val b = ev.filter(col("event_type") === "click").select(col("user_id"))
+    (ev.filter(col("event_type") === "purchase").select(col("user_id")),
+     ev.filter(col("event_type") === "click").select(col("user_id")))
+  }
+
+  private def exactIntersect(a: DataFrame, b: DataFrame): DataFrame =
+    a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+      .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
+      .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+
+  def hllIntersectAudit(s: SparkSession, d: String): DataFrame = {
+    val (a, b) = intersectSides(s, d)
     val sk = a.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_a"))
       .crossJoin(b.agg(approx_count_distinct(col("user_id"), 0.01).as("hll_b")))
       .crossJoin(a.union(b)
         .agg(approx_count_distinct(col("user_id"), 0.01).as("hll_u")))
-    val ex = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
-      .agg(count(lit(1)).as("exact_inter"))
-      .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
-      .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+    val ex = exactIntersect(a, b)
     sk.crossJoin(ex).select(
       col("exact_a"), col("exact_b"), col("exact_inter"),
       (abs(col("hll_a") - col("exact_a")) <= col("exact_a") * 0.05 &&
@@ -267,13 +284,8 @@ object Round11Queries {
     // crossJoined one-row subtrees, so projecting the audit still paid
     // three wasted corpus scans per gate run (r12 review).
     "q_hll_intersect" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val a = ev.filter(col("event_type") === "purchase").select(col("user_id"))
-      val b = ev.filter(col("event_type") === "click").select(col("user_id"))
-      a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
-        .agg(count(lit(1)).as("exact_inter"))
-        .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
-        .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+      val (a, b) = intersectSides(s, d)
+      exactIntersect(a, b)
         .select(col("exact_a"), col("exact_b"), col("exact_inter"))
     }),
 
@@ -398,10 +410,15 @@ object Round11Queries {
           coalesce(col("n_end"), lit(0L)).as("n_end"),
           sum(coalesce(col("n_start"), lit(0L)) -
               coalesce(col("n_end_prev"), lit(0L))).over(wH).as("active"))
-      val peak = curve.agg(max(col("active")).as("peak"))
-      curve.crossJoin(broadcast(peak))
+      // is_peak via a global window max over the SAME single-partition
+      // ordering the cumsum already paid for — the old agg + crossJoin
+      // duplicated the whole curve subtree (grid bounds scan included)
+      // under both consumers (review r20)
+      val wAll = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      curve
         .select(col("hour"), col("n_start"), col("n_end"), col("active"),
-          (col("active") === col("peak")).as("is_peak"))
+          (col("active") === max(col("active")).over(wAll)).as("is_peak"))
         .orderBy("hour")
     }),
 
@@ -416,7 +433,11 @@ object Round11Queries {
       val monthly = Tables.lineitem(s, d)
         .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"),
                  col("l_partkey"))
-        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        // per-row quantize THEN exact BIGINT sum (review r20): the old
+        // sum(double).cast(long) truncated where DuckDB's CAST rounds —
+        // agreement held only because fixture quantities are integral
+        // (the q_approx_groupby_ci trap, lines 129-133)
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("qty"))
       val board = graft.plans.TopK.perKey(monthly, keys = Seq("month"),
           order = Seq(graft.plans.TopK.Ord("qty", desc = true),
                       graft.plans.TopK.Ord("l_partkey")), k = 5)
@@ -464,6 +485,11 @@ object Round11Queries {
         .filter(col("n") >= 1L)
         .select(digit.as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+        // ≤9 rows read by THREE consumers (tot, l1, the final select) —
+        // without the cut the corpus agg subtree is duplicated under
+        // each crossJoin and can scan orders up to 4× when exchange
+        // reuse doesn't fire (review r20; the t_eval_prf discipline)
+        .transform(Lineage.cut(_))
       val tot = byDigit.agg(sum(col("cnt")).as("total"))
       val scored = byDigit.crossJoin(broadcast(tot))
         .select(col("digit"), col("cnt"),
@@ -599,9 +625,12 @@ object Round11Queries {
         .select(col("vec_id"), (col("i") + 1).as("dim"),
           col("x").cast("double").as("x"))
       val byDim = Window.partitionBy(col("dim")).orderBy(col("x"), col("vec_id"))
-      val n = el.groupBy(col("dim")).agg(count(lit(1)).as("n"))
+      // per-dim n rides a window over the SAME dim partitioning the rank
+      // already shuffles on — the old groupBy + broadcast join was a
+      // second full scan + explode of the embeddings table (review r20)
+      val wDim = Window.partitionBy(col("dim"))
       el.withColumn("rk", row_number().over(byDim))
-        .join(broadcast(n), Seq("dim"))
+        .withColumn("n", count(lit(1)).over(wDim))
         .select(col("vec_id"), col("dim"),
           // single-value dimension (n = 1): quantile defined as 0 rather
           // than a divide-by-zero NULL/error split across engines
@@ -660,15 +689,32 @@ object Round11Queries {
     "d_epoch_shuffle" -> ((s, d) => {
       // doc_id pre-reduced mod 2^31 before the multiply — the raw product
       // overflows Long at doc_id ~3.5e9 (the q_approx_groupby_ci fix
-      // applied here too); identical value for every doc_id < 2^31
-      val h = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)
-        + col("epoch") * lit(40503L) + lit(12345L)) % lit(2147483648L)
+      // applied here too); identical value for every doc_id < 2^31.
+      // Per-epoch MULTIPLIER, not a per-epoch addend (review r20): the
+      // r11 form `doc*M + epoch*K + C` was affine in epoch, which made
+      // every epoch's visit order a cyclic ROTATION of epoch 0's and the
+      // shard (low bits, M ≡ 1 mod 8) a pure doc_id round-robin — the
+      // spec's "epochs differ" held only because a rotation is
+      // technically a different permutation. Distinct odd multipliers
+      // (Knuth / xxHash PRIME32_2 / PRIME32_3 — public constants) give
+      // genuinely independent multiplicative permutations (simulated at
+      // 5k docs: 0/4999 epoch-adjacent pairs preserved, shard
+      // co-residence across epochs at the expected 1/8), and the shard
+      // comes from the HIGH 3 bits, decoupling it from the multiplier's
+      // low-bit structure.
+      val m = when(col("epoch") === 0, lit(2654435761L))
+        .when(col("epoch") === 1, lit(2246822519L))
+        .otherwise(lit(3266489917L))
+      val a = when(col("epoch") === 0, lit(12345L))
+        .when(col("epoch") === 1, lit(2057L))
+        .otherwise(lit(40503L))
+      val h = ((col("doc_id") % lit(2147483648L)) * m + a) % lit(2147483648L)
       val w = Window.partitionBy(col("epoch"), col("shard"))
         .orderBy(col("h"), col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("epoch"))
         .withColumn("h", h)
-        .withColumn("shard", (col("h") % lit(8L)).cast("int"))
+        .withColumn("shard", expr("CAST(h div 268435456 AS INT)"))
         .withColumn("pos", row_number().over(w))
         .select(col("epoch").cast("int").as("epoch"), col("shard"),
           col("doc_id"), col("pos"))
@@ -1104,8 +1150,8 @@ object Round11Queries {
          b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
          i AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
                FROM a WHERE user_id IN (SELECT user_id FROM b)),
-         ca AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
-         cb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b)
+         ca AS (SELECT CAST(count(user_id) AS BIGINT) AS exact_a FROM a),
+         cb AS (SELECT CAST(count(user_id) AS BIGINT) AS exact_b FROM b)
          SELECT exact_a, exact_b, exact_inter FROM i, ca, cb""",
 
     "r_rollup_delta" ->
@@ -1224,7 +1270,7 @@ object Round11Queries {
     "q_trending_rank_delta" ->
       """WITH monthly AS (
            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_partkey,
-                  CAST(sum(l_quantity) AS BIGINT) AS qty
+                  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty
            FROM lineitem GROUP BY 1, 2),
          board AS (
            SELECT month, l_partkey, qty,
@@ -1415,11 +1461,17 @@ object Round11Queries {
            FROM documents),
          hashed AS (
            SELECT CAST(epoch AS INT) AS epoch, doc_id,
-                  ((doc_id % 2147483648) * 2654435761 + epoch * 40503 + 12345)
+                  ((doc_id % 2147483648) *
+                     CASE epoch WHEN 0 THEN 2654435761
+                                WHEN 1 THEN 2246822519
+                                ELSE 3266489917 END
+                   + CASE epoch WHEN 0 THEN 12345
+                                WHEN 1 THEN 2057
+                                ELSE 40503 END)
                     % 2147483648 AS h
            FROM base),
          sharded AS (
-           SELECT epoch, doc_id, h, CAST(h % 8 AS INT) AS shard
+           SELECT epoch, doc_id, h, CAST(h // 268435456 AS INT) AS shard
            FROM hashed)
          SELECT epoch, shard, doc_id,
                 CAST(row_number() OVER (PARTITION BY epoch, shard

@@ -309,6 +309,19 @@ class Round11Spec extends SparkSpec {
     }
     // epochs must actually reorder the corpus
     assert(orders(0) != orders(1) && orders(1) != orders(2))
+    // ...and not merely ROTATE it (review r20: the affine-in-epoch r11
+    // hash made every epoch a cyclic rotation of epoch 0 — technically a
+    // different permutation, useless as a training shuffle). Pin the
+    // real property: almost no epoch-0-adjacent pair stays adjacent in
+    // epoch 1 (a rotation preserves all but one).
+    def adjacentPairs(o: Seq[Long]): Set[(Long, Long)] =
+      o.zip(o.drop(1)).toSet
+    val a1 = adjacentPairs(orders(1))
+    val preserved = adjacentPairs(orders(0)).count { case (x, y) =>
+      a1.contains((x, y)) || a1.contains((y, x))
+    }
+    assert(preserved < orders(0).length / 20,
+      s"epoch 1 preserves $preserved of ${orders(0).length - 1} epoch-0 adjacencies — rotation-like")
     // determinism: a second run yields the identical schedule
     val again = Round11Queries.defs("d_epoch_shuffle")(spark, sf).collect()
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
