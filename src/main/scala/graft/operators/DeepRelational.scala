@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object DeepRelational {
 
+  /** The (lineitem exact-decimal revenue, orders priority) join sides and
+    * the priority rollup shared by the two skew-join variants — ONE
+    * definition (review r20: the projections, the rollup, and the two
+    * oracle literals were verbatim twins; salting must stay
+    * result-invariant, so both variants MUST aggregate identically).
+    */
+  private def skewSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val big = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
+    val small = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    (big, small)
+  }
+
+  private def priorityRollup(joined: DataFrame): DataFrame =
+    joined.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        floorRound(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Both skew variants are oracled against the PLAIN join — salting is
+    * result-invariant, so one SQL literal serves both keys. */
+  private val skewJoinOracleSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+              floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R4 — TPC-H Q7 shape: cross-border revenue by (customer nation,
     // supplier nation, year). Facts shuffle once on l_orderkey; all four
@@ -59,7 +91,12 @@ object DeepRelational {
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(floorRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // exact decimal sum, the q7 discipline (review r20): a raw double
+        // sum is partition-order-dependent and can straddle the
+        // floor-rounding boundary the moment group sizes grow
+        .agg(floorRound(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(8,4)")).cast("double"), 2)
+            .as("revenue"),
           count(lit(1)).as("n_returned"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
@@ -69,14 +106,18 @@ object DeepRelational {
     // numerator and denominator in ONE pass (no second scan, no join of two
     // aggregates).
     "q14_promo" -> ((s, d) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // exact decimal per-row revenue (the q7 discipline, review r20);
+      // the promo share divides the two EXACT sums in double at the end
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(8,4)")
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
         .agg(
-          floorRound(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) * 100.0
-            / sum(rev), 4).as("promo_pct"),
-          floorRound(sum(rev), 2).as("total_revenue"))
+          floorRound(sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(27,6)"))).cast("double") * 100.0
+            / sum(rev).cast("double"), 4).as("promo_pct"),
+          floorRound(sum(rev).cast("double"), 2).as("total_revenue"))
         .orderBy("ship_month")
     }),
 
@@ -138,7 +179,12 @@ object DeepRelational {
     // bucketed form shuffles on (user_id, minute-bucket) and probes only
     // the home and next bucket, so cost tracks bucket occupancy, not n².
     // Probing the home and both adjacent buckets covers every |Δt| ≤ 60 s
-    // pair in either time order exactly once after the distinct.
+    // pair in either time order — exactly ONCE by construction: the three
+    // probe rows of an a-row carry DISTINCT pb values, and b contributes
+    // one bucket value, so a given (a,b) pair satisfies pb = bucket on at
+    // most one probe row (review r20: the dropDuplicates this used to pay
+    // was a full extra shuffle guarding an invariant the join already
+    // holds).
     "q_range_join_bucketed" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
@@ -156,7 +202,6 @@ object DeepRelational {
           col("a.event_id").as("id_a"),
           col("b.event_id").as("id_b"),
           (col("b.ms") - col("a.ms")).as("gap_ms"))
-        .dropDuplicates("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
 
@@ -167,18 +212,8 @@ object DeepRelational {
     // enough. Exact-decimal revenue (5 groups but the salt changes
     // partitioning round to round).
     "q_skew_salted_join" -> ((s, d) => {
-      val big = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"),
-          (col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
-      val small = Tables.orders(s, d)
-        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      SkewJoin.saltedEquiJoin(big, small, "okey", salts = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          floorRound(sum(col("rev")).cast("double"), 2).as("revenue"))
-        .orderBy("o_orderpriority")
+      val (big, small) = skewSides(s, d)
+      priorityRollup(SkewJoin.saltedEquiJoin(big, small, "okey", salts = 8))
     }),
 
     // R4 + SCALE "skew", production form — hot-key-ONLY salting: one cheap
@@ -189,18 +224,9 @@ object DeepRelational {
     // the same PLAIN join SQL — exercises hot path, cold path, and their
     // union.
     "q_skew_hotkey_join" -> ((s, d) => {
-      val big = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"),
-          (col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount")).cast("decimal(8,4)")).as("rev"))
-      val small = Tables.orders(s, d)
-        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      SkewJoin.saltedEquiJoinHotKeys(big, small, "okey", salts = 8, hotThreshold = 4L)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          floorRound(sum(col("rev")).cast("double"), 2).as("revenue"))
-        .orderBy("o_orderpriority")
+      val (big, small) = skewSides(s, d)
+      priorityRollup(SkewJoin.saltedEquiJoinHotKeys(big, small, "okey",
+        salts = 8, hotThreshold = 4L))
     }),
 
     // R10/R13 — RANGE window frames: per-user trailing-hour event count and
@@ -545,7 +571,8 @@ object DeepRelational {
          GROUP BY 1, 2, 3 ORDER BY cust_nation, supp_nation, l_year""",
     "q10_returned" ->
       """SELECT c_custkey, c_name, n_name,
-                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue,
                 CAST(count(*) AS BIGINT) AS n_returned
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
@@ -556,10 +583,14 @@ object DeepRelational {
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q14_promo" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
-                floor((sum(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
-                       / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_pct,
-                floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS total_revenue
+                floor((CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(1 - l_discount AS DECIMAL(8,4))
+                                ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) * 100.0
+                       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS promo_pct,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS total_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY ship_month""",
     "q_exists_subquery" ->
@@ -593,21 +624,9 @@ object DeepRelational {
           AND abs(epoch_ms(b.ts) - epoch_ms(a.ts)) <= 60000
          ORDER BY id_a, id_b""",
     // plain-join SQL: the salted join must be result-invariant
-    "q_skew_salted_join" ->
-      """SELECT o_orderpriority,
-                CAST(count(*) AS BIGINT) AS n_items,
-                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_skew_salted_join" -> skewJoinOracleSql,
     // same plain-join SQL: hot/cold split + salting must be result-invariant
-    "q_skew_hotkey_join" ->
-      """SELECT o_orderpriority,
-                CAST(count(*) AS BIGINT) AS n_items,
-                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                                * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_skew_hotkey_join" -> skewJoinOracleSql,
     "q_window_frames" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ms,
                 CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
