@@ -163,7 +163,7 @@ object Round12Queries {
     "t_curriculum_bins" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
       val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
       val diversity = size(array_distinct(toks)).cast("double") / nTok
       val scored = docs(s, d).select(

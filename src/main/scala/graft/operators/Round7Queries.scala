@@ -30,7 +30,7 @@ object Round7Queries {
       val train = all.filter(col("source") =!= "src0")
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
       val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
       val diversity = size(array_distinct(toks)).cast("double") / nTok
       val scored = train.select(col("doc_id"), col("text"),

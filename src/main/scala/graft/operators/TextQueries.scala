@@ -17,6 +17,14 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
+  /** The `t_quality_score` stopword dial — kept at the original two-token
+    * list (mirrored in its oracle and the streaming quality twin) when
+    * the language-id lexicon grew to five languages: the quality blend's
+    * stopword RATIO is an English-function-word density measure, and
+    * silently rescaling it would shift every downstream gate threshold.
+    */
+  private[graft] val QualityStopwords = Seq("the", "a")
+
   /** Marker stopword sets for the language-id heuristic (VERDICT r17 #6:
     * upgraded from the 2-token English set to small public stopword
     * marker sets for five languages) — deterministic token evidence,
@@ -27,15 +35,9 @@ object TextQueries {
     * omitted; a production lexicon would weight them instead). Listed in
     * tie-break precedence order: the argmax CASE chain tests languages in
     * this order, so both engines resolve equal scores identically.
+    * (Doc moved next to its val in r20 — it was stranded above
+    * QualityStopwords, invisible exactly where a lexicon editor looks.)
     */
-  /** The `t_quality_score` stopword dial — kept at the original two-token
-    * list (mirrored in its oracle and the streaming quality twin) when
-    * the language-id lexicon grew to five languages: the quality blend's
-    * stopword RATIO is an English-function-word density measure, and
-    * silently rescaling it would shift every downstream gate threshold.
-    */
-  private val QualityStopwords = Seq("the", "a")
-
   private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "nicht", "auf", "sich"),
@@ -67,7 +69,12 @@ object TextQueries {
     val argmax = scores.init.foldRight(lit(scores.last._1): Column) {
       case ((lang, score), rest) => when(score === best, lang).otherwise(rest)
     }
-    when(best === 0, zeroLabel).otherwise(argmax)
+    // NULL text ⇒ NULL scores ⇒ NULL best: without the isNull arm every
+    // WHEN is unknown and the catch-all last language wins — a null doc
+    // confidently labeled "zh" (and under legacy sizeOfNull Spark would
+    // say "en" while DuckDB says "zh" — review r20). No-evidence and
+    // no-text both mean zeroLabel.
+    when(best.isNull || best === 0, zeroLabel).otherwise(argmax)
   }
 
   /** The DuckDB spelling of [[langVote]] over a text-valued SQL
@@ -76,14 +83,17 @@ object TextQueries {
     * the oracles from the engine.
     */
   private[graft] def langVoteSql(textExpr: String, zeroLabel: String): String = {
+    // markers are SQL-quoted with '' escaping — the lexicon's growth
+    // surface includes apostrophe forms (fr "l'", en "it's") that would
+    // otherwise break every generated oracle at parse time (review r20)
     def cnt(ms: Seq[String]): String =
       s"""len(list_filter(string_split($textExpr, ' '),
-              x -> x IN (${ms.map(m => s"'$m'").mkString(", ")})))"""
+              x -> x IN (${ms.map(m => s"'${m.replace("'", "''")}'").mkString(", ")})))"""
     val best = s"greatest(${LangMarkers.map(m => cnt(m._2)).mkString(", ")})"
     val chain = LangMarkers.init
       .map { case (lang, ms) => s"WHEN ${cnt(ms)} = $best THEN '$lang'" }
       .mkString(" ")
-    s"""CASE WHEN $best = 0 THEN '$zeroLabel'
+    s"""CASE WHEN $best IS NULL OR $best = 0 THEN '$zeroLabel'
          $chain
          ELSE '${LangMarkers.last._1}' END"""
   }

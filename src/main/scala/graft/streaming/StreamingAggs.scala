@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.TextQueries
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -741,7 +742,7 @@ object StreamingAggs {
     // quality: the d_corpus_build_v2 blend, per-row
     val toks = split(col("text"), " ")
     val nTok = size(toks).cast("double")
-    val stopHits = size(filter(toks, t => t.isin("the", "a"))).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
     val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
     val diversity = size(array_distinct(toks)).cast("double") / nTok
     val quality = floorRound(lit(0.5) * diversity +
