@@ -67,12 +67,18 @@ object Round12Queries {
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"),
         md5(col("text")).as("h"))
+        // slim (id, split, 16-byte hash) rows read by THREE consumers
+        // (train hashes, the leak join's probe side, the split counts) —
+        // without the cut each one re-scans the corpus and re-runs md5
+        // over full text (review r20)
+        .transform(Lineage.cut(_))
       val trainH = assigned.filter(col("split") === "train")
         .select(col("h")).distinct()
       val leaks = assigned.filter(col("split") =!= "train")
         .join(trainH, Seq("h"), "left_semi")
         .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
-      val total = docs(s, d).agg(count(lit(1)).as("n_total"))
+      // from the materialized slim frame, not a fourth corpus scan
+      val total = assigned.agg(count(lit(1)).as("n_total"))
       assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
         .join(leaks, Seq("split"), "left")
         .crossJoin(broadcast(total))
@@ -101,6 +107,10 @@ object Round12Queries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        // source-cardinality rows read by the normalizer AND the final
+        // select — without the cut the corpus tokenize+agg runs twice
+        // (review r20)
+        .transform(Lineage.cut(_))
       val norm = bySrc.agg(
         sum(pow(col("n_tokens").cast("double"), 0.7)).as("z"))
       // weight in integer micro-units: w_u = ⌊w·1e6 + 0.5⌋ — ALSO the
@@ -162,15 +172,9 @@ object Round12Queries {
     // a 3-double broadcast at any scale.
     "t_curriculum_bins" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
-      val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-      val diversity = size(array_distinct(toks)).cast("double") / nTok
       val scored = docs(s, d).select(
         col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        floorRound(
-          lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
-          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("q"))
+        TextQueries.qualityBlend.as("q"))
       val cuts = scored.agg(
         expr("percentile(q, array(0.25, 0.5, 0.75))").as("c"))
       scored.crossJoin(broadcast(cuts))
@@ -201,14 +205,21 @@ object Round12Queries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(VocabSize)
-        .select(col("tok"))
-      toks.join(broadcast(vocab), Seq("tok"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
-        .join(docs(s, d).select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_tokens")), Seq("doc_id"), "right")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-          floorRound(coalesce(col("n_oov"), lit(0L)).cast("double") /
+        .select(col("tok"), lit(1).as("inv"))
+      // ONE grouped pass computes both counts: left-join the broadcast
+      // vocab with an in-vocab flag, count all tokens and the unflagged
+      // ones per doc. The old shape (left_anti + a THIRD docs scan +
+      // right join to resurrect zero-OOV docs) paid a corpus scan and an
+      // outer join for the same numbers (review r20); split(text) yields
+      // [""] for empty text, so every doc keeps ≥1 exploded row and no
+      // resurrection join is needed.
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+          col("n_oov"),
+          floorRound(col("n_oov").cast("double") /
             col("n_tokens"), 4).as("oov_rate"))
         .orderBy("doc_id")
     }),
@@ -369,6 +380,10 @@ object Round12Queries {
       val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
         .select(col("vec_id"), d2u(64).as("d64"), d2u(32).as("d32"),
           d2u(16).as("d16"))
+        // slim (vec_id, 3×BIGINT) rows read by FIVE consumers (three
+        // top-10s, two of them twice) — without the cut the embeddings
+        // scan + three distance folds execute per consumer (review r20)
+        .transform(Lineage.cut(_))
       def top10(c: String) = scored.orderBy(col(c), col("vec_id")).limit(10)
         .select(col("vec_id"))
       top10("d64").agg(sum(col("vec_id")).as("full_top10_idsum"))
@@ -461,7 +476,10 @@ object Round12Queries {
            SELECT bucket,
                   CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_p,
-                  CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+                  -- NOT first_half, not ELSE (review r20): a NULL key row
+                  -- must land in NEITHER half, as Spark's when(!cond)
+                  -- already does — ELSE would count it in n_q
+                  CAST(sum(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_q
            FROM bk GROUP BY bucket),
          sp AS (SELECT CAST(r.range AS INT) AS bucket FROM range(10) r),
@@ -489,8 +507,10 @@ object Round12Queries {
            SELECT CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                   CAST(sum(CASE WHEN grp_a THEN converted ELSE 0 END) AS BIGINT)
                     AS c_a,
-                  CAST(sum(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
-                  CAST(sum(CASE WHEN grp_a THEN 0 ELSE converted END) AS BIGINT)
+                  -- NOT grp_a, not ELSE (review r20): a NULL user_id row
+                  -- must join NEITHER cohort, matching Spark's when(!cond)
+                  CAST(sum(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN NOT grp_a THEN converted ELSE 0 END) AS BIGINT)
                     AS c_b
            FROM u),
          v AS (

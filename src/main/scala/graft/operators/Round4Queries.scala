@@ -133,14 +133,9 @@ object Round4Queries {
     "d_corpus_build" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
-      val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-      val diversity = size(array_distinct(toks)).cast("double") / nTok
       val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
         size(toks).cast("long").as("n_tokens"),
-        floorRound(lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
-          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("quality"))
+        TextQueries.qualityBlend.as("quality"))
       val qualified = scored.filter(col("quality") >= 0.52)
       // exact dedup: min doc_id per text among the qualified
       val exactKept = qualified

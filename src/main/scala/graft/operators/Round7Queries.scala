@@ -29,14 +29,9 @@ object Round7Queries {
       val all = Tables.documents(s, d)
       val train = all.filter(col("source") =!= "src0")
       val toks = split(col("text"), " ")
-      val nTok = size(toks).cast("double")
-      val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
-      val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-      val diversity = size(array_distinct(toks)).cast("double") / nTok
       val scored = train.select(col("doc_id"), col("text"),
         size(toks).cast("long").as("n_tokens"),
-        floorRound(lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
-          lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("quality"))
+        TextQueries.qualityBlend.as("quality"))
       // repetition gate: the per-doc signals are corpus-independent, so
       // computing them over the training slice composes exactly
       val calm = TextQueries.repetition(train)

@@ -25,6 +25,26 @@ object TextQueries {
     */
   private[graft] val QualityStopwords = Seq("the", "a")
 
+  /** The quality blend over `col("text")` — ONE definition for its five
+    * consumers (t_quality_score, d_corpus_build, the Round7 v2 builder,
+    * t_curriculum_bins, and the STREAMING corpus-pipeline quality stage)
+    * so a weight or term tweak cannot shift the batch and streaming
+    * gates apart (review r20: the stopword LIST was shared first, the
+    * formula had five verbatim Scala copies). Oracle literals stay
+    * inline — drift there fails the correctness gate immediately, which
+    * is the self-policing the Scala copies lacked.
+    */
+  private[graft] def qualityBlend: Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(QualityStopwords: _*))).cast("double")
+    val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    floorRound(
+      lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
+      lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4)
+  }
+
   /** Marker stopword sets for the language-id heuristic (VERDICT r17 #6:
     * upgraded from the 2-token English set to small public stopword
     * marker sets for five languages) — deterministic token evidence,
@@ -272,15 +292,12 @@ object TextQueries {
       val nTok = size(toks).cast("double")
       val stopHits = size(filter(toks, t => t.isin(QualityStopwords: _*))).cast("double")
       val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-      val diversity = size(array_distinct(toks)).cast("double") / nTok
       docs(s, d)
         .select(
           col("doc_id"),
           floorRound(stopHits / nTok, 4).as("stopword_ratio"),
           floorRound(avgLen, 4).as("avg_token_len"),
-          floorRound(
-            lit(0.5) * diversity + lit(0.3) * (lit(1.0) - stopHits / nTok) +
-            lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4).as("quality"))
+          qualityBlend.as("quality"))
         .orderBy("doc_id")
     }),
 

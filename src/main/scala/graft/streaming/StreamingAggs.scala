@@ -741,13 +741,7 @@ object StreamingAggs {
     graft.plans.GraftFunctions.register(s)
     // quality: the d_corpus_build_v2 blend, per-row
     val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("double")
-    val stopHits = size(filter(toks, t => t.isin(TextQueries.QualityStopwords: _*))).cast("double")
-    val avgLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
-    val diversity = size(array_distinct(toks)).cast("double") / nTok
-    val quality = floorRound(lit(0.5) * diversity +
-      lit(0.3) * (lit(1.0) - stopHits / nTok) +
-      lit(0.2) * least(avgLen / 10.0, lit(1.0)), 4)
+    val quality = TextQueries.qualityBlend
     val rep = graft.operators.TextQueries.repetition(batch)
       .select(col("doc_id"), col("repetitive"))
     val contam = batch
