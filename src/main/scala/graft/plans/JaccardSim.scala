@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     their string twins — the verify path's whole cost at high
   *     candidate volume. Duplicates (two of a doc's shingles colliding
   *     into one hash) are deduped during the merge, so distinct counts
-  *     stay set-correct; a CROSS-doc collision could only inflate the
-  *     intersection, with probability ~(distinct shingles)²/2⁶⁴ — the
+  *     stay set-correct over the HASH domain; the 64-bit trade cuts both
+  *     ways (review r20): a CROSS-doc collision inflates the
+  *     intersection by one, and a WITHIN-doc collision deflates it (one
+  *     hash where the string sets had two distinct members) — either
+  *     direction with probability ~(distinct shingles)²/2⁶⁴ — and the
   *     string-exact DuckDB oracles would fail loudly on any actual
   *     collision in the test corpora.
   *
