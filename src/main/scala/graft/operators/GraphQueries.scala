@@ -67,6 +67,11 @@ object GraphQueries {
   private def orderPairs(lineitemDf: DataFrame): DataFrame =
     lineitemDf
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // NULL keys form a real group under groupBy but are null-rejected
+      // by the oracle's equi-join — pin the engine to the join semantics
+      // (review r20; unreachable on the fixtures, where l_orderkey is a
+      // non-null key)
+      .filter(col("ok").isNotNull)
       .groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("pks"))
       .select(explode(expr(
@@ -122,48 +127,16 @@ object GraphQueries {
     */
   def pagerank(edges: DataFrame, iters: Int = PagerankIters, topK: Int = PagerankTopK,
                localFinishEdges: Long = ConnectedComponents.LocalFinishEdges)
-      : DataFrame = {
-    val spark = edges.sparkSession
-    if (ConnectedComponents.underThreshold(edges, localFinishEdges)) {
-      import spark.implicits._
-      val nIters = iters
-      return edges
-        .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
-        .repartition(1)
-        .mapPartitions { it =>
-          val und = it.flatMap { case (a, b) => Iterator((a, b), (b, a)) }.toArray
-          val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-          und.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
-          var r = deg.keysIterator.map(_ -> 1000000L).toMap
-          for (_ <- 1 to nIters) {
-            val s = scala.collection.mutable.HashMap.empty[Long, Long]
-            und.foreach { case (src, dst) =>
-              s(dst) = s.getOrElse(dst, 0L) + r(src) / deg(src) }
-            r = s.iterator.map { case (n, acc) => n -> (150000L + (17L * acc) / 20L) }.toMap
-          }
-          r.iterator
-        }
-        .toDF("node", "rank_units")
-        .orderBy(col("rank_units").desc, col("node"))
-        .limit(topK)
-    }
-    val e = bidirectional(edges)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var rank: DataFrame = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = rank
-        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
-        .select(col("node").as("src"), expr("r div outdeg").as("c"))
-      rank = e.join(broadcast(contrib), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"), (lit(150000L) + expr("(17 * s) div 20")).as("r"))
-    }
-    rank
-      .select(col("node"), col("r").as("rank_units"))
-      .orderBy(col("rank_units").desc, col("node"))
-      .limit(topK)
-  }
+      : DataFrame =
+    // exact w=1 specialization of the weighted core (review r20: the
+    // recurrence used to live in FOUR places — two functions × two dual
+    // paths — and every damping/threshold fix had to hit all four):
+    // with w ≡ 1, wdeg = outdeg and c·w = c in both the single-task
+    // replay and the distributed loop, so this is value-identical
+    // bit-for-bit (integer units; GraphSpec pins both paths against a
+    // reference fold)
+    pagerankWeighted(edges.withColumn("w", lit(1L)), iters, topK,
+      localFinishEdges)
 
   /** Weighted PageRank core (g_pagerank_weighted): the [[pagerank]]
     * recurrence with edge-weight-proportional mass splitting — the
@@ -393,7 +366,11 @@ object GraphQueries {
   }
 
   /** The weight-capped prefix shared by the pagerank/triangles oracles. */
-  private def edgeCte = pairsCte()
+  // MATERIALIZED (review r20): DuckDB inlines multiply-referenced CTEs,
+  // so without the hint the lineitem self-join re-executes per reference
+  // (~20x in the pagerank oracles at sf1) — the hazard the kcore oracle
+  // already guarded against
+  private def edgeCte = pairsCte(materialized = true)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R4/R13-adjacent, graph family — PageRank over the co-purchase
@@ -463,7 +440,7 @@ object GraphQueries {
                       ELSE 0.0 END AS global_clustering
           FROM st, tri""",
     "g_components" ->
-      s"""${pairsCte(recursive = true)},
+      s"""${pairsCte(recursive = true, materialized = true)},
           n AS (SELECT DISTINCT src AS node FROM e),
           reach(node, label) AS (
             SELECT node, node FROM n
@@ -485,7 +462,7 @@ object GraphQueries {
              FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
                     JOIN d ON d.src = e.src
              GROUP BY e.dst)"""
-      s"""${pairsCte(withW = true)},
+      s"""${pairsCte(withW = true, materialized = true)},
           d AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
           r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
           ${(1 to PagerankIters).map(iter).mkString(",\n")}
