@@ -12,13 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Round9Queries {
 
+  /** Containment postings cap and MMR shortlist bound — ONE definition
+    * interpolated into both the Spark plans and their oracle SQL (review
+    * r20: the oracles hardcoded 64/50, so a tuned caller would silently
+    * desync operator from oracle).
+    */
+  private[graft] val ContainmentCap = 64
+  private[graft] val MmrShortlist = 50
+
   /** CDC chunk statistics core (d_cdc_chunks) over any (doc_id, text)
     * frame — factored so specs can drive planted fixtures through the
     * exact production path.
     */
   def cdcChunkStats(docsDf: DataFrame): DataFrame = {
+    // coalesce pins NULL text to the empty-doc path in BOTH engines
+    // (review r20: split(NULL) used to manufacture one md5('') chunk in
+    // Spark while the oracle's list_distinct dropped the NULL hash and
+    // said zero chunks — unreachable on the fixtures, aligned anyway)
     val chunks = docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("t"))
       .select(col("doc_id"), col("t"),
         expr(
           """concat(
@@ -35,6 +47,11 @@ object Round9Queries {
                  (CASE WHEN k = 0 THEN 0 ELSE element_at(cuts, k) END) + 1,
                  c - (CASE WHEN k = 0 THEN 0 ELSE element_at(cuts, k) END))))))""")
           .as("ch"))
+      // doc-count-sized (doc_id, chunk-hash array) read by TWO consumers
+      // (spans + tot) that shuffle on different keys — without the cut
+      // the md5-per-window chunking HOFs run over the corpus twice
+      // (review r20)
+      .transform(Lineage.cut(_))
     val spans = chunks.select(col("doc_id"), explode(col("ch")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
     val shared = spans.groupBy(col("h"))
@@ -84,12 +101,20 @@ object Round9Queries {
     * trade), pair counts on 16-byte id pairs; pair volume is bounded by
     * cap²/2 per gram.
     */
-  def containmentStats(docsDf: DataFrame, cap: Int = 64): DataFrame = {
-    val sh = docsDf
-      .select(col("doc_id"), explode(shingles("text", 3)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val sizes = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_grams"))
+  def containmentStats(docsDf: DataFrame, cap: Int = ContainmentCap): DataFrame = {
+    // per-doc gram-HASH arrays, computed once and cut (review r20): the
+    // exploded twin fed two consumers shuffling on different keys
+    // (doc_id sizes vs gram postings), re-running the text scan +
+    // shingle pass per consumer. The materialized form is ~8 B/gram —
+    // the slim thing to keep; n_grams falls out as size(ghs) for free.
+    val arr = docsDf
+      .select(col("doc_id"), shingles("text", 3).as("gs"))
+      .select(col("doc_id"),
+        expr("transform(gs, g -> xxhash64(g))").as("ghs"))
+      .transform(Lineage.cut(_))
+    val sh = arr.select(col("doc_id"), explode(col("ghs")).as("gh"))
+    val sizes = arr.select(col("doc_id"),
+      size(col("ghs")).cast("long").as("n_grams"))
     val post = sh.groupBy(col("gh"))
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -121,8 +146,12 @@ object Round9Queries {
     * spec can prove bloom-twin ≡ broadcast-core on planted fixtures.
     */
   def decontaminateBloom(s: SparkSession, docsDf: DataFrame,
-                         evalSource: String = "src0"): DataFrame = {
+                         evalSource0: String = "src0"): DataFrame = {
     graft.plans.GraftFunctions.register(s)
+    // ''-escaped before interpolation (review r20): a quote-bearing
+    // source value would break — or rewrite — the generated SQL (the
+    // Bm25Probe discipline)
+    val evalSource = evalSource0.replace("'", "''")
     docsDf.createOrReplaceTempView("graft_deconb_docs")
     s.sql(
       s"""WITH sh AS (
@@ -165,7 +194,7 @@ object Round9Queries {
     * of the exact scan; the rerank stage is identical.
     */
   def mmrRerank(s: SparkSession, embDf: DataFrame,
-                k: Int = 10, shortlist: Int = 50): DataFrame = {
+                k: Int = 10, shortlist: Int = MmrShortlist): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val e = embDf.filter(size(col("embedding")) === 64)
     val probe = e.filter(col("vec_id") === 0)
@@ -225,6 +254,11 @@ object Round9Queries {
                   'mmr_score', ($b).score)))),
               acc -> acc.out)""").as("out"))
       .select(explode(col("out")).as("o"))
+      // with fewer than k surviving candidates the fold's NULL init pick
+      // still appended a (step, NULL, NULL) row per exhausted step, where
+      // the oracle's per-step LIMIT 1 CTE emits nothing (review r20) —
+      // drop the padding so both engines report the candidates they have
+      .filter(col("o.vec_id").isNotNull)
       .select(col("o.step").as("step"), col("o.vec_id").as("vec_id"),
         col("o.mmr_score").as("mmr_score"))
       .orderBy("step")
@@ -390,7 +424,7 @@ object Round9Queries {
           SELECT vec_id, emb, nrm,
                  CAST(floor((dq / (nrm * qn)) * 10000 + 0.5) AS BIGINT) AS rel
           FROM base WHERE nrm > 0 AND qn > 0
-          ORDER BY rel DESC, vec_id LIMIT 50),
+          ORDER BY rel DESC, vec_id LIMIT $MmrShortlist),
         c0 AS (SELECT vec_id AS id, rel, CAST(0 AS BIGINT) AS ms, nrm, emb
                FROM short),
         $steps
@@ -402,7 +436,7 @@ object Round9Queries {
     // postings keyed by the gram string where Spark keys by its xxhash64
     // — equal results absent a 64-bit collision (the d_span_dedup trade)
     "d_containment" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (
            SELECT doc_id,
                   unnest(list_distinct(list_transform(
@@ -411,7 +445,7 @@ object Round9Queries {
          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
                 FROM sh GROUP BY doc_id),
          post AS (
-           SELECT g, list_sort(list(doc_id))[1:64] AS ds
+           SELECT g, list_sort(list(doc_id))[1:$ContainmentCap] AS ds
            FROM sh GROUP BY g HAVING count(*) > 1),
          pa AS (SELECT g, unnest(ds) AS da FROM post),
          pb AS (SELECT g, unnest(ds) AS db FROM post),
@@ -468,7 +502,7 @@ object Round9Queries {
     // groups by the chunk md5 where Spark groups by its xxhash64 — equal
     // results absent a 64-bit collision (the d_span_dedup trade)
     "d_cdc_chunks" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
          c AS (
            SELECT doc_id, t,
                   list_concat(
