@@ -101,17 +101,25 @@ object Round9Queries {
     * trade), pair counts on 16-byte id pairs; pair volume is bounded by
     * cap²/2 per gram.
     */
+  /** Pre-cut builder of the per-doc gram-HASH arrays consumed by
+    * [[containmentStats]] — factored so PlanSpec can pin the xxhash64
+    * gram hashing on the plan that actually computes it (after the
+    * Lineage.cut the downstream plan starts at `Scan ExistingRDD` and
+    * the hashing is invisible there).
+    */
+  private[graft] def containmentGramHashes(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), shingles("text", 3).as("gs"))
+      .select(col("doc_id"),
+        expr("transform(gs, g -> xxhash64(g))").as("ghs"))
+
   def containmentStats(docsDf: DataFrame, cap: Int = ContainmentCap): DataFrame = {
     // per-doc gram-HASH arrays, computed once and cut (review r20): the
     // exploded twin fed two consumers shuffling on different keys
     // (doc_id sizes vs gram postings), re-running the text scan +
     // shingle pass per consumer. The materialized form is ~8 B/gram —
     // the slim thing to keep; n_grams falls out as size(ghs) for free.
-    val arr = docsDf
-      .select(col("doc_id"), shingles("text", 3).as("gs"))
-      .select(col("doc_id"),
-        expr("transform(gs, g -> xxhash64(g))").as("ghs"))
-      .transform(Lineage.cut(_))
+    val arr = containmentGramHashes(docsDf).transform(Lineage.cut(_))
     val sh = arr.select(col("doc_id"), explode(col("ghs")).as("gh"))
     val sizes = arr.select(col("doc_id"),
       size(col("ghs")).cast("long").as("n_grams"))

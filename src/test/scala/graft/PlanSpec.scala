@@ -344,12 +344,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d_containment: postings shuffle on gram hashes, gram strings never move") {
+    // the gram xxhash64 lives in the PRE-cut array builder (r20 moved it
+    // behind Lineage.cut, so the downstream plan starts at Scan
+    // ExistingRDD and never shows the hashing) — pin it on the factored
+    // builder, whose plan is the one that computes it
+    val pre = graft.operators.Round9Queries
+      .containmentGramHashes(graft.Tables.documents(spark, d))
+    assert(pre.queryExecution.executedPlan.toString.contains("xxhash64"),
+      "gram-hash builder lost its xxhash64")
+    // and the cut hands downstream only 8-byte hashes: doc_id + ghs
+    assert(pre.schema.fieldNames.toSeq == Seq("doc_id", "ghs"))
+    assert(pre.schema("ghs").dataType.simpleString == "array<bigint>",
+      "cut frame must carry gram HASHES, not strings")
     val p = plan("d_containment")
-    assert(p.contains("xxhash64"), "gram-hash posting key missing")
     val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(exchanges.nonEmpty, "expected the posting/pair exchanges")
+    // post-cut invariant: every exchange keys on gh / (da, db) / doc_id —
+    // no gram string column g#, no raw text
     exchanges.foreach(e => assert(!e.contains("g#") && !e.contains("text"),
       s"gram strings shuffle:\n$e"))
+    assert(exchanges.exists(_.contains("gh#")),
+      s"posting exchange should key on the gram hash gh:\n${exchanges.mkString("\n")}")
   }
 
   test("v_ivfpq_rerank: shortlist broadcasts; corpus side never shuffles for the join") {
