@@ -145,6 +145,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floors post-shuffle partitions at 1 MB by default —
+      // sized for byte-dominated stages. This engine's hot stages are
+      // CPU-dense per byte (sorted-hash merge-intersect verify, HOF pair
+      // expansion), so the byte floor serialized them: d_simhash_pairs'
+      // verify stage ran 4 tasks on 32 cores (measured r21, StageProbe —
+      // 1.2 s wall vs 0.48 s at 64k). The floor only binds when
+      // totalBytes/parallelism < 1 MB, i.e. exactly when partitions are
+      // cheap; at production shuffle sizes partitions sit far above any
+      // floor and the setting is inert, so 64k is scale-safe (env knob for
+      // clusters whose stages are byte-dominated).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver tail-parses stdout for the JSON line
