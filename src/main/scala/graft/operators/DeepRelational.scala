@@ -308,24 +308,52 @@ object DeepRelational {
         .filter(col("jaccard") >= 0.5).select(col("doc_a")))
       e.createOrReplaceTempView("graft_rc_edge")
       // k-hop tables: doc has edges doc .. doc+k-1 (contiguous runs, so
-      // e_k = e_{k/2} stitched with itself shifted k/2; e3 = e2 + e)
+      // e_k = e_{k/2} stitched with itself shifted k/2). Only the
+      // MULTI-consumer hop tables are cut (e2 feeds e4 + a residue; e4
+      // feeds e8 + residues; e8 drives the recursion, which re-executes
+      // its member subplan every round) — r21: e3 was cut despite a
+      // single reference, a pure extra checkpoint job in a query whose
+      // cost IS its job count (StageProbe: ~60 sub-30 ms stages, >half
+      // the wall clock in scheduling gaps). Odd residues now derive
+      // inline from the cut tables inside the one final job.
       val e2 = Lineage.cut(e.as("a")
         .join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 1)
         .select(col("a.doc_a")))
       e2.createOrReplaceTempView("graft_rc_edge2")
-      Lineage.cut(e2.as("a")
-        .join(e.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
-        .select(col("a.doc_a")))
-        .createOrReplaceTempView("graft_rc_edge3")
-      Lineage.cut(e2.as("a")
+      val e4 = Lineage.cut(e2.as("a")
         .join(e2.as("b"), col("b.doc_a") === col("a.doc_a") + 2)
         .select(col("a.doc_a")))
-        .createOrReplaceTempView("graft_rc_edge4")
-      // the stride-4 walk is referenced four times below (identity +
-      // three residue expansions); checkpoint it so the recursion
+      e4.createOrReplaceTempView("graft_rc_edge4")
+      // stride EIGHT per recursion round (r21; four until then, two
+      // before r11): each driver round is ~2 scheduling-bound jobs on a
+      // tiny worktable, so halving the round count (sf0.1's longest
+      // chain is 27 edges: 7 rounds at stride 4, 4 at stride 8) buys
+      // more than the one extra cut job (e8) costs. The result set is
+      // unchanged: every depth decomposes uniquely as 8q + k, k in 0..7
+      // — the walk emits the 8q backbone and the k-residue expansions
+      // below fill the rest, exactly the stride-4 argument.
+      Lineage.cut(e4.as("a")
+        .join(e4.as("b"), col("b.doc_a") === col("a.doc_a") + 4)
+        .select(col("a.doc_a")))
+        .createOrReplaceTempView("graft_rc_edge8")
+      // Broadcast hints, SIZE-GATED (r21): the cut hop tables are
+      // LogicalRDDs with no stats, so the planner defaulted every
+      // walk/residue join to sort-merge — two exchanges and a sort per
+      // tiny table per round, in a query whose cost is its job count.
+      // Below the ConnectedComponents threshold the chain tables are
+      // node-sized and broadcast turns each recursion round and the
+      // 8-branch residue union into map-only joins (measured r21:
+      // median 2.3 -> 2.1 s, min 1.9 -> 1.8 at sf0.1); above it the
+      // hints are withheld and the sort-merge default stands (chain
+      // tables grow with the corpus — the dual-path discipline).
+      val small = ConnectedComponents.underThreshold(e, 1L << 20)
+      def h(tbls: String): String =
+        if (small) s"/*+ BROADCAST($tbls) */" else ""
+      // the stride-8 walk is referenced eight times below (identity +
+      // seven residue expansions); checkpoint it so the recursion
       // executes ONCE
       s.sql(
-        """WITH RECURSIVE
+        s"""WITH RECURSIVE
              roots AS (
                SELECT e.doc_a AS doc_id FROM graft_rc_edge e
                LEFT JOIN graft_rc_edge prev ON prev.doc_a = e.doc_a - 1
@@ -333,22 +361,47 @@ object DeepRelational {
              walk(root, doc_id, depth) AS (
                SELECT doc_id, doc_id, 0 FROM roots
                UNION ALL
-               SELECT w.root, w.doc_id + 4, w.depth + 4
-               FROM walk w JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id)
+               SELECT ${h("e8")} w.root, w.doc_id + 8, w.depth + 8
+               FROM walk w JOIN graft_rc_edge8 e8 ON e8.doc_a = w.doc_id)
            SELECT root, doc_id, depth FROM walk""")
         .transform(Lineage.cut(_))
         .createOrReplaceTempView("graft_rc_walk")
+      // residue k extends the backbone by a k-hop chain; chains decompose
+      // as 4+2+1 from the CUT tables, so e3/e5/e6/e7 need no tables of
+      // their own — each residue is a 1-3-way join evaluated inside this
+      // single final job
       s.sql(
-        """SELECT root, doc_id, CAST(depth AS BIGINT) AS depth FROM graft_rc_walk
+        s"""SELECT root, doc_id, CAST(depth AS BIGINT) AS depth FROM graft_rc_walk
            UNION ALL
-           SELECT w.root, w.doc_id + 1, CAST(w.depth + 1 AS BIGINT) AS depth
+           SELECT ${h("e1")} w.root, w.doc_id + 1, CAST(w.depth + 1 AS BIGINT) AS depth
            FROM graft_rc_walk w JOIN graft_rc_edge e ON e.doc_a = w.doc_id
            UNION ALL
-           SELECT w.root, w.doc_id + 2, CAST(w.depth + 2 AS BIGINT) AS depth
+           SELECT ${h("e2")} w.root, w.doc_id + 2, CAST(w.depth + 2 AS BIGINT) AS depth
            FROM graft_rc_walk w JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id
            UNION ALL
-           SELECT w.root, w.doc_id + 3, CAST(w.depth + 3 AS BIGINT) AS depth
-           FROM graft_rc_walk w JOIN graft_rc_edge3 e3 ON e3.doc_a = w.doc_id
+           SELECT ${h("e2, e1")} w.root, w.doc_id + 3, CAST(w.depth + 3 AS BIGINT) AS depth
+           FROM graft_rc_walk w
+           JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id
+           JOIN graft_rc_edge  e1 ON e1.doc_a = w.doc_id + 2
+           UNION ALL
+           SELECT ${h("e4")} w.root, w.doc_id + 4, CAST(w.depth + 4 AS BIGINT) AS depth
+           FROM graft_rc_walk w JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id
+           UNION ALL
+           SELECT ${h("e4, e1")} w.root, w.doc_id + 5, CAST(w.depth + 5 AS BIGINT) AS depth
+           FROM graft_rc_walk w
+           JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id
+           JOIN graft_rc_edge  e1 ON e1.doc_a = w.doc_id + 4
+           UNION ALL
+           SELECT ${h("e4, e2")} w.root, w.doc_id + 6, CAST(w.depth + 6 AS BIGINT) AS depth
+           FROM graft_rc_walk w
+           JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id
+           JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id + 4
+           UNION ALL
+           SELECT ${h("e4, e2, e1")} w.root, w.doc_id + 7, CAST(w.depth + 7 AS BIGINT) AS depth
+           FROM graft_rc_walk w
+           JOIN graft_rc_edge4 e4 ON e4.doc_a = w.doc_id
+           JOIN graft_rc_edge2 e2 ON e2.doc_a = w.doc_id + 4
+           JOIN graft_rc_edge  e1 ON e1.doc_a = w.doc_id + 6
            ORDER BY root, doc_id""")
     }),
 
