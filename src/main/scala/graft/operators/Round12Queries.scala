@@ -46,6 +46,44 @@ object Round12Queries {
   private[graft] val VocabSize = 100
   private[graft] val AnonK = 5
 
+  /** OOV-rate core (t_oov_rate), factored for the planted-NULL spec.
+    *
+    * ONE grouped pass computes both per-doc counts: left-join the
+    * broadcast vocab with an in-vocab flag, count tokens and the
+    * unflagged ones per doc (review r20 — the old shape paid a third
+    * corpus scan and a resurrection outer join for the same numbers).
+    *
+    * NULL-text parity (ADVICE r20): `explode(split(NULL))` emitted no
+    * rows, so a NULL-text doc vanished while the oracle's base CTE still
+    * emits its row with n_tokens NULL. `explode_outer` keeps one
+    * tok=NULL row per such doc; the vocab filters NULL toks (the
+    * oracle's toks CTE never sees them — DuckDB's unnest(NULL) emits no
+    * rows), `count(tok)` ignores the NULL marker so the doc lands at 0
+    * counted tokens — rendered as the oracle's (n_tokens NULL, n_oov 0,
+    * oov_rate NULL) row. Non-NULL docs always count ≥ 1 token
+    * (split('') = ['']), so 0 unambiguously identifies the NULL-text
+    * case.
+    */
+  private[graft] def oovRate(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+    val vocab = toks.filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(VocabSize)
+      .select(col("tok"), lit(1).as("inv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("tok")).as("n_toks"),
+        sum(when(col("inv").isNull && col("tok").isNotNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"),
+        when(col("n_toks") > 0, col("n_toks")).cast("int").as("n_tokens"),
+        col("n_oov"),
+        floorRound(col("n_oov").cast("double") /
+          when(col("n_toks") > 0, col("n_toks")), 4).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // R17/R7 — TRAIN/VAL/TEST HASH SPLIT + LEAKAGE AUDIT. Split
@@ -200,29 +238,7 @@ object Round12Queries {
     // corpus-sized), top-K via the heap (TakeOrdered), and the per-doc
     // pass joins exploded tokens against the BROADCAST vocab — the
     // corpus shuffles on doc_id only for its own per-doc count.
-    "t_oov_rate" -> ((s, d) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tok")).limit(VocabSize)
-        .select(col("tok"), lit(1).as("inv"))
-      // ONE grouped pass computes both counts: left-join the broadcast
-      // vocab with an in-vocab flag, count all tokens and the unflagged
-      // ones per doc. The old shape (left_anti + a THIRD docs scan +
-      // right join to resurrect zero-OOV docs) paid a corpus scan and an
-      // outer join for the same numbers (review r20); split(text) yields
-      // [""] for empty text, so every doc keeps ≥1 exploded row and no
-      // resurrection join is needed.
-      toks.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
-        .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-          col("n_oov"),
-          floorRound(col("n_oov").cast("double") /
-            col("n_tokens"), 4).as("oov_rate"))
-        .orderBy("doc_id")
-    }),
+    "t_oov_rate" -> ((s, d) => oovRate(docs(s, d))),
 
     // R22/R7 — K-ANONYMITY AUDIT (k = 5) over the (event_type, day)
     // quasi-identifier: the data-governance gate a corpus passes before

@@ -740,7 +740,6 @@ object StreamingAggs {
     val s = batch.sparkSession
     graft.plans.GraftFunctions.register(s)
     // quality: the d_corpus_build_v2 blend, per-row
-    val toks = split(col("text"), " ")
     val quality = TextQueries.qualityBlend
     val rep = graft.operators.TextQueries.repetition(batch)
       .select(col("doc_id"), col("repetitive"))

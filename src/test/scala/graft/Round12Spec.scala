@@ -126,6 +126,26 @@ class Round12Spec extends SparkSpec {
       s"top-100 vocab covers only ${1 - totOov.toDouble / totTok} of the corpus")
   }
 
+  test("t_oov_rate: a NULL-text doc keeps its row — n_tokens/oov_rate NULL, n_oov 0 (ADVICE r20)") {
+    // the DuckDB oracle's base CTE emits a row per DOCUMENT with
+    // n_tokens = len(string_split(NULL)) = NULL; the engine must not
+    // drop the doc (explode of split(NULL) yields no rows)
+    val planted = Seq(
+      (0L, "alpha beta alpha"), (1L, "beta gamma"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Round12Queries.oovRate(planted).collect()
+    assert(rows.length === 3, s"NULL-text doc dropped: ${rows.mkString(",")}")
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.isNullAt(r2.fieldIndex("n_tokens")))
+    assert(r2.getAs[Long]("n_oov") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("oov_rate")))
+    // non-NULL docs unchanged: every token of this tiny corpus is in the
+    // top-100 vocab, so zero OOV everywhere
+    rows.filter(_.getLong(0) != 2L).foreach { r =>
+      assert(r.getAs[Int]("n_tokens") > 0 && r.getAs[Long]("n_oov") === 0L)
+    }
+  }
+
   // ---- q_k_anonymity --------------------------------------------------
 
   test("q_k_anonymity: census matches a direct group-size recompute") {
