@@ -189,7 +189,17 @@ object Bench {
     // non-fatal notes (e.g. a stream metric that succeeded on retry):
     // recorded in bench_full.json but NOT counted in "failed"
     val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm mode (r21, VERDICT r20 #7 — opt-in, default OFF so the official
+    // single-shot methodology is unchanged): SPARK_GRAFT_BENCH_WARM=1 runs
+    // every query a second time and reports the warm pass alongside the
+    // cold one (`value_warm` / `queries_warm`). Single-shot totals are
+    // dominated by cold-scan + codegen-compile noise (house-measured 7.7x
+    // cold/steady on t_bpe_pairs), so the warm map is the plan-quality
+    // signal; the cold map keeps round-to-round continuity.
+    val warmMode = sys.env.get("SPARK_GRAFT_BENCH_WARM").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 recordErr: Boolean): (Boolean, Double) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -204,10 +214,14 @@ object Bench {
               case c if c < ' ' => " "
               case c => c.toString
             }
-          errors += s"$name: $msg"
+          if (recordErr) errors += s"$name: $msg"
           false
       }
-      val secs = (System.nanoTime() - t0) / 1e9
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) =>
+      val (ok, secs) = timeOnce(name, fn, recordErr = true)
       // Failed queries get a NEGATED timing so they are unmistakable in both
       // bench_full.json and the metric line (a -1.23 can never be confused
       // with a passing elapsed time). Floor at 10ms so a failure faster
@@ -215,6 +229,15 @@ object Bench {
       // round to a passing-looking "0".
       name -> (if (ok) secs else -math.max(secs, 0.01))
     }.toMap
+    // warm pass AFTER the full cold loop (not per-query back-to-back), so
+    // a query's warm run cannot ride its own cold run's page cache beyond
+    // what every other query also left behind
+    val resultsWarm: Map[String, Double] =
+      if (!warmMode) Map.empty
+      else ordered.map { case (name, fn) =>
+        val (ok, secs) = timeOnce(name, fn, recordErr = false)
+        name -> (if (ok) secs else -math.max(secs, 0.01))
+      }.toMap
     // Streaming throughput, measured after the batch queries so the JVM and
     // scan paths are warm (the batch loop is the warmup). 0 rows/s = failed,
     // with the reason in the errors list. ONE retry per stream metric:
@@ -277,15 +300,24 @@ object Bench {
     } + "\""
     val errJson = errors.take(10).map(jstr).mkString("[", ",", "]")
     val warnJson = warnings.take(10).map(jstr).mkString("[", ",", "]")
+    // warm-mode extras: a scalar on the metric line (the line must stay
+    // well under the driver's ~2000-char tail capture), the full warm map
+    // only in bench_full.json; both ABSENT when warm mode is off so the
+    // official artifact is byte-shape-identical to previous rounds
+    val totalWarm = resultsWarm.values.map(math.abs).sum
+    val warmLine = if (warmMode) s""","value_warm":${fmt(totalWarm)}""" else ""
+    val warmFull = if (warmMode)
+      s""","total_warm":${fmt(totalWarm)},"queries_warm":${render(resultsWarm.toSeq.sortBy(_._1))}"""
+    else ""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"warnings":$warnJson,"queries":${render(results.toSeq.sortBy(_._1))}}""")
+      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"warnings":$warnJson$warmFull,"queries":${render(results.toSeq.sortBy(_._1))}}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no executor/shutdown logging can land
     // after the metric line — it must be the final line of stdout for the
     // driver's parse.
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps$warmLine,"queries":${render(slowest)},"omitted_fastest":$omitted,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
