@@ -142,9 +142,13 @@ object Round15Queries {
   private[graft] def ivfRetrainAudit(e: DataFrame, seedStride: Int = 13,
                                      steps: Int = 2,
                                      threshold: Int = 4): DataFrame = {
-    import graft.operators.SimilarityQueries.{cellSkewCensus, pqIndexBuild, refinedCentArrK}
-    val (seedArr, _) = pqIndexBuild(e, seedStride)
-    val trained = refinedCentArrK(e, seedStride, steps)
+    import graft.operators.SimilarityQueries.{cellSkewCensus, pqIndexBuild, refinedCentArrKFrom}
+    // ONE seed build shared by the census baseline and the trainer (r21:
+    // pqIndexBuild + refinedCentArrK each built the identical strided
+    // seed collect — an extra corpus pass + checkpoint). The cut frame
+    // stays owned here; refinedCentArrKFrom never frees it.
+    val seedArr = graft.operators.Lineage.cut(pqIndexBuild(e, seedStride)._1)
+    val trained = refinedCentArrKFrom(e, seedArr, steps)
     def countsAgainst(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .select(expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))

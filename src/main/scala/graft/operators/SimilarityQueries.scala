@@ -903,12 +903,29 @@ object SimilarityQueries {
     * train (the trainCoarse/ConnectedComponents lineage discipline).
     */
   private[graft] def refinedCentArrK(e: DataFrame, seedStride: Int = 13,
-      steps: Int = 3): DataFrame = {
+      steps: Int = 3): DataFrame =
+    refinedCentArrKFrom(e,
+      Lineage.cut(e.filter(col("vec_id") % seedStride === 0)
+        .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
+          col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))),
+      steps)
+
+  /** [[refinedCentArrK]] from a PRE-BUILT (already cut) seed-cells row —
+    * shared-pass form (r21): ivfRetrainAudit needs the seed quantizer
+    * both as the census baseline and as the trainer's starting point,
+    * and building it twice cost an extra corpus pass + checkpoint in a
+    * query that is all bounded passes. The CALLER keeps ownership of
+    * `seedCells`: the first step cuts WITHOUT superseding it (freeing it
+    * here would violate the cutSuperseding contract for a caller that
+    * still reads it — and the one-row cells frame is ~tens of KB, so
+    * holding one extra generation costs nothing); later steps supersede
+    * trainer-owned generations as before.
+    */
+  private[graft] def refinedCentArrKFrom(e: DataFrame, seedCells: DataFrame,
+      steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
-    var cells = Lineage.cut(e.filter(col("vec_id") % seedStride === 0)
-      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
-        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells")))
-    var step = 0
+    var cells = Lineage.cut(lloydStep(e, seedCells))
+    var step = 1
     while (step < steps) {
       cells = Lineage.cutSuperseding(lloydStep(e, cells), cells)
       step += 1
