@@ -133,15 +133,26 @@ object Round4Queries {
     "d_corpus_build" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val toks = split(col("text"), " ")
-      val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      // text reduces to its sha256 content address in the scan projection
+      // (r21, the d_dedup_hash discipline): every downstream exchange
+      // carries a 64-char key instead of the full document, and the
+      // string-exact DuckDB oracle would fail loudly on a collision.
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.sha256Hex(col("text")).as("__sha"),
         size(toks).cast("long").as("n_tokens"),
         TextQueries.qualityBlend.as("quality"))
       val qualified = scored.filter(col("quality") >= 0.52)
-      // exact dedup: min doc_id per text among the qualified
+      // exact dedup: min doc_id per text among the qualified. A grouped
+      // aggregate, not a text-partitioned row_number window (r21): it
+      // partial-aggregates map-side, and n_tokens/quality are functions
+      // of text, so any group member's value IS the keeper's value —
+      // min() keeps the plan deterministic.
       val exactKept = qualified
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-        .filter(col("__rk") === 1).drop("__rk", "text")
+        .groupBy(col("__sha"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(col("quality")).as("quality"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
       // Near-dup drop: run the REAL near-dup operator — the full
       // MinHash+LSH pipeline (shingle → sign → band → verify) — and drop
       // the higher side of every verified J ≥ 0.5 pair. Shingle Jaccard,

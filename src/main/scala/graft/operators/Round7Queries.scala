@@ -29,7 +29,12 @@ object Round7Queries {
       val all = Tables.documents(s, d)
       val train = all.filter(col("source") =!= "src0")
       val toks = split(col("text"), " ")
-      val scored = train.select(col("doc_id"), col("text"),
+      // text reduces to its sha256 content address in the scan projection
+      // (r21, the d_dedup_hash discipline): the calm/clean joins and the
+      // dedup aggregate below then move 64-char keys, never documents,
+      // and the string-exact oracle would fail loudly on a collision.
+      val scored = train.select(col("doc_id"),
+        graft.functions.TextFunctions.sha256Hex(col("text")).as("__sha"),
         size(toks).cast("long").as("n_tokens"),
         TextQueries.qualityBlend.as("quality"))
       // repetition gate: the per-doc signals are corpus-independent, so
@@ -41,11 +46,16 @@ object Round7Queries {
         .filter(!col("contaminated")).select(col("doc_id"))
       val qualified = scored.filter(col("quality") >= 0.52)
         .join(calm, "doc_id").join(clean, "doc_id")
-      // exact dedup: min doc_id per text among the qualified
+      // exact dedup: min doc_id per text among the qualified. A grouped
+      // aggregate on the content sha, not a text-partitioned row_number
+      // window (r21): partial-aggregates map-side; n_tokens/quality are
+      // functions of text, so min() is the keeper's own value.
       val exactKept = qualified
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-        .filter(col("__rk") === 1).drop("__rk", "text")
+        .groupBy(col("__sha"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_tokens")).as("n_tokens"),
+          min(col("quality")).as("quality"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
       // near-dup drop: the registered MinHash-LSH operator's verified
       // pair set (corpus-wide, like v1 — a near-dup of ANY doc, eval
       // included, is dropped), higher side of each pair goes
