@@ -694,15 +694,24 @@ object SimilarityQueries {
             coalesce(sum(when(col("hit").isNotNull &&
                 array_contains(col("probe_cells"), col("a.cell")), 1L)
               .otherwise(0L)), lit(0L)).as(s"n_top10_in_probed_$tag"))
-      audit(pqIndexBuild(e)._1, "seed")
-        .crossJoin(audit(refinedCentArr(e), "trained"))
+      // Shared quantizer chain (r21, the v_ivf_retrain shared-seed fix):
+      // the three audited quantizers are a PREFIX CHAIN — seed, 1 Lloyd
+      // step from it, 3 steps from it — but building each independently
+      // re-ran the seed agg three times and Lloyd step 1 twice. One cut
+      // seed + one cut step-1 frame now feed all three audits (this query
+      // owns both frames, so nothing supersedes them); values are
+      // bit-identical — the cut only changes where the bytes live.
+      val seedCells = Lineage.cut(seedCellArr(e, 13))
+      val t1 = Lineage.cut(lloydStep(e, seedCells))
+      audit(seedCells, "seed")
+        .crossJoin(audit(t1, "trained"))
         // r12: the 3-step quantizer v_ivfpq_trained now serves from,
         // priced on the same two axes — the "what did MORE training buy"
         // column pair (strict cohesion improvement over the 1-step figure
         // is asserted in SimilaritySpec, not hash-compared: it is a
         // property of Lloyd on this corpus, not an analytic guarantee
         // for the cosine objective)
-        .crossJoin(audit(refinedCentArrK(e, 13, 3), "trained3"))
+        .crossJoin(audit(refinedCentArrKFrom(e, t1, 2), "trained3"))
     }),
 
     // R19/R10 — PQ CODEBOOK TRAINING GAIN: the fine quantizer's twin of
@@ -902,13 +911,20 @@ object SimilarityQueries {
     * constant-size across steps and the corpus-scan count is K per
     * train (the trainCoarse/ConnectedComponents lineage discipline).
     */
+  /** The strided seed coarse quantizer as ONE (uncut) one-row `cells`
+    * array — the single definition behind [[pqIndexBuild]],
+    * [[refinedCentArrK]], and the v_ivf_train_gain audit chain (r21:
+    * three inline copies meant three seed-agg corpus passes in queries
+    * that audit seed and trained quantizers side by side).
+    */
+  private[graft] def seedCellArr(e: DataFrame, seedStride: Int): DataFrame =
+    e.filter(col("vec_id") % seedStride === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
+
   private[graft] def refinedCentArrK(e: DataFrame, seedStride: Int = 13,
       steps: Int = 3): DataFrame =
-    refinedCentArrKFrom(e,
-      Lineage.cut(e.filter(col("vec_id") % seedStride === 0)
-        .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
-          col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))),
-      steps)
+    refinedCentArrKFrom(e, Lineage.cut(seedCellArr(e, seedStride)), steps)
 
   /** [[refinedCentArrK]] from a PRE-BUILT (already cut) seed-cells row —
     * shared-pass form (r21): ivfRetrainAudit needs the seed quantizer
@@ -959,12 +975,8 @@ object SimilarityQueries {
     * [[annLshBest]] plus an `nrm` column.
     */
   private[graft] def pqIndexBuild(seed: DataFrame, centroidStride: Int = 13)
-      : (DataFrame, DataFrame) = {
-    val centArr = seed.filter(col("vec_id") % centroidStride === 0)
-      .agg(array_sort(collect_list(struct(col("vec_id").as("cell"),
-        col("v").as("cv"), col("nrm").as("cnrm")))).as("cells"))
-    (centArr, pqCodebook(seed))
-  }
+      : (DataFrame, DataFrame) =
+    (seedCellArr(seed, centroidStride), pqCodebook(seed))
 
   /** Cell-size census over an IVF index's per-cell counts — the index
     * HEALTH audit (VERDICT r12 #8): [[pqIndexBuild]] + the streaming

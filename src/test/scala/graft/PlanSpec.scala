@@ -592,11 +592,29 @@ class PlanSpec extends SparkSpec {
 
   test("v_ivf_train_gain: audit passes are per-row argmax, exact10 is heap-based") {
     val p = plan("v_ivf_train_gain")
+    // r21: the trainer chain (seed + Lloyd steps) is built once in cut
+    // jobs, so the FINAL plan is pure per-row audit passes — typically no
+    // exchange at all; whatever remains must never key on vec_id
     val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
-    assert(keyed.nonEmpty && !keyed.exists(_.contains("vec_id")),
+    assert(!keyed.exists(_.contains("vec_id")),
       s"corpus-sized exchange in the training audit:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
     assert(p.contains("TakeOrderedAndProject"), "exact top-10 not heap-based")
+    // the M-step shuffles now live in the PRE-cut trainer plan: pin the
+    // invariant there — exchanges key on the k·dim (cell, pos) groups,
+    // never on vec_id (the corpus-sized key)
+    import org.apache.spark.sql.functions.{col, size}
+    import graft.functions.VectorFunctions.{asDouble, l2Norm}
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(size(col("v")) === 64)
+      .withColumn("nrm", l2Norm(col("v")))
+    val trainer = operators.SimilarityQueries.refinedCentArr(e)
+      .queryExecution.executedPlan.toString
+    val tKeyed = trainer.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(tKeyed.nonEmpty && tKeyed.forall(l =>
+        l.contains("cell") && !l.contains("vec_id")),
+      s"trainer M-step exchange must key on (cell, pos):\n${trainer.take(1500)}")
   }
 
   test("v_pq_train_gain: two per-row encode passes, no corpus join or vec_id shuffle") {
