@@ -58,13 +58,18 @@ object GraphQueries {
     * pairs-within-small-groups, not a self-join — collect each order's
     * distinct part set (orders are small — ≤7 lineitems in this schema,
     * bounded per-order in any sane one) and explode C(n, 2) canonical
-    * a < b pairs per order. One ok-keyed shuffle; the per-order n² HOF is
-    * bounded by order size, never corpus size. No sort on the collected
-    * set: the a < b filter keeps the same pair SET for any array
-    * permutation, and every consumer is order-insensitive (groupBy /
-    * distinct), so sorting would be dead work in the widest stage.
+    * a < b pairs per order. One ok-keyed shuffle; the per-order n²
+    * expansion is bounded by order size, never corpus size. The expansion
+    * is TWO stacked explodes + a codegen'd a < b filter, not a nested
+    * transform×transform HOF (r21): higher-order functions evaluate as
+    * interpreted per-element lambdas outside whole-stage codegen, and the
+    * HOF form was the graph family's dominant exec cost (StageProbe: 10 s
+    * executor time in the pair stage at sf0.1; the d_simhash_pairs pair
+    * join learned the same lesson in r11). Generate participates in
+    * codegen, and the pair SET is identical — every consumer is
+    * order-insensitive (groupBy / distinct).
     */
-  private def orderPairs(lineitemDf: DataFrame): DataFrame =
+  private[graft] def orderPairs(lineitemDf: DataFrame): DataFrame =
     lineitemDf
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       // NULL keys form a real group under groupBy but are null-rejected
@@ -74,10 +79,10 @@ object GraphQueries {
       .filter(col("ok").isNotNull)
       .groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("pks"))
-      .select(explode(expr(
-        """filter(flatten(transform(pks, x -> transform(pks, y -> struct(x AS a, y AS b)))),
-                  p -> p.a < p.b)""")).as("p"))
-      .select(col("p.a"), col("p.b"))
+      .select(explode(col("pks")).as("a"), col("pks"))
+      .select(col("a"), explode(col("pks")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
 
   /** Capped co-purchase edge core: top-`cap` (a, b) part pairs by shared
     * order count, a < b, deterministic total order. Columns (a, b, w).
