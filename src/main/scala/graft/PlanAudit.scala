@@ -38,7 +38,7 @@ object PlanAudit {
               .map(_.name)
         }.flatten.distinct.sorted
         val wideTag = if (wide.isEmpty) "" else s" wideExch=${wide.mkString(",")}"
-        println(s"AUDIT $name exch=${c("Exchange")} smj=${c("SortMergeJoin")} " +
+        println(s"AUDIT $name scans=${c("Scan parquet")} exch=${c("Exchange")} smj=${c("SortMergeJoin")} " +
           s"bhj=${c("BroadcastHashJoin")} bnl=${c("BroadcastNestedLoopJoin")} " +
           s"cart=${c("CartesianProduct")} sort=${c("(?m)^\\s*[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort ")} " +
           s"window=${c("Window")} rdd=${c("ExistingRDD")}$wideTag")
