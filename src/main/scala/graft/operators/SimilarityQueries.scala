@@ -71,6 +71,25 @@ object SimilarityQueries {
       .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
   }
 
+  /** Restrict `df` (carrying vec_id, one row per vector) to the sampled
+    * audit-probe keys — the same count-derived modulus predicate
+    * [[exactBestForProbes]] uses. Applied to the ANN side BEFORE the
+    * probe join (r21): the join's probe side is ≤ [[AuditProbeBudget]]
+    * rows by construction, but joining it against the corpus-sized ANN
+    * result forced a corpus-wide vec_id exchange + sort-merge join.
+    * Pre-filtering drops only rows the equi-join could never match and
+    * bounds the ANN side at ≤ budget+1 rows at ANY scale — hence the
+    * broadcast hint is scale-safe, not a local[n] tune. Costs one extra
+    * count(1) aggregate over the corpus; removes the corpus exchange +
+    * two sorts.
+    */
+  private def onlyProbeKeys(s: SparkSession, d: String, df: DataFrame): DataFrame = {
+    val m = Tables.embeddings(s, d).select(col("vec_id"))
+      .agg(expr(auditProbeModSql).as("mod"))
+    broadcast(df.join(broadcast(m))
+      .filter(col("vec_id") % col("mod") === 0).drop("mod"))
+  }
+
   /** Sign-LSH ANN core: best approximate neighbor per vector via nPlanes
     * deterministic hyperplanes → bucket id, hamming-1 multiprobe (home
     * bucket plus every one-bit flip), equi-join within buckets only, best
@@ -280,7 +299,8 @@ object SimilarityQueries {
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val ann = annLshBest(e)
       exactBestForProbes(s, d)
-        .join(ann.select(col("vec_id"), col("cosine")), Seq("vec_id"), "left")
+        .join(onlyProbeKeys(s, d, ann.select(col("vec_id"), col("cosine"))),
+          Seq("vec_id"), "left")
         .agg(
           count(lit(1)).as("n_probes"),
           sum(expr("CAST(floor(best * 10000 + 0.5) AS BIGINT)")).as("sum_best_1e4"),
@@ -337,7 +357,8 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       exactBestForProbes(s, d)
-        .join(annIvfBest(e).select(col("vec_id"), col("cosine")), Seq("vec_id"), "left")
+        .join(onlyProbeKeys(s, d, annIvfBest(e).select(col("vec_id"), col("cosine"))),
+          Seq("vec_id"), "left")
         .select(col("vec_id"), col("best").as("exact_best"),
           coalesce(col("cosine") <= col("best") + 1e-9, lit(false)).as("ann_le_exact"))
         .orderBy("vec_id")
