@@ -22,7 +22,17 @@ object PlanProbe {
     // the builder frame itself (the thing the cut materializes).
     val precut: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "dev:order_pairs" -> ((sp, dd) =>
-        operators.GraphQueries.orderPairs(Tables.lineitem(sp, dd))))
+        operators.GraphQueries.orderPairs(Tables.lineitem(sp, dd))),
+      "dev:lloyd_step" -> ((sp, dd) => {
+        plans.GraftFunctions.register(sp)
+        import org.apache.spark.sql.functions.{col, size}
+        import functions.VectorFunctions.{asDouble, l2Norm}
+        val e = Tables.embeddings(sp, dd)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .filter(size(col("v")) === 64)
+          .withColumn("nrm", l2Norm(col("v")))
+        operators.SimilarityQueries.refinedCentArr(e)
+      }))
     if (names.nonEmpty) {
       names.foreach { n =>
         println(s"== $n ==")

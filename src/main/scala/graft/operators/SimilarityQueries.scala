@@ -895,12 +895,24 @@ object SimilarityQueries {
       .select(col("v"), expr("graft_pick_cell(v, nrm, cells).cell").as("cell"))
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
-      .withColumn("cnrm", l2Norm(col("cv")))
-      .agg(array_sort(collect_list(struct(col("cell"), col("cv"),
-        col("cnrm")))).as("cells"))
+      // ONE global agg over the k·dim (cell, pos, m) rows; the per-cell
+      // regroup happens IN-ARRAY (r21 — the old groupBy(cell) paid a
+      // separate k-row exchange + stage per Lloyd step for a regroup a
+      // sorted-array reshape does for free). Parity is positional:
+      // array_sort orders cpm by (cell, pos) — both unique per row, m
+      // never decides — so per-cell slices are pos-ascending and cells
+      // ascend, exactly the old collect/sort semantics; cnrm applies the
+      // same l2Norm expression per element.
+      .agg(array_sort(collect_list(struct(col("cell"), col("pos"),
+        col("m")))).as("cpm"))
+      .select(expr(
+        """transform(array_distinct(transform(cpm, r -> r.cell)), c ->
+             struct(c AS cell,
+               transform(filter(cpm, r -> r.cell = c), r -> r.m) AS cv))""")
+        .as("cs"))
+      .select(transform(col("cs"), s =>
+        struct(s.getField("cell").as("cell"), s.getField("cv").as("cv"),
+          l2Norm(s.getField("cv")).as("cnrm"))).as("cells"))
 
   private[graft] def trainCoarse(e: DataFrame, seedStride: Int = 13,
       steps: Int = 3): (DataFrame, Seq[Double]) = {
