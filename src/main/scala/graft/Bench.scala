@@ -145,18 +145,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing floors post-shuffle partitions at 1 MB by default —
-      // sized for byte-dominated stages. This engine's hot stages are
-      // CPU-dense per byte (sorted-hash merge-intersect verify, HOF pair
-      // expansion), so the byte floor serialized them: d_simhash_pairs'
-      // verify stage ran 4 tasks on 32 cores (measured r21, StageProbe —
-      // 1.2 s wall vs 0.48 s at 64k). The floor only binds when
-      // totalBytes/parallelism < 1 MB, i.e. exactly when partitions are
-      // cheap; at production shuffle sizes partitions sit far above any
-      // floor and the setting is inert, so 64k is scale-safe (env knob for
-      // clusters whose stages are byte-dominated).
+      // AQE coalesce floor: Spark's 1 MB default (r22). The r21 64k floor
+      // (aimed at CPU-dense stages coalesced to few tasks) was adjudicated
+      // on the official methodology — interleaved same-window A/B, cold
+      // JVM, local[32], sf0.1, single-shot (plans/r22/aqe_floor_ab/):
+      // 1m totals 91.7/94.8 s vs 64k 98.3/98.1 s. The 64k floor LOSES
+      // ~4-7% overall (it helps only d_simhash_pairs' verify stage, and
+      // costs a little scheduling overhead on ~30 other queries), so the
+      // default reverts to Spark's. Env knob kept for deployments whose
+      // stages are genuinely CPU-dense per byte.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver tail-parses stdout for the JSON line

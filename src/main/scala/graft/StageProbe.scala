@@ -14,9 +14,9 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // match Bench's CPU-dense coalescing floor (see Bench.scala)
+      // match Bench's AQE coalesce floor default (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
     // optional conf overrides: GRAFT_CONF="k=v;k2=v2" (env — sbt forks
     // the run JVM, so -D on the sbt command line never arrives here)
