@@ -144,15 +144,17 @@ object Round4Queries {
       val qualified = scored.filter(col("quality") >= 0.52)
       // exact dedup: min doc_id per text among the qualified. A grouped
       // aggregate, not a text-partitioned row_number window (r21): it
-      // partial-aggregates map-side, and n_tokens/quality are functions
-      // of text, so any group member's value IS the keeper's value —
-      // min() keeps the plan deterministic.
+      // partial-aggregates map-side. min(struct(...)) keeps the keeper's
+      // row ATOMICALLY (ADVICE r21): doc_id leads the struct and is
+      // unique per group, so the min is the keeper's whole row — robust
+      // even if a future column stops being a function of text.
       val exactKept = qualified
         .groupBy(col("__sha"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min(col("n_tokens")).as("n_tokens"),
-          min(col("quality")).as("quality"))
-        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .agg(min(struct(col("doc_id"), col("n_tokens"), col("quality")))
+          .as("__keeper"))
+        .select(col("__keeper.doc_id").as("doc_id"),
+          col("__keeper.n_tokens").as("n_tokens"),
+          col("__keeper.quality").as("quality"))
       // Near-dup drop: run the REAL near-dup operator — the full
       // MinHash+LSH pipeline (shingle → sign → band → verify) — and drop
       // the higher side of every verified J ≥ 0.5 pair. Shingle Jaccard,

@@ -33,29 +33,41 @@ object Round7Queries {
       // (r21, the d_dedup_hash discipline): the calm/clean joins and the
       // dedup aggregate below then move 64-char keys, never documents,
       // and the string-exact oracle would fail loudly on a collision.
+      // r22 scan fusion (§1.2/§2.4): quality AND the repetition gate are
+      // per-row signals, so they ride the ONE scored projection — the
+      // former composition re-scanned documents twice more (the gram
+      // signals and the token-dominance aggregate) and paid a calm join
+      // just to apply a per-row predicate. Same single-sourced formulas:
+      // TextQueries.{qualityBlend, repetitiveGate}. A null-text doc fails
+      // both gates (NULL predicate ⇒ filtered), exactly as the old inner
+      // join against repetition()'s output dropped it.
       val scored = train.select(col("doc_id"),
         graft.functions.TextFunctions.sha256Hex(col("text")).as("__sha"),
         size(toks).cast("long").as("n_tokens"),
-        TextQueries.qualityBlend.as("quality"))
-      // repetition gate: the per-doc signals are corpus-independent, so
-      // computing them over the training slice composes exactly
-      val calm = TextQueries.repetition(train)
-        .filter(!col("repetitive")).select(col("doc_id"))
-      // decontamination: needs the FULL frame (eval grams come from src0)
-      val clean = TextQueries.decontaminate(all, evalSource = "src0")
-        .filter(!col("contaminated")).select(col("doc_id"))
-      val qualified = scored.filter(col("quality") >= 0.52)
-        .join(calm, "doc_id").join(clean, "doc_id")
+        TextQueries.qualityBlend.as("quality"),
+        TextQueries.repetitiveGate.as("__repetitive"))
+      // decontamination: needs the FULL frame (eval grams come from src0).
+      // Only the DROP SET is needed here, as a left_anti — every row of
+      // contaminatedDocs has n ≥ 1, so anti-joining it equals the old
+      // inner join against decontaminate()'s !contaminated side, minus
+      // the third corpus scan that rebuilt the full doc list (r22).
+      val contaminated = TextQueries.contaminatedDocs(all, evalSource = "src0")
+      val qualified = scored
+        .filter(col("quality") >= 0.52 && !col("__repetitive"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
       // exact dedup: min doc_id per text among the qualified. A grouped
       // aggregate on the content sha, not a text-partitioned row_number
-      // window (r21): partial-aggregates map-side; n_tokens/quality are
-      // functions of text, so min() is the keeper's own value.
+      // window (r21): partial-aggregates map-side. min(struct(...)) keeps
+      // the keeper's row ATOMICALLY (ADVICE r21): doc_id leads the struct
+      // and is unique per group, so the min is the keeper's whole row —
+      // robust even if a future column stops being a function of text.
       val exactKept = qualified
         .groupBy(col("__sha"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min(col("n_tokens")).as("n_tokens"),
-          min(col("quality")).as("quality"))
-        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .agg(min(struct(col("doc_id"), col("n_tokens"), col("quality")))
+          .as("__keeper"))
+        .select(col("__keeper.doc_id").as("doc_id"),
+          col("__keeper.n_tokens").as("n_tokens"),
+          col("__keeper.quality").as("quality"))
       // near-dup drop: the registered MinHash-LSH operator's verified
       // pair set (corpus-wide, like v1 — a near-dup of ANY doc, eval
       // included, is dropped), higher side of each pair goes

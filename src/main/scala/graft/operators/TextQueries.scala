@@ -125,6 +125,31 @@ object TextQueries {
     */
   private[graft] val langPredSql: String = langVoteSql("text", "unk")
 
+  /** Contamination CORE: per-doc count of verbatim n-gram shingles shared
+    * with the eval source, one row per non-eval doc with ≥ 1 hit (every
+    * row has n ≥ 1 by construction). Shared by [[decontaminate]] (which
+    * left-joins it back onto the full doc list to emit per-doc counts
+    * with n=0 rows) and d_corpus_build_v2 (which needs only the DROP SET,
+    * consumed as a left_anti — r22: the v2 composition paid a third
+    * corpus scan just to rebuild the doc list this core's consumers
+    * already hold). Scale shape: the eval gram set is tiny relative to
+    * the corpus — it broadcasts, the training side streams through a
+    * broadcast semi-probe at scan speed, and the only shuffle is the
+    * per-doc count on doc_id. Callers must have run
+    * GraftFunctions.register.
+    */
+  private[graft] def contaminatedDocs(docsDf: DataFrame, evalSource: String,
+                                      n: Int = 5): DataFrame = {
+    val sh = docsDf.select(col("doc_id"), col("source"),
+      explode(shingles("text", n)).as("g"))
+    val evalGrams = sh.filter(col("source") === evalSource)
+      .select(col("g")).distinct()
+    sh.filter(col("source") =!= evalSource)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n")) // grams are distinct per doc
+  }
+
   /** Core of `t_decontaminate`, reusable over any (doc_id, source, text)
     * frame (spec-tested on planted fixtures): flag non-eval docs sharing
     * any verbatim n-gram shingle with the eval source. Callers must have
@@ -132,14 +157,7 @@ object TextQueries {
     */
   private[graft] def decontaminate(docsDf: DataFrame, evalSource: String,
                                    n: Int = 5): DataFrame = {
-    val sh = docsDf.select(col("doc_id"), col("source"),
-      explode(shingles("text", n)).as("g"))
-    val evalGrams = sh.filter(col("source") === evalSource)
-      .select(col("g")).distinct()
-    val hits = sh.filter(col("source") =!= evalSource)
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n")) // grams are distinct per doc
+    val hits = contaminatedDocs(docsDf, evalSource, n)
     docsDf.filter(col("source") =!= evalSource).select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -211,32 +229,61 @@ object TextQueries {
         (col("entropy_units") < lowUnits).as("low_entropy"))
       .orderBy("doc_id")
 
-  /** Core of `t_repetition`, reusable over any (doc_id, text) frame
-    * (spec-tested on planted fixtures). Callers must have run
-    * GraftFunctions.register.
+  /** Per-row duplicate-2-gram fraction over `text` — one of the two
+    * Gopher-dial repetition signals, shared by [[repetition]] and the
+    * fused d_corpus_build_v2 projection so the formula lives once.
     */
-  private[graft] def repetition(docsDf: DataFrame): DataFrame = {
-    val grams = docsDf.select(col("doc_id"),
-      greatest(size(split(col("text"), " ")) - 1, lit(0)).as("total_2grams"),
-      size(shingles("text", 2)).as("distinct_2grams"))
-    val top = docsDf
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).cast(LongType).as("top_cnt"),
-        sum(col("c")).cast(LongType).as("n_tok"))
-    val dupFrac = when(col("total_2grams") > 0,
-      lit(1.0) - col("distinct_2grams").cast("double") / col("total_2grams"))
+  private[graft] def repDupFrac: Column = {
+    val total2 = greatest(size(split(col("text"), " ")) - 1, lit(0))
+    val distinct2 = size(shingles("text", 2))
+    when(total2 > 0, lit(1.0) - distinct2.cast("double") / total2)
       .otherwise(lit(0.0))
-    val topFrac = col("top_cnt").cast("double") / col("n_tok")
-    grams.join(top, "doc_id")
-      .select(col("doc_id"),
-        floorRound(dupFrac, 4).as("dup_2gram_frac"),
-        floorRound(topFrac, 4).as("top_token_frac"),
-        // the Gopher-style gate: either signal past its dial ⇒ drop
-        (dupFrac > 0.1 || topFrac > 0.25).as("repetitive"))
-      .orderBy("doc_id")
   }
+
+  /** Per-row top-token dominance share over `text` — the other Gopher
+    * dial. The max token multiplicity is the longest equal-run in the
+    * SORTED token array, computed with one linear fold (r22): the former
+    * explode + (doc, token) count + per-doc max formulation shuffled
+    * every token twice to compute a per-document quantity (§2.4 — remove
+    * shuffles outright). O(n log n) per row; the denominator is the raw
+    * token count, exactly the old `sum(c)`.
+    */
+  private[graft] def repTopFrac: Column = {
+    val topCnt = expr(
+      """aggregate(array_sort(split(text, ' ')),
+           named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+           (acc, t) -> named_struct(
+             'prev', t,
+             'run',  IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1L, 1L),
+             'best', greatest(acc.best,
+               IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1L, 1L))),
+           acc -> acc.best)""")
+    topCnt.cast("double") / size(split(col("text"), " ")).cast("double")
+  }
+
+  /** The Gopher-style repetition gate: either signal past its dial ⇒
+    * drop. RAW fractions (not the 4-dp-floored output columns), exactly
+    * as the pre-r22 join form compared them.
+    */
+  private[graft] def repetitiveGate: Column =
+    repDupFrac > 0.1 || repTopFrac > 0.25
+
+  /** Core of `t_repetition`, reusable over any (doc_id, text) frame
+    * (spec-tested on planted fixtures). Pure per-row expressions since
+    * r22 — zero shuffle, one scan (was: a second corpus scan + two
+    * aggregate exchanges for the token-dominance side). The NULL-text
+    * filter preserves the old inner-join semantics: a null-text doc
+    * exploded to zero token rows and vanished from the output. Callers
+    * must have run GraftFunctions.register.
+    */
+  private[graft] def repetition(docsDf: DataFrame): DataFrame =
+    docsDf
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        floorRound(repDupFrac, 4).as("dup_2gram_frac"),
+        floorRound(repTopFrac, 4).as("top_token_frac"),
+        repetitiveGate.as("repetitive"))
+      .orderBy("doc_id")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R20 — source-mixing rebalance, the data-mixing pass every
