@@ -905,10 +905,28 @@ object SimilarityQueries {
       // same l2Norm expression per element.
       .agg(array_sort(collect_list(struct(col("cell"), col("pos"),
         col("m")))).as("cpm"))
+      // Linear regroup (r22, ADVICE r21): the first pass finds each cell's
+      // START index (cpm is (cell, pos)-sorted, so cells are contiguous
+      // runs), the second slices the runs — O(k·dim) total. The previous
+      // `filter(cpm, r -> r.cell = c)` per distinct cell re-scanned the
+      // full k·dim array per cell: O(k²·dim) interpreted work, quadratic
+      // in corpus size under the corpus-proportional stride seed. Lazy IF
+      // guards keep every element_at index valid under ANSI; an empty cpm
+      // (empty corpus, unreachable on any fixture) yields [] exactly as
+      // the old array_distinct form did.
+      .select(col("cpm"), expr(
+        """filter(sequence(1, greatest(size(cpm), 1)),
+             i -> IF(size(cpm) = 0, false,
+                  IF(i = 1, true,
+                     element_at(cpm, i).cell != element_at(cpm, i - 1).cell)))""")
+        .as("starts"))
       .select(expr(
-        """transform(array_distinct(transform(cpm, r -> r.cell)), c ->
-             struct(c AS cell,
-               transform(filter(cpm, r -> r.cell = c), r -> r.m) AS cv))""")
+        """transform(starts, (s, j) ->
+             struct(element_at(cpm, s).cell AS cell,
+               transform(slice(cpm, s,
+                   IF(j + 2 > size(starts), size(cpm) + 1,
+                      element_at(starts, j + 2)) - s),
+                 r -> r.m) AS cv))""")
         .as("cs"))
       .select(transform(col("cs"), s =>
         struct(s.getField("cell").as("cell"), s.getField("cv").as("cv"),
