@@ -54,13 +54,24 @@ object SimilarityQueries {
     * anywhere (PlanSpec pins this). Callers must reference the result
     * exactly once per plan so no caching is needed.
     */
-  private def exactBestForProbes(s: SparkSession, d: String): DataFrame = {
+  /** The one-row (mod) frame: `ceil(corpus count / budget)` in the
+    * integer arithmetic the oracles mirror. Built ONCE per audit query
+    * and passed to both [[exactBestForProbes]] and [[onlyProbeKeys]]
+    * (ADVICE r21 — each helper building its own count aggregate cost the
+    * audit a second full-corpus count scan). Each consumer references
+    * the frame exactly once per plan, so the no-caching discipline
+    * holds; the two identical broadcast subtrees additionally dedupe via
+    * broadcast-exchange reuse at runtime.
+    */
+  private def auditProbeMod(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .agg(expr(auditProbeModSql).as("mod"))
+
+  private def exactBestForProbes(s: SparkSession, d: String,
+                                 m: DataFrame): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    // broadcast scalar: mod = ceil(n / budget) in integer arithmetic
-    val m = e.agg(expr(
-      auditProbeModSql).as("mod"))
     val probes = e.join(broadcast(m))
       .filter(col("vec_id") % col("mod") === 0).drop("mod")
     broadcast(probes).as("x")
@@ -83,12 +94,9 @@ object SimilarityQueries {
     * count(1) aggregate over the corpus; removes the corpus exchange +
     * two sorts.
     */
-  private def onlyProbeKeys(s: SparkSession, d: String, df: DataFrame): DataFrame = {
-    val m = Tables.embeddings(s, d).select(col("vec_id"))
-      .agg(expr(auditProbeModSql).as("mod"))
+  private def onlyProbeKeys(df: DataFrame, m: DataFrame): DataFrame =
     broadcast(df.join(broadcast(m))
       .filter(col("vec_id") % col("mod") === 0).drop("mod"))
-  }
 
   /** Sign-LSH ANN core: best approximate neighbor per vector via nPlanes
     * deterministic hyperplanes → bucket id, hamming-1 multiprobe (home
@@ -298,8 +306,9 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       val ann = annLshBest(e)
-      exactBestForProbes(s, d)
-        .join(onlyProbeKeys(s, d, ann.select(col("vec_id"), col("cosine"))),
+      val m = auditProbeMod(s, d)
+      exactBestForProbes(s, d, m)
+        .join(onlyProbeKeys(ann.select(col("vec_id"), col("cosine")), m),
           Seq("vec_id"), "left")
         .agg(
           count(lit(1)).as("n_probes"),
@@ -356,8 +365,9 @@ object SimilarityQueries {
     "v_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      exactBestForProbes(s, d)
-        .join(onlyProbeKeys(s, d, annIvfBest(e).select(col("vec_id"), col("cosine"))),
+      val m = auditProbeMod(s, d)
+      exactBestForProbes(s, d, m)
+        .join(onlyProbeKeys(annIvfBest(e).select(col("vec_id"), col("cosine")), m),
           Seq("vec_id"), "left")
         .select(col("vec_id"), col("best").as("exact_best"),
           coalesce(col("cosine") <= col("best") + 1e-9, lit(false)).as("ann_le_exact"))
