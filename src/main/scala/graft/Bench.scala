@@ -274,6 +274,19 @@ object Bench {
     // interval join); 0 = failed twice, reason in errors.
     val streamJoinRps: Long =
       measureStream("stream_join", () => streamJoinBench(spark, sfDir))
+    // Steady-state map (r22, VERDICT r21 #6): 5-run medians for the 10
+    // most expensive cold queries, recorded in bench_full.json ONLY —
+    // never the metric line — so plan-cost adjudications are reproducible
+    // from a committed artifact instead of probe-session prose (this host
+    // spikes 2–6× on single shots; the cold map stays the official
+    // number, the steady map is the plan-quality signal). Runs AFTER both
+    // stream benches so no official metric sees its cache side effects.
+    val steady: Map[String, Double] = results.toSeq
+      .filter(_._2 > 0).sortBy(-_._2).take(10).map { case (name, _) =>
+        val fn = SparkEntry.queries(name)
+        val ts = (1 to 5).map(_ => timeOnce(name, fn, recordErr = false)._2)
+        name -> ts.sorted.apply(ts.size / 2)
+      }.toMap
     // The driver tail-captures ~2000 chars of the run log, so the printed
     // line must stay well under that (round 1's full-precision line got
     // truncated and the bench metric was lost). The line carries the
@@ -310,7 +323,7 @@ object Bench {
     else ""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"warnings":$warnJson$warmFull,"queries":${render(results.toSeq.sortBy(_._1))}}""")
+      s"""{"total":${fmt(total)},"failed":${errors.size},"stream_rows_per_sec":$streamRps,"stream_join_rows_per_sec":$streamJoinRps,"errors":$errJson,"warnings":$warnJson$warmFull,"steady":${render(steady.toSeq.sortBy(_._1))},"queries":${render(results.toSeq.sortBy(_._1))}}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so no executor/shutdown logging can land
     // after the metric line — it must be the final line of stdout for the

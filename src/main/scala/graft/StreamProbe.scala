@@ -546,6 +546,25 @@ object StreamProbe {
     val csecs = (System.nanoTime() - t0) / 1e9
     println(f"annserve concurrent: $nThreads issuers x ${ids.length} probes in " +
       f"$csecs%.1f s = ${ids.length / csecs}%.0f probes/s aggregate")
+    // batched leg (r22, VERDICT r21 #4): ALL probes answered in ONE job
+    // over the same persisted codes — the v_ivfpq_batch throughput shape,
+    // published alongside the interactive p50/p99 so the
+    // interactive-vs-batch trade is reported honestly from the same
+    // index, probe set, and ground truth.
+    val probesDf = e.filter(col("vec_id").isin(ids: _*))
+    val tb = System.nanoTime()
+    val got = graft.operators.SimilarityQueries
+      .pqIndexServeBatch(codes, probesDf, centArr, cb, nprobe = nprobe)
+      .collect()
+    val bsecs = (System.nanoTime() - tb) / 1e9
+    val byProbe = got.groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val brecalls = ids.map(pid =>
+      (byProbe.getOrElse(pid, Set.empty[Long]) intersect exact(pid)).size / 10.0)
+    println(f"annserve batched: ${ids.length} probes in ONE job — " +
+      f"$bsecs%.2f s = ${ids.length / bsecs}%.0f probes/s  " +
+      f"recall@10 mean ${brecalls.sum / brecalls.length}%.3f  " +
+      f"min ${brecalls.min}%.2f (nprobe=$nprobe, ADC top-10)")
     codes.unpersist(); centArr.unpersist(); cb.unpersist()
   }
 

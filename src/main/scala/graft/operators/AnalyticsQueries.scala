@@ -227,6 +227,14 @@ object AnalyticsQueries {
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // No-partition rank window, KEPT deliberately (r22 WindowExec
+      // audit): the window input is the VOCABULARY, not the corpus —
+      // Heaps' law keeps distinct types sublinear in corpus size, and
+      // the Zipf rank is an inherently global total order. The
+      // RDD.zipWithIndex alternative was built and rejected: it runs the
+      // partition-offset job EAGERLY at DataFrame construction time,
+      // breaking the no-action-at-plan-time contract the audit/probe
+      // tooling relies on (PlanSpec pins this query's exchange shape).
       val ranked = vocab.withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("f").desc, col("w"))))

@@ -1152,6 +1152,37 @@ object SimilarityQueries {
       .limit(k)
   }
 
+  /** Batched twin of [[pqIndexServe]] (r22, VERDICT r21 #4): answer a
+    * probe SET per corpus pass over the SAME stored codes — the
+    * v_ivfpq_batch throughput shape parameterized by an explicit probe
+    * frame. Each probe ranks its `nprobe` cells and precomputes its LUT
+    * in one pass over the probe rows; ONE broadcast join fans each
+    * stored code out to exactly the probes probing its cell; top-k per
+    * probe with the identical (adc_units, vec_id) tie-break, so the
+    * per-probe result set equals [[pqIndexServe]]'s. The probe table
+    * must be serving-batch-sized (it broadcasts with its cells + LUT).
+    */
+  private[graft] def pqIndexServeBatch(codes: DataFrame, probes: DataFrame,
+                                       centArr: DataFrame, cb: DataFrame,
+                                       nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val probeTab = probes.select(col("vec_id"), col("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .crossJoin(broadcast(centArr)).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("probe_id"),
+        expr(probeCellsSql(nprobe)).as("probe_cells"),
+        expr(pqLutSql).as("lut"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_units"), col("vec_id"))
+    codes.join(broadcast(probeTab),
+        array_contains(col("probe_cells"), col("cell")) &&
+          col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("graft_pq_adc(pq_code, lut)").as("adc_units"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("adc_units"))
+  }
+
   /** The `v_pq_adc` query body (shared with `v_pq_recall`, whose audit
     * must rank with the identical ADC arithmetic): probe LUT as one
     * positional broadcast array, serving scan over [[pqCodesCore]]'s

@@ -598,6 +598,12 @@ class PlanSpec extends SparkSpec {
     val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(!keyed.exists(_.contains("vec_id")),
       s"corpus-sized exchange in the training audit:\n${p.take(1500)}")
+    // positive invariant alongside the negative ones (ADVICE r21): the
+    // final plan must read the CUT trainer frame — if the cut ever stops
+    // happening, hashpartitioning lines could vanish from detection and
+    // the no-vec_id assertion above would pass vacuously
+    assert(p.contains("Scan ExistingRDD"),
+      s"trainer chain no longer cut (no ExistingRDD scan):\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n${p.take(1500)}")
     assert(p.contains("TakeOrderedAndProject"), "exact top-10 not heap-based")
     // the M-step shuffles now live in the PRE-cut trainer plan: pin the
